@@ -1,0 +1,486 @@
+"""Graph surgery: formatter / merger (fusions) / replacer / decomposer.
+
+Capability-equivalent redesign of ppq/IR/morph.py (GraphFormatter:155,
+GraphMerger:501, GraphReplacer:16, GraphDecomposer:1078). Implemented as
+plain functions over BaseGraph; `GraphFormatter` etc. below are thin
+namespaces so callers can keep the reference's class-style spelling.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ..core import DataType, TargetPlatform, ppq_warning
+from .graph import BaseGraph, Operation, Variable
+from .search import SearchableGraph
+
+# ============================================================= formatter ===
+
+
+def format_constant_input(graph: BaseGraph):
+    """Constant op → parameter variable (ppq/IR/morph.py:345)."""
+    for op in list(graph.operations.values()):
+        if op.type != 'Constant':
+            continue
+        value = op.attributes.get('value')
+        out_var = op.outputs[0]
+        out_var.value = np.asarray(value)
+        out_var.is_parameter = True
+        out_var.source_op = None
+        op.outputs.clear()
+        graph.remove_operation(op)
+
+
+def format_parameter(graph: BaseGraph):
+    """Split parameter variables shared by several ops so each consumer owns
+    a private copy (ppq/IR/morph.py:445) — required because per-op TQCs may
+    quantize the same weight differently."""
+    for var in list(graph.variables.values()):
+        if not var.is_parameter or len(var.dest_ops) <= 1:
+            continue
+        for i, op in enumerate(list(var.dest_ops[1:]), start=1):
+            clone = graph.create_variable(
+                name=f'{var.name}_split_{i}', value=np.array(var.value, copy=True),
+                is_parameter=True)
+            idx = op.input_idx(var)
+            op.inputs[idx] = clone
+            clone.dest_ops.append(op)
+        kept = var.dest_ops[0]
+        var.dest_ops[:] = [kept]
+
+
+def remove_identity(graph: BaseGraph, including_dropout: bool = True):
+    """Splice out Identity (and inference-mode Dropout) ops
+    (ppq/IR/morph.py:486)."""
+    removable = {'Identity'} | ({'Dropout'} if including_dropout else set())
+    for op in list(graph.operations.values()):
+        if op.type not in removable:
+            continue
+        if op.type == 'Dropout' and len(op.outputs) > 1:
+            # mask output in use? drop it if unconsumed
+            if any(o.dest_ops or o.name in graph.outputs for o in op.outputs[1:]):
+                continue
+            for extra in list(op.outputs[1:]):
+                graph.remove_variable(extra)
+            op.outputs[:] = op.outputs[:1]
+        # identity over a parameter: constant-fold
+        src = op.inputs[0]
+        if src.is_parameter and len(op.inputs) == 1:
+            out = op.outputs[0]
+            out.value = np.array(src.value, copy=True)
+            out.is_parameter = True
+            src.dest_ops.remove(op)
+            graph._drop_variable_if_isolated(src)
+            out.source_op = None
+            op.outputs.clear()
+            op.inputs.clear()
+            graph.remove_operation(op)
+            continue
+        if src.name in graph.inputs and op.outputs[0].name in graph.outputs:
+            continue  # degenerate passthrough graph; keep
+        graph.remove_operation(op, keep_coherence=True)
+
+
+def delete_isolated(graph: BaseGraph):
+    """Remove ops whose outputs reach no graph output
+    (ppq/IR/morph.py:401)."""
+    changed = True
+    while changed:
+        changed = False
+        for op in list(graph.operations.values()):
+            alive = any(v.dest_ops or v.name in graph.outputs for v in op.outputs)
+            if not alive:
+                graph.remove_operation(op)
+                changed = True
+    for var in list(graph.variables.values()):
+        if (var.source_op is None and not var.dest_ops
+                and var.name not in graph.inputs and var.name not in graph.outputs):
+            graph.remove_variable(var)
+
+
+def format_cast(graph: BaseGraph):
+    """Remove Cast ops that cast float→float (simulator is dtype-polymorphic)
+    (ppq/IR/morph.py: format_cast)."""
+    for op in list(graph.operations.values()):
+        if op.type != 'Cast':
+            continue
+        to = DataType(op.attributes.get('to', DataType.FP32))
+        src_dt = op.inputs[0].dtype
+        if to.is_float and src_dt.is_float:
+            graph.remove_operation(op, keep_coherence=True)
+
+
+def _attr_to_input(graph: BaseGraph, op: Operation, attr: str,
+                   dtype=np.int64) -> bool:
+    if attr not in op.attributes:
+        return False
+    value = np.asarray(op.attributes.pop(attr), dtype=dtype)
+    graph.create_variable(value=value, is_parameter=True, dest_ops=[op])
+    return True
+
+
+def format_slice(graph: BaseGraph):
+    """Normalize opset<10 attribute-style Slice to input-style."""
+    for op in graph.operations.values():
+        if op.type != 'Slice' or len(op.inputs) > 1:
+            continue
+        for attr in ('starts', 'ends', 'axes'):
+            _attr_to_input(graph, op, attr)
+
+
+def format_clip(graph: BaseGraph):
+    """Normalize attribute-style Clip(min=,max=) to input-style."""
+    for op in graph.operations.values():
+        if op.type != 'Clip':
+            continue
+        if 'min' in op.attributes or 'max' in op.attributes:
+            lo = op.attributes.pop('min', None)
+            hi = op.attributes.pop('max', None)
+            if len(op.inputs) == 1:
+                graph.create_variable(
+                    value=np.asarray(-3.4e38 if lo is None else lo, np.float32),
+                    is_parameter=True, dest_ops=[op])
+                graph.create_variable(
+                    value=np.asarray(3.4e38 if hi is None else hi, np.float32),
+                    is_parameter=True, dest_ops=[op])
+
+
+def format_pad(graph: BaseGraph):
+    for op in graph.operations.values():
+        if op.type != 'Pad':
+            continue
+        _attr_to_input(graph, op, 'pads')
+        if 'value' in op.attributes and len(op.inputs) == 2:
+            graph.create_variable(
+                value=np.asarray(op.attributes.pop('value'), np.float32),
+                is_parameter=True, dest_ops=[op])
+
+
+def format_resize(graph: BaseGraph):
+    """Normalize Upsample / attribute-scales Resize to opset-13 Resize."""
+    for op in graph.operations.values():
+        if op.type == 'Upsample' and 'scales' in op.attributes:
+            op.type = 'Resize'
+            scales = np.asarray(op.attributes.pop('scales'), np.float32)
+            # Resize inputs: X, roi, scales
+            graph.create_variable(value=np.zeros(0, np.float32),
+                                  is_parameter=True, dest_ops=[op])
+            graph.create_variable(value=scales, is_parameter=True, dest_ops=[op])
+
+
+def format_axes_to_input(graph: BaseGraph):
+    """opset-13 moved Squeeze/Unsqueeze axes and Split split to inputs; accept
+    attribute form and normalize."""
+    for op in graph.operations.values():
+        if op.type in {'Squeeze', 'Unsqueeze'}:
+            _attr_to_input(graph, op, 'axes')
+        elif op.type == 'Split':
+            _attr_to_input(graph, op, 'split')
+
+
+def format_int64_constants(graph: BaseGraph):
+    """Keep SOI params as int64 numpy (nothing to do — IR is numpy-native),
+    but downcast float64 params that sneak in via ONNX."""
+    for var in graph.variables.values():
+        if var.is_parameter and var.has_value and var.value.dtype == np.float64:
+            var.value = var.value.astype(np.float32)
+
+
+def truncate_on_var(graph: BaseGraph, var: Variable, mark_as_output: bool):
+    """Cut the graph at var: drop everything strictly downstream
+    (ppq/IR/morph.py:367)."""
+    downstream = set()
+    frontier = list(var.dest_ops)
+    while frontier:
+        op = frontier.pop()
+        if op.name in downstream:
+            continue
+        downstream.add(op.name)
+        frontier.extend(graph.get_downstream_operations(op))
+    for name in downstream:
+        if name in graph.operations:
+            graph.remove_operation(graph.operations[name])
+    var.dest_ops.clear()
+    if mark_as_output:
+        graph.mark_as_output(var)
+    for out_name in list(graph.outputs):
+        if out_name not in graph.variables:
+            del graph.outputs[out_name]
+    delete_isolated(graph)
+
+
+def format_graph(graph: BaseGraph) -> BaseGraph:
+    """Standard normalization chain (ppq/api/interface.py:593-641)."""
+    format_constant_input(graph)
+    format_axes_to_input(graph)
+    format_slice(graph)
+    format_clip(graph)
+    format_pad(graph)
+    format_resize(graph)
+    format_cast(graph)
+    format_int64_constants(graph)
+    fuse_bn(graph)
+    remove_identity(graph)
+    format_parameter(graph)
+    delete_isolated(graph)
+    return graph
+
+
+# =============================================================== merger ===
+
+
+def fuse_bn(graph: BaseGraph):
+    """Fold BatchNormalization into preceding Conv/ConvTranspose/Gemm
+    (ppq/IR/morph.py:517-616).
+
+    W'_oc = W_oc * gamma_oc / sqrt(var_oc + eps)
+    b'_oc = (b_oc - mean_oc) * gamma_oc / sqrt(var_oc + eps) + beta_oc
+    """
+    search = SearchableGraph(graph)
+    pairs = search.pattern_matching(
+        [lambda op: op.type in {'Conv', 'ConvTranspose', 'Gemm'},
+         'BatchNormalization'], exclusive=True)
+    for comp, bn in pairs:
+        if len(graph.get_downstream_operations(comp)) != 1:
+            continue
+        gamma, beta, mean, var = (bn.inputs[i].value for i in (1, 2, 3, 4))
+        eps = float(bn.attributes.get('epsilon', 1e-5))
+        alpha = gamma / np.sqrt(var + eps)
+
+        w = comp.inputs[1].value
+        b = comp.inputs[2].value if len(comp.inputs) > 2 else None
+        if comp.type == 'Conv':
+            w = w * alpha.reshape([-1] + [1] * (w.ndim - 1))
+        elif comp.type == 'ConvTranspose':
+            groups = int(comp.attributes.get('group', 1))
+            # weight layout [C_in, C_out/groups, *k]
+            oc = alpha.shape[0]
+            w = w.reshape(groups, w.shape[0] // groups, w.shape[1], *w.shape[2:])
+            a = alpha.reshape(groups, 1, oc // groups, *([1] * (w.ndim - 3)))
+            w = (w * a).reshape(-1, w.shape[2], *w.shape[3:])
+        elif comp.type == 'Gemm':
+            if int(comp.attributes.get('transB', 0)) == 1:
+                w = w * alpha.reshape(-1, 1)
+            else:
+                w = w * alpha.reshape(1, -1)
+        if b is None:
+            b = np.zeros_like(mean)
+        b = (b - mean) * alpha + beta
+
+        comp.inputs[1].value = w.astype(np.float32)
+        if len(comp.inputs) > 2:
+            comp.inputs[2].value = b.astype(np.float32)
+        else:
+            graph.create_variable(value=b.astype(np.float32),
+                                  is_parameter=True, dest_ops=[comp])
+        # drop BN params then splice BN out
+        graph.remove_operation(bn, keep_coherence=True)
+
+
+def fuse_matmul_add(graph: BaseGraph):
+    """MatMul + Add(bias) → Gemm when 2-D, else BiasFusedMatMul
+    (ppq/IR/morph.py:617-692,1045)."""
+    search = SearchableGraph(graph)
+    for mm, add in search.pattern_matching(['MatMul', 'Add'], exclusive=True):
+        if len(graph.get_downstream_operations(mm)) != 1:
+            continue
+        bias_vars = [v for v in add.inputs if v.is_parameter]
+        if len(bias_vars) != 1:
+            continue
+        bias = bias_vars[0]
+        w = mm.inputs[1]
+        if not w.is_parameter or w.value is None or w.value.ndim != 2:
+            continue
+        n = w.value.shape[1]
+        if bias.value is None or bias.value.size != n:
+            continue
+        act_rank = mm.inputs[0].ndim
+        if act_rank == 2:
+            mm.type = 'Gemm'
+            mm.attributes.update({'alpha': 1.0, 'beta': 1.0,
+                                  'transA': 0, 'transB': 0})
+        else:
+            mm.type = 'PPQBiasFusedMatMul'
+        bias.value = bias.value.reshape(-1).astype(np.float32)
+        bias.dest_ops.remove(add)
+        graph.connect(bias, mm)
+        graph.remove_operation(add, keep_coherence=True)
+
+
+def fuse_gelu(graph: BaseGraph):
+    """x * 0.5 * (1 + erf(x/sqrt(2))) chain → Gelu (ppq/IR/morph.py:845)."""
+    search = SearchableGraph(graph)
+    chains = search.pattern_matching(['Div', 'Erf', 'Add', 'Mul', 'Mul'],
+                                     exclusive=False)
+    for div, erf, add, mul1, mul2 in chains:
+        root_candidates = [v for v in div.inputs if not v.is_parameter]
+        if not root_candidates:
+            continue
+        root = root_candidates[0]
+        if not any(v.source_op is root.source_op or v is root for v in mul1.inputs):
+            continue
+        gelu = graph.create_operation('Gelu', platform=div.platform)
+        out = mul2.outputs[0]
+        for op in (mul2, mul1, add, erf, div):
+            if op.name in graph.operations:
+                for var in list(op.inputs):
+                    if op in var.dest_ops:
+                        var.dest_ops.remove(op)
+                    if var.is_parameter:
+                        graph._drop_variable_if_isolated(var)
+                for var in list(op.outputs):
+                    var.source_op = None
+                    if var is not out and not var.dest_ops:
+                        graph.variables.pop(var.name, None)
+                graph.operations.pop(op.name)
+        graph.connect(root, gelu)
+        gelu.outputs.append(out)
+        out.source_op = gelu
+        delete_isolated(graph)
+
+
+def fuse_layernorm(graph: BaseGraph):
+    """ReduceMean/Sub/Pow/ReduceMean/Add/Sqrt/Div/Mul/Add decomposed pattern →
+    LayerNormalization (ppq/IR/morph.py:693-820)."""
+    search = SearchableGraph(graph)
+    chains = search.pattern_matching(
+        ['ReduceMean', 'Sub', 'Pow', 'ReduceMean', 'Add', 'Sqrt', 'Div',
+         'Mul', 'Add'], exclusive=False)
+    for ops in chains:
+        rm1, sub, pow_, rm2, add_eps, sqrt, div, mul, add_b = ops
+        x_cands = [v for v in rm1.inputs if not v.is_parameter]
+        if not x_cands:
+            continue
+        x = x_cands[0]
+        if x not in sub.inputs:
+            continue
+        gamma_v = next((v for v in mul.inputs if v.is_parameter), None)
+        beta_v = next((v for v in add_b.inputs if v.is_parameter), None)
+        if gamma_v is None or beta_v is None:
+            continue
+        eps_v = next((v for v in add_eps.inputs if v.is_parameter), None)
+        eps = float(eps_v.value) if eps_v is not None and eps_v.value is not None else 1e-5
+        axes = rm1.attributes.get('axes', [-1])
+        axis = int(axes[0]) if isinstance(axes, (list, tuple)) else int(axes)
+        ln = graph.create_operation('LayerNormalization',
+                                    attributes={'axis': axis, 'epsilon': eps},
+                                    platform=rm1.platform)
+        out = add_b.outputs[0]
+        for op in (add_b, mul, div, sqrt, add_eps, rm2, pow_, sub, rm1):
+            if op.name not in graph.operations:
+                continue
+            for var in list(op.inputs):
+                if op in var.dest_ops:
+                    var.dest_ops.remove(op)
+                if var.is_parameter and var not in (gamma_v, beta_v):
+                    graph._drop_variable_if_isolated(var)
+            for var in list(op.outputs):
+                var.source_op = None
+                if var is not out and not var.dest_ops:
+                    graph.variables.pop(var.name, None)
+            graph.operations.pop(op.name)
+        graph.connect(x, ln)
+        graph.connect(gamma_v, ln)
+        graph.connect(beta_v, ln)
+        ln.outputs.append(out)
+        out.source_op = ln
+        delete_isolated(graph)
+
+
+def fuse_bias_add(graph: BaseGraph):
+    """Conv/ConvTranspose/Gemm without bias + Add(parameter) → folded bias
+    (ppq/IR/morph.py:885)."""
+    search = SearchableGraph(graph)
+    for comp, add in search.pattern_matching(
+            [lambda op: op.type in {'Conv', 'ConvTranspose'}, 'Add'],
+            exclusive=True):
+        if len(comp.inputs) >= 3:
+            continue
+        bias_vars = [v for v in add.inputs if v.is_parameter]
+        if len(bias_vars) != 1 or bias_vars[0].value is None:
+            continue
+        bias = bias_vars[0]
+        oc = comp.inputs[1].value.shape[0] if comp.type == 'Conv' else None
+        flat = bias.value.reshape(-1)
+        if oc is not None and flat.size != oc:
+            continue
+        bias.value = flat.astype(np.float32)
+        bias.dest_ops.remove(add)
+        graph.connect(bias, comp)
+        graph.remove_operation(add, keep_coherence=True)
+
+
+# ============================================================= decomposer ===
+
+
+def decompose_gemm(graph: BaseGraph):
+    """Gemm → MatMul (+ Add) for backends without Gemm
+    (ppq/IR/morph.py:1121)."""
+    for op in list(graph.operations.values()):
+        if op.type != 'Gemm':
+            continue
+        alpha = float(op.attributes.pop('alpha', 1.0))
+        beta = float(op.attributes.pop('beta', 1.0))
+        trans_a = int(op.attributes.pop('transA', 0))
+        trans_b = int(op.attributes.pop('transB', 0))
+        if trans_a:
+            ppq_warning(f'decompose_gemm: {op.name} has transA=1, skipped')
+            continue
+        w = op.inputs[1]
+        if trans_b and w.is_parameter and w.value is not None:
+            w.value = np.ascontiguousarray(w.value.T)
+        elif trans_b:
+            ppq_warning(f'decompose_gemm: {op.name} transB on activation, skipped')
+            continue
+        if alpha != 1.0 and w.is_parameter:
+            w.value = w.value * alpha
+        op.type = 'MatMul'
+        if len(op.inputs) > 2:
+            bias = op.inputs[2]
+            op.inputs.remove(bias)
+            bias.dest_ops.remove(op)
+            if beta != 1.0 and bias.value is not None:
+                bias.value = bias.value * beta
+            add = graph.create_operation('Add', platform=op.platform)
+            graph.insert_op_on_var(add, op.outputs[0])
+            graph.connect(bias, add)
+
+
+# ============================================================== replacer ===
+
+
+def replace_op_type(graph: BaseGraph, op: Operation, new_type: str,
+                    attributes: Optional[dict] = None):
+    op.type = new_type
+    if attributes is not None:
+        op.attributes = dict(attributes)
+
+
+# thin namespaces for reference-style spelling ------------------------------
+
+class GraphFormatter:
+    def __init__(self, graph: BaseGraph):
+        self.graph = graph
+
+    def format(self):
+        format_graph(self.graph)
+
+
+class GraphMerger:
+    def __init__(self, graph: BaseGraph):
+        self.graph = graph
+
+    def fuse_bn(self): fuse_bn(self.graph)
+    def fuse_matmul_add(self): fuse_matmul_add(self.graph)
+    def fuse_gelu(self): fuse_gelu(self.graph)
+    def fuse_layernorm(self): fuse_layernorm(self.graph)
+    def fuse_bias_add(self): fuse_bias_add(self.graph)
+
+
+class GraphDecomposer:
+    def __init__(self, graph: BaseGraph):
+        self.graph = graph
+
+    def decompose_gemm(self): decompose_gemm(self.graph)
