@@ -1,0 +1,5 @@
+from .base import (OPERATION_FORWARD_TABLE, BaseGraphExecutor,
+                   QuantRuntimeHook, RuntimeHook, register_operation_handler,
+                   resolve_forward)
+from .executor import QuantizeDelegator, TPUExecutor
+from .ops.default import DEFAULT_BACKEND_TABLE, ExecContext
