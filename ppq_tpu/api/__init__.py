@@ -1,0 +1,12 @@
+from .interface import (dispatch_graph, export_ppq_graph, format_graph,
+                        load_graph, load_native_graph, load_onnx_graph, manop,
+                        quantize_graph, quantize_native_model,
+                        quantize_onnx_model)
+from .setting import (QuantizationSetting, QuantizationSettingFactory)
+
+__all__ = [
+    'dispatch_graph', 'export_ppq_graph', 'format_graph', 'load_graph',
+    'load_native_graph', 'load_onnx_graph', 'manop', 'quantize_graph',
+    'quantize_native_model', 'quantize_onnx_model', 'QuantizationSetting',
+    'QuantizationSettingFactory',
+]

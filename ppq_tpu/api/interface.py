@@ -1,0 +1,175 @@
+"""Top-level API (redesign of ppq/api/interface.py).
+
+quantize_onnx_model / quantize_graph are the one-call PTQ entries:
+load → format → dispatch → calibrate+optimize → (export). All simulation
+runs on the JAX executor; TPU vs CPU placement is JAX's device choice.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Iterable, List, Optional, Union
+
+from ..core import (TargetPlatform, dump_native, load_native, ppq_info,
+                    ppq_warning)
+from ..executor import TPUExecutor
+from ..frontends.onnx import OnnxExporter, OnnxParser, load_onnx_graph
+from ..ir import BaseGraph, format_graph
+from ..quantization.quantizer import QUANTIZER_COLLECTION, BaseQuantizer
+from ..scheduler import DISPATCHER_TABLE
+from .setting import QuantizationSetting, QuantizationSettingFactory
+
+__all__ = [
+    'load_onnx_graph', 'load_native_graph', 'load_graph', 'format_graph',
+    'dispatch_graph', 'quantize_onnx_model', 'quantize_graph',
+    'quantize_native_model', 'export_ppq_graph', 'manop',
+    'QuantizationSetting', 'QuantizationSettingFactory',
+]
+
+
+def load_native_graph(import_file: str) -> BaseGraph:
+    """Load a .native checkpoint (reference api/interface.py:66)."""
+    return load_native(import_file)
+
+
+def load_graph(path: str) -> BaseGraph:
+    if path.endswith('.onnx'):
+        return load_onnx_graph(path)
+    if path.endswith('.native'):
+        return load_native_graph(path)
+    raise ValueError(f'Cannot infer graph format from {path!r} '
+                     f'(expected .onnx or .native)')
+
+
+def dispatch_graph(graph: BaseGraph, platform: TargetPlatform,
+                   setting: Optional[QuantizationSetting] = None,
+                   dispatcher: Optional[str] = None,
+                   dispatching_table: Optional[Dict[str, int]] = None
+                   ) -> BaseGraph:
+    """Assign every op a TargetPlatform (reference api/interface.py:644-700)."""
+    if setting is not None:
+        dispatcher = dispatcher or setting.dispatcher
+        dispatching_table = dispatching_table or \
+            setting.dispatching_table.dispatchings
+    dispatcher = (dispatcher or 'conservative').lower()
+    if dispatcher not in DISPATCHER_TABLE:
+        raise KeyError(f'Unknown dispatcher {dispatcher!r}; '
+                       f'choose from {sorted(DISPATCHER_TABLE)}')
+
+    quantizer_cls = QUANTIZER_COLLECTION.get(platform)
+    quant_types = quantizer_cls.quant_operation_types if quantizer_cls else None
+
+    table = DISPATCHER_TABLE[dispatcher](graph).dispatch(
+        quant_types=quant_types, quant_platform=platform,
+        fp32_platform=TargetPlatform.FP32,
+        soi_platform=TargetPlatform.SOI)
+
+    if dispatching_table:
+        for op_name, plat in dispatching_table.items():
+            if op_name not in graph.operations:
+                ppq_warning(f'Dispatching table names unknown op {op_name!r}')
+                continue
+            table[op_name] = TargetPlatform(plat)
+
+    for name, op in graph.operations.items():
+        op.platform = table[name]
+    return graph
+
+
+def quantize_graph(graph: BaseGraph, calib_dataloader: Iterable,
+                   calib_steps: int = 32,
+                   input_shape: Optional[List[int]] = None,
+                   inputs: Optional[Any] = None,
+                   platform: TargetPlatform = TargetPlatform.TPU_INT8,
+                   setting: Optional[QuantizationSetting] = None,
+                   collate_fn: Optional[Callable] = None,
+                   do_quantize: bool = True,
+                   verbose: bool = True) -> BaseGraph:
+    """Core PTQ flow over an already-loaded BaseGraph
+    (reference api/interface.py:185-278 minus the onnx load)."""
+    if setting is None:
+        setting = QuantizationSettingFactory.default_setting()
+    setting.calibration.calib_steps = calib_steps
+
+    format_graph(graph)
+    if not do_quantize:
+        return graph
+
+    dispatch_graph(graph, platform, setting)
+
+    if inputs is None:
+        if input_shape is not None:
+            import numpy as np
+            inputs = np.zeros(input_shape, np.float32)
+        else:
+            # take the first calibration batch as the tracing sample
+            first = next(iter(calib_dataloader))
+            inputs = collate_fn(first) if collate_fn is not None else first
+
+    executor = TPUExecutor(graph)
+    quantizer_cls = QUANTIZER_COLLECTION.get(platform)
+    if quantizer_cls is None:
+        raise KeyError(f'No quantizer registered for platform {platform.name}')
+    quantizer: BaseQuantizer = quantizer_cls(graph)
+    quantizer.quantize(executor=executor, dataloader=calib_dataloader,
+                       setting=setting, collate_fn=collate_fn,
+                       inputs=inputs, verbose=verbose)
+    return graph
+
+
+def quantize_onnx_model(onnx_import_file: str, calib_dataloader: Iterable,
+                        calib_steps: int = 32,
+                        input_shape: Optional[List[int]] = None,
+                        inputs: Optional[Any] = None,
+                        platform: TargetPlatform = TargetPlatform.TPU_INT8,
+                        setting: Optional[QuantizationSetting] = None,
+                        collate_fn: Optional[Callable] = None,
+                        do_quantize: bool = True,
+                        verbose: bool = True) -> BaseGraph:
+    """The main PTQ entry (reference api/interface.py:185)."""
+    graph = load_onnx_graph(onnx_import_file)
+    return quantize_graph(graph, calib_dataloader, calib_steps=calib_steps,
+                          input_shape=input_shape, inputs=inputs,
+                          platform=platform, setting=setting,
+                          collate_fn=collate_fn, do_quantize=do_quantize,
+                          verbose=verbose)
+
+
+def quantize_native_model(native_import_file: str, calib_dataloader: Iterable,
+                          **kwargs) -> BaseGraph:
+    """(reference api/interface.py:453)"""
+    graph = load_native_graph(native_import_file)
+    return quantize_graph(graph, calib_dataloader, **kwargs)
+
+
+def export_ppq_graph(graph: BaseGraph, platform: TargetPlatform,
+                     graph_save_to: str,
+                     config_save_to: Optional[str] = None,
+                     **kwargs) -> None:
+    """Export quantized graph + qparams for a deployment backend
+    (reference api/interface.py:546)."""
+    from ..frontends import EXPORTER_COLLECTION
+    exporter_cls = EXPORTER_COLLECTION.get(platform)
+    if exporter_cls is None:
+        raise KeyError(f'No exporter registered for platform {platform.name}; '
+                       f'available: {[p.name for p in EXPORTER_COLLECTION]}')
+    exporter = exporter_cls()
+    exporter.export(file_path=graph_save_to, graph=graph,
+                    config_path=config_save_to, **kwargs)
+    ppq_info(f'Graph exported to {graph_save_to} '
+             f'({type(exporter).__name__})')
+
+
+def manop(graph: BaseGraph, list_of_passes, calib_dataloader=None,
+          executor=None, collate_fn=None, verbose: bool = True) -> BaseGraph:
+    """Manually apply optimization passes (reference api/interface.py:870)."""
+    from ..quantization.optim import (QuantizationOptimizationPass,
+                                      QuantizationOptimizationPipeline)
+    if isinstance(list_of_passes, QuantizationOptimizationPass):
+        list_of_passes = [list_of_passes]
+    if executor is None:
+        executor = TPUExecutor(graph)
+    pipeline = QuantizationOptimizationPipeline(list(list_of_passes))
+    pipeline.optimize(graph, dataloader=calib_dataloader, executor=executor,
+                      collate_fn=collate_fn, verbose=verbose)
+    return graph
