@@ -1,0 +1,60 @@
+"""Benchmark: INT8-simulated ResNet-18 inference throughput (images/sec)
+via the whole-graph compiled executor, vs the eager per-op interpreter
+baseline (the architecture PPQ uses — ppq/executor/torch.py hot loop).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from ppq_tpu import TargetPlatform, TPUExecutor, quantize_graph
+    from ppq_tpu.executor import compile_graph
+    from ppq_tpu.zoo.vision import resnet18
+
+    batch = 8
+    shape = (batch, 3, 224, 224)
+    graph = resnet18(input_shape=list(shape))
+    rng = np.random.RandomState(0)
+    loader = [rng.randn(*shape).astype(np.float32) for _ in range(2)]
+    quantize_graph(graph, loader, calib_steps=2,
+                   platform=TargetPlatform.TPU_INT8, verbose=False)
+
+    # --- compiled path -----------------------------------------------------
+    run = compile_graph(graph).make_runner()
+    x = loader[0]
+    out = run(x)[0]
+    out.block_until_ready()          # compile + warm
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(x)[0]
+    out.block_until_ready()
+    compiled_ips = batch * iters / (time.perf_counter() - t0)
+
+    # --- eager interpreter baseline (PPQ-style per-op dispatch) ------------
+    ex = TPUExecutor(graph)
+    np.asarray(ex.forward(x)[0])     # warm
+    t0 = time.perf_counter()
+    eager_iters = 3
+    for _ in range(eager_iters):
+        r = ex.forward(x)[0]
+    np.asarray(r)
+    eager_ips = batch * eager_iters / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        'metric': 'resnet18_int8_sim_throughput',
+        'value': round(compiled_ips, 2),
+        'unit': 'images/sec',
+        'vs_baseline': round(compiled_ips / eager_ips, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1066,6 +1066,42 @@ def PPQDeviceSwitch_forward(op, values, ctx=None):
     return jnp.asarray(v)
 
 
+def QuantizeLinear_forward(op, values, ctx=None):
+    """ONNX QuantizeLinear: y = saturate(round(x / scale) + zero_point).
+    Needed to round-trip exported QDQ models through the simulator
+    (reference guarantee: tests/test_onnxruntime.py)."""
+    ASSERT_NUM_OF_INPUT(op, values, 2, 3)
+    x = jnp.asarray(values[0], jnp.float32)
+    scale = jnp.asarray(values[1], jnp.float32)
+    zp = jnp.asarray(values[2]) if _present(values, 2) else jnp.zeros((), jnp.int8)
+    axis = attr(op, 'axis', 1)
+    if scale.ndim > 0 and scale.size > 1:
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        scale = scale.reshape(shape)
+        zp = zp.reshape(shape)
+    zp_dtype = np.asarray(values[2]).dtype if _present(values, 2) else np.int8
+    info = jnp.iinfo(zp_dtype)
+    q = jnp.round(x / scale) + jnp.asarray(zp, jnp.float32)
+    return jnp.clip(q, info.min, info.max).astype(zp_dtype)
+
+
+def DequantizeLinear_forward(op, values, ctx=None):
+    """ONNX DequantizeLinear: y = (x - zero_point) * scale."""
+    ASSERT_NUM_OF_INPUT(op, values, 2, 3)
+    x = jnp.asarray(values[0], jnp.float32)
+    scale = jnp.asarray(values[1], jnp.float32)
+    zp = (jnp.asarray(values[2], jnp.float32) if _present(values, 2)
+          else jnp.zeros((), jnp.float32))
+    axis = attr(op, 'axis', 1)
+    if scale.ndim > 0 and scale.size > 1:
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        scale = scale.reshape(shape)
+        zp = zp.reshape(shape)
+    return (x - zp) * scale
+
+
 # =============================================================== the table ===
 
 DEFAULT_BACKEND_TABLE: Dict[str, Callable] = {
@@ -1127,4 +1163,6 @@ DEFAULT_BACKEND_TABLE: Dict[str, Callable] = {
     'MultiHeadAttention': MultiHeadAttention_forward,
     'Dropout': Dropout_forward, 'Constant': Constant_forward,
     'PPQDeviceSwitch': PPQDeviceSwitch_forward,
+    'QuantizeLinear': QuantizeLinear_forward,
+    'DequantizeLinear': DequantizeLinear_forward,
 }

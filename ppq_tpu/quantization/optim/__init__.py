@@ -3,6 +3,8 @@ from .base import (QuantizationOptimizationPass,
 from .baking import ParameterBakingPass
 from .calibration import (CalibrationHook, IsotoneCalibrationPass,
                           OperationObserver, RuntimeCalibrationPass)
+from .fcalibration import (CompiledCalibrationPass,
+                           compiled_calibration_supported)
 from .parameters import ParameterQuantizePass, PassiveParameterQuantizePass
 from .refine import (MishFusionPass, QuantAlignmentPass, QuantizeFusionPass,
                      QuantizeSimplifyPass, SwishFusionPass)

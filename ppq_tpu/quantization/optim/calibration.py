@@ -92,11 +92,12 @@ class RuntimeCalibrationPass(QuantizationOptimizationPass):
     """
 
     def __init__(self, method: Optional[str] = None, override: bool = False,
-                 calib_steps: int = 32):
+                 calib_steps: int = 32, prefer_compiled: bool = True):
         super().__init__('Runtime Calibration Pass')
         self.method = method
         self.override = override
         self.calib_steps = calib_steps
+        self.prefer_compiled = prefer_compiled
 
     def calibrate(self, executor, dataloader, hooks, collate_fn=None):
         steps = 0
@@ -114,6 +115,16 @@ class RuntimeCalibrationPass(QuantizationOptimizationPass):
                  collate_fn=None, **kwargs):
         assert executor is not None and dataloader is not None, \
             'RuntimeCalibrationPass requires an executor and a dataloader'
+
+        if self.prefer_compiled:
+            from .fcalibration import (CompiledCalibrationPass,
+                                       compiled_calibration_supported)
+            if compiled_calibration_supported(graph, self.method):
+                return CompiledCalibrationPass(
+                    method=self.method,
+                    calib_steps=self.calib_steps).optimize(
+                        graph, dataloader=dataloader, executor=executor,
+                        collate_fn=collate_fn, **kwargs)
 
         observers: List[OperationObserver] = []
         hooks: Dict[str, CalibrationHook] = {}

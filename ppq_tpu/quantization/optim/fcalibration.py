@@ -1,0 +1,189 @@
+"""Compiled (functional) calibration — the TPU-native fast path.
+
+The reference calibrates by hooking a per-op eager interpreter
+(optim/calibration.py:19 + observer hooks): every batch pays the full
+Python-dispatch cost per op. Here the whole graph AND the stat reductions
+compile into one XLA program per batch (executor/compile.py
+build_calibration_forward): activations never leave the device, min/max /
+quantile / histogram reductions fuse into the producing ops, and batches
+stream through a single jitted call — this is the "orders faster
+calibration" capability of BASELINE.json.
+
+Semantics match the eager observers exactly:
+  minmax     — global min/max fold            (observers.MinMaxObserver)
+  percentile — per-batch quantile, averaged   (observers.PercentileObserver)
+  kl / mse   — phase-1 absmax, phase-2 histogram fold, host clip search
+               (observers.KLObserver/MSEObserver + solvers)
+Isotone/other algorithms fall back to the eager pass automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ...core import (OBSERVER_KL_HIST_BINS, OBSERVER_MIN_SCALE,
+                     OBSERVER_MSE_HIST_BINS, OBSERVER_PERCENTILE,
+                     OBSERVER_PERCENTILE_MANUL_OVERRIDE, QuantizationStates,
+                     TensorQuantizationConfig, ppq_info, ppq_warning)
+from ...executor.compile import CompiledGraph, compilable
+from ...ir import BaseGraph, QuantableOperation
+from ..observers import minmax_to_scale_offset
+from ..solvers import kl_threshold_search, mse_threshold_search
+from .base import QuantizationOptimizationPass
+
+COMPILED_ALGOS = {'minmax', 'percentile', 'kl', 'mse'}
+
+
+def _activation_targets(graph: BaseGraph) -> Dict[str, TensorQuantizationConfig]:
+    """var name → INITIAL root activation TQC awaiting calibration."""
+    targets = {}
+    for op in graph.operations.values():
+        if not isinstance(op, QuantableOperation):
+            continue
+        for var, cfg in op.config_pairs():
+            if var.is_parameter:
+                continue
+            if cfg.is_root and cfg.state == QuantizationStates.INITIAL:
+                targets.setdefault(var.name, cfg)
+    return targets
+
+
+def compiled_calibration_supported(graph: BaseGraph,
+                                   method: Optional[str]) -> bool:
+    ok, _ = compilable(graph)
+    if not ok:
+        return False
+    if method is not None:
+        return method in COMPILED_ALGOS
+    return all(cfg.observer_algorithm in COMPILED_ALGOS
+               for cfg in _activation_targets(graph).values())
+
+
+class CompiledCalibrationPass(QuantizationOptimizationPass):
+    def __init__(self, method: Optional[str] = None, calib_steps: int = 32):
+        super().__init__('Compiled Calibration Pass (XLA)')
+        self.method = method
+        self.calib_steps = calib_steps
+
+    # --------------------------------------------------------------- utils
+    def _batches(self, dataloader, collate_fn):
+        n = 0
+        for batch in dataloader:
+            if collate_fn is not None:
+                batch = collate_fn(batch)
+            yield batch
+            n += 1
+            if n >= self.calib_steps:
+                break
+
+    @staticmethod
+    def _feed(cg: CompiledGraph, batch) -> dict:
+        names = list(cg.graph.inputs.keys())
+        if isinstance(batch, dict):
+            return batch
+        if isinstance(batch, (list, tuple)):
+            return dict(zip(names, batch))
+        return {names[0]: batch}
+
+    # ------------------------------------------------------------ optimize
+    def optimize(self, graph: BaseGraph, dataloader=None, executor=None,
+                 collate_fn=None, **kwargs):
+        assert dataloader is not None, 'calibration requires a dataloader'
+        targets = _activation_targets(graph)
+        if not targets:
+            return
+        if self.method is not None:
+            for cfg in targets.values():
+                cfg.observer_algorithm = self.method
+
+        cg = CompiledGraph(graph)
+        params = cg.init_params()
+
+        algo_of = {name: cfg.observer_algorithm
+                   for name, cfg in targets.items()}
+        onepass = {n for n, a in algo_of.items() if a in ('minmax', 'percentile')}
+        twophase = {n for n, a in algo_of.items() if a in ('kl', 'mse')}
+
+        # ---------------- phase 1: minmax/percentile + absmax for hist ----
+        spec = {}
+        for n in onepass:
+            cfg = targets[n]
+            if algo_of[n] == 'percentile':
+                pct = cfg.detail.get(OBSERVER_PERCENTILE_MANUL_OVERRIDE,
+                                     OBSERVER_PERCENTILE)
+                spec[n] = {'kind': 'percentile', 'percentile': float(pct)}
+            else:
+                spec[n] = {'kind': 'minmax'}
+        for n in twophase:
+            spec[n] = {'kind': 'absmax'}
+
+        fn = cg.build_calibration_forward(spec)
+        folds: Dict[str, list] = {}
+        n_batches = 0
+        for batch in self._batches(dataloader, collate_fn):
+            _, stats = fn(params, self._feed(cg, batch))
+            for name, s in stats.items():
+                folds.setdefault(name, []).append(
+                    tuple(np.asarray(x, np.float64) for x in s)
+                    if isinstance(s, tuple) else np.asarray(s, np.float64))
+            n_batches += 1
+        if n_batches == 0:
+            raise ValueError('Calibration dataloader yielded no batches.')
+
+        for name in onepass:
+            if name not in folds:
+                continue
+            cfg = targets[name]
+            if algo_of[name] == 'minmax':
+                lo = np.minimum.reduce([s[0] for s in folds[name]])
+                hi = np.maximum.reduce([s[1] for s in folds[name]])
+            else:  # percentile: batch average (observer semantics)
+                lo = np.mean([s[0] for s in folds[name]], axis=0)
+                hi = np.mean([s[1] for s in folds[name]], axis=0)
+            scale, offset = minmax_to_scale_offset(lo, hi, cfg)
+            self._activate(cfg, scale, offset)
+
+        # ---------------- phase 2: histograms for kl/mse -------------------
+        if twophase:
+            absmax = {n: float(np.max(folds[n])) for n in twophase
+                      if n in folds}
+            hist_scales, spec2 = {}, {}
+            for n in twophase:
+                bins = (OBSERVER_KL_HIST_BINS if algo_of[n] == 'kl'
+                        else OBSERVER_MSE_HIST_BINS)
+                hist_scales[n] = max(absmax.get(n, 0.0),
+                                     OBSERVER_MIN_SCALE) / bins
+                spec2[n] = {'kind': 'hist', 'bins': bins}
+            fn2 = cg.build_calibration_forward(spec2, hist_scales=hist_scales)
+            hists: Dict[str, np.ndarray] = {}
+            for batch in self._batches(dataloader, collate_fn):
+                _, stats = fn2(params, self._feed(cg, batch))
+                for name, h in stats.items():
+                    h = np.asarray(h, np.float64)
+                    hists[name] = hists.get(name, 0) + h
+
+            for name in twophase:
+                if name not in hists:
+                    continue
+                cfg = targets[name]
+                levels = 1 << (cfg.num_of_bits - 1)
+                if algo_of[name] == 'kl':
+                    best_bin = kl_threshold_search(hists[name], levels)
+                else:
+                    best_bin = mse_threshold_search(
+                        hists[name], hist_scales[name], levels)
+                clip = (best_bin + 0.5) * hist_scales[name]
+                scale, offset = minmax_to_scale_offset(
+                    np.asarray(-clip), np.asarray(clip), cfg)
+                self._activate(cfg, scale, offset)
+
+    @staticmethod
+    def _activate(cfg: TensorQuantizationConfig, scale, offset):
+        cfg.scale = scale
+        cfg.offset = offset
+        if cfg.state == QuantizationStates.INITIAL:
+            cfg.state = QuantizationStates.ACTIVATED
+        elif cfg.state == QuantizationStates.PASSIVE_INIT:
+            cfg.state = QuantizationStates.PASSIVE

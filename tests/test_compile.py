@@ -1,0 +1,93 @@
+"""Compiled whole-graph executor parity vs the eager interpreter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppq_tpu import TargetPlatform, TPUExecutor, quantize_graph
+from ppq_tpu.executor import CompiledGraph, compile_graph
+from ppq_tpu.zoo.vision import tiny_cnn
+
+
+def _quantized_tiny():
+    graph = tiny_cnn(input_shape=(2, 3, 16, 16))
+    rng = np.random.RandomState(3)
+    loader = [rng.randn(2, 3, 16, 16).astype(np.float32) for _ in range(4)]
+    quantize_graph(graph, loader, calib_steps=4,
+                   platform=TargetPlatform.TPU_INT8, verbose=False)
+    return graph, loader
+
+
+def test_compiled_matches_eager_fp32():
+    graph = tiny_cnn(input_shape=(2, 3, 16, 16))
+    x = np.random.RandomState(0).randn(2, 3, 16, 16).astype(np.float32)
+    eager = np.asarray(TPUExecutor(graph).forward(x)[0])
+    run = compile_graph(graph).make_runner()
+    compiled = np.asarray(run(x)[0])
+    np.testing.assert_allclose(compiled, eager, rtol=1e-5, atol=1e-5)
+
+
+def test_compiled_matches_eager_quantized():
+    graph, loader = _quantized_tiny()
+    ex = TPUExecutor(graph)
+    run = compile_graph(graph).make_runner()
+    for x in loader[:2]:
+        eager = np.asarray(ex.forward(x)[0])
+        compiled = np.asarray(run(x)[0])
+        np.testing.assert_allclose(compiled, eager, rtol=1e-4, atol=1e-5)
+
+
+def test_trainable_forward_grads_flow():
+    graph, loader = _quantized_tiny()
+    cg = compile_graph(graph)
+    params = cg.init_params()
+    qparams = cg.init_qparams()
+    assert len(qparams) > 0, 'no trainable qparams found'
+    fwd = cg.build_trainable_forward()
+    x = {list(graph.inputs)[0]: jnp.asarray(loader[0])}
+
+    def loss(qp):
+        out = fwd(params, qp, x)[0]
+        return jnp.mean(out ** 2)
+
+    grads = jax.grad(loss)(qparams)
+    total = sum(float(jnp.sum(jnp.abs(g['scale']))) for g in grads.values())
+    assert np.isfinite(total)
+    assert total > 0, 'scale gradients are identically zero'
+
+
+def test_calibration_forward_stats():
+    graph, loader = _quantized_tiny()
+    # reset one activation TQC to INITIAL to observe stats flow
+    from ppq_tpu.core import QuantizationStates
+    from ppq_tpu.ir import QuantableOperation
+    n_reset = 0
+    for op in graph.operations.values():
+        if isinstance(op, QuantableOperation):
+            for cfg in op.config.output_quantization_config:
+                if cfg.is_root and cfg.state == QuantizationStates.ACTIVATED \
+                        and n_reset < 3:
+                    cfg.state = QuantizationStates.INITIAL
+                    n_reset += 1
+    assert n_reset > 0
+    cg = compile_graph(graph)
+    fn = cg.build_calibration_forward('minmax')
+    params = cg.init_params()
+    outs, stats = fn(params, {list(graph.inputs)[0]: jnp.asarray(loader[0])})
+    assert len(stats) >= n_reset
+    for k, (lo, hi) in stats.items():
+        assert float(jnp.min(hi - lo)) >= 0
+
+
+def test_qparam_writeback():
+    graph, _ = _quantized_tiny()
+    cg = compile_graph(graph)
+    qparams = cg.init_qparams()
+    bumped = {k: {'scale': v['scale'] * 2.0, 'offset': v['offset']}
+              for k, v in qparams.items()}
+    cg.write_back_qparams(bumped)
+    fresh = cg.init_qparams()
+    for k in qparams:
+        np.testing.assert_allclose(np.asarray(fresh[k]['scale']),
+                                   np.asarray(qparams[k]['scale']) * 2.0,
+                                   rtol=1e-6)
