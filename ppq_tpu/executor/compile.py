@@ -64,20 +64,42 @@ def _is_trainable_cfg(cfg: TensorQuantizationConfig) -> bool:
 
 
 class CompiledGraph:
-    """Compile a BaseGraph into jitted forward functions."""
+    """Compile a BaseGraph (or a contiguous op span of it) into jitted
+    forward functions."""
 
     def __init__(self, graph: BaseGraph,
-                 output_names: Optional[List[str]] = None):
-        ok, bad = compilable(graph)
-        if not ok:
+                 output_names: Optional[List[str]] = None,
+                 op_span: Optional[Sequence[Operation]] = None,
+                 input_names: Optional[List[str]] = None):
+        span = list(op_span) if op_span is not None else None
+        bad = [op.name for op in (span or graph.operations.values())
+               if op.type in UNCOMPILABLE_TYPES]
+        if bad:
             raise ValueError(
                 f'Graph contains data-dependent ops that cannot compile into '
                 f'a static XLA program: {bad}. Use the eager TPUExecutor.')
         self.graph = graph
-        self.output_names = list(output_names or graph.outputs.keys())
-        self._order = graph.topological_sort()
+        self._order = span if span is not None else graph.topological_sort()
         self._ctx = ExecContext(graph, self._order)
-        self._input_names = list(graph.inputs.keys())
+        if span is not None:
+            produced = {v.name for op in span for v in op.outputs}
+            if input_names is None:
+                input_names = sorted({
+                    v.name for op in span for v in op.inputs
+                    if not v.is_parameter and v.name not in produced})
+            if output_names is None:
+                output_names = sorted(
+                    {v.name for op in span for v in op.outputs
+                     if v.name in graph.outputs or any(
+                         d not in span for d in v.dest_ops)})
+            self._param_scope = {v.name for op in span for v in op.inputs
+                                 if v.is_parameter}
+        else:
+            input_names = list(input_names or graph.inputs.keys())
+            output_names = list(output_names or graph.outputs.keys())
+            self._param_scope = None
+        self.output_names = list(output_names)
+        self._input_names = list(input_names)
 
     # ------------------------------------------------------------ pytrees
     def init_params(self) -> Dict[str, jnp.ndarray]:
@@ -85,6 +107,8 @@ class CompiledGraph:
         not burned into the program)."""
         out = {}
         for name, var in self.graph.variables.items():
+            if self._param_scope is not None and name not in self._param_scope:
+                continue
             if var.is_parameter and var.has_value:
                 val = np.asarray(var.value)
                 if np.issubdtype(val.dtype, np.floating):
@@ -97,7 +121,7 @@ class CompiledGraph:
         """Trainable quantization parameter pytree: one {scale, offset} per
         *root* active TQC (slaves resolve to their dominator)."""
         out = {}
-        for op in self.graph.operations.values():
+        for op in self._order:
             if not isinstance(op, QuantableOperation):
                 continue
             for cfg in op.config:
@@ -115,7 +139,7 @@ class CompiledGraph:
     def write_back_qparams(self, qparams: Dict[str, Dict[str, jnp.ndarray]]):
         """Push trained scales/offsets back onto the IR's TQCs."""
         seen = {}
-        for op in self.graph.operations.values():
+        for op in self._order:
             if not isinstance(op, QuantableOperation):
                 continue
             for cfg in op.config:

@@ -1,0 +1,21 @@
+"""Pallas TPU kernels — native replacements for ppq/csrc CUDA kernels
+(SURVEY.md §2.10 mapping table).
+
+| reference (CUDA)                | here                                  |
+|---------------------------------|---------------------------------------|
+| linear.cu QuantizeTensor_LT/LC  | quant.pallas_linear_quant             |
+| train.cu QuantizeTensor_*_B     | quant.pallas_linear_quant_bwd         |
+| linear.cu Histogram_T/Asym      | histogram.pallas_histogram            |
+| sort.cu Quantile_T              | jnp.quantile (XLA sort, MXU-free)     |
+| isotone.cc / hist_mse.cc        | quantization/solvers.py (+C++ ext)    |
+
+All kernels run in interpreter mode automatically off-TPU so the test suite
+exercises identical code paths on the CPU mesh.
+"""
+
+from .quant import (pallas_available, pallas_linear_quant,
+                    pallas_linear_quant_bwd)
+from .histogram import pallas_histogram
+
+__all__ = ['pallas_available', 'pallas_linear_quant',
+           'pallas_linear_quant_bwd', 'pallas_histogram']

@@ -6,8 +6,16 @@ from .calibration import (CalibrationHook, IsotoneCalibrationPass,
 from .fcalibration import (CompiledCalibrationPass,
                            compiled_calibration_supported)
 from .parameters import ParameterQuantizePass, PassiveParameterQuantizePass
+from .equalization import (ActivationEqualizationPass, ChannelwiseSplitPass,
+                           LayerwiseEqualizationPass)
+from .extension import ExtensionPass
+from .morph import (GRUSplitPass, HorizontalLayerSplitPass,
+                    NCNNFormatGemmPass, NXPResizeModeChangePass)
 from .refine import (MishFusionPass, QuantAlignmentPass, QuantizeFusionPass,
                      QuantizeSimplifyPass, SwishFusionPass)
+from .ssd import SSDEqualizationPass
+from .training import (AdaroundPass, BiasCorrectionPass, LearnedStepSizePass,
+                       RoundTuningPass, TrainingBasedPass)
 
 __all__ = [
     'QuantizationOptimizationPass', 'QuantizationOptimizationPipeline',
@@ -15,4 +23,11 @@ __all__ = [
     'OperationObserver', 'RuntimeCalibrationPass', 'ParameterQuantizePass',
     'PassiveParameterQuantizePass', 'MishFusionPass', 'QuantAlignmentPass',
     'QuantizeFusionPass', 'QuantizeSimplifyPass', 'SwishFusionPass',
+    'CompiledCalibrationPass', 'compiled_calibration_supported',
+    'ActivationEqualizationPass', 'ChannelwiseSplitPass',
+    'LayerwiseEqualizationPass', 'ExtensionPass', 'GRUSplitPass',
+    'HorizontalLayerSplitPass', 'NCNNFormatGemmPass',
+    'NXPResizeModeChangePass', 'SSDEqualizationPass', 'AdaroundPass',
+    'BiasCorrectionPass', 'LearnedStepSizePass', 'RoundTuningPass',
+    'TrainingBasedPass',
 ]

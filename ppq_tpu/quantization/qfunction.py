@@ -44,9 +44,18 @@ def _broadcast_shape(param: jnp.ndarray, ndim: int, channel_axis: Optional[int])
     return param.reshape(shape)
 
 
+def _use_pallas() -> bool:
+    from ..core.config import PPQ_TPU_CONFIG
+    return PPQ_TPU_CONFIG.USING_PALLAS_KERNEL
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _linear_quant_core(x, scale, offset, quant_min, quant_max,
                        rounding: RoundingPolicy, channel_axis: Optional[int]):
+    if _use_pallas():
+        from ..kernels.quant import pallas_linear_quant
+        return pallas_linear_quant(x, scale, offset, quant_min, quant_max,
+                                   rounding, channel_axis)
     s = _broadcast_shape(scale, x.ndim, channel_axis)
     o_r = jnp.round(_broadcast_shape(offset, x.ndim, channel_axis))
     q = round_tensor(x / s, rounding) + o_r
@@ -71,6 +80,12 @@ def _linear_quant_bwd(quant_min, quant_max, rounding, channel_axis,
     dL/doffset= gy * s outside range (asym learnable zero point), 0 inside
     """
     x, scale, offset = residuals
+    if _use_pallas():
+        from ..kernels.quant import pallas_linear_quant_bwd
+        dx, ds, do = pallas_linear_quant_bwd(
+            x, gy, scale, offset, quant_min, quant_max, rounding,
+            channel_axis)
+        return dx, ds.reshape(scale.shape), do.reshape(offset.shape)
     s = _broadcast_shape(scale, x.ndim, channel_axis)
     o = _broadcast_shape(offset, x.ndim, channel_axis)
     o_r = jnp.round(o)
