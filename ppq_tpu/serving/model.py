@@ -1,0 +1,292 @@
+"""Llama-class decoder: pure-functional JAX with quantized weights + KV cache.
+
+TPU-native design decisions:
+  * weights live as INT8/INT4 integers + per-output-channel fp scales; the
+    dequant `w_int.astype(bf16) * scale` sits directly before each matmul so
+    XLA fuses it into the MXU operand read — HBM traffic is the int tensor,
+    which is the whole point of weight-only quantization for serving
+    (memory-bandwidth-bound decode).
+  * INT4 packs two nibbles per int8 byte; unpack is a shift/mask fused the
+    same way.
+  * KV cache stores int8 + per-(token, kv-head) scales; quantize-on-write,
+    dequant-on-read fused into the attention matmuls.
+  * activations run bf16; attention logits/softmax in fp32.
+  * all weight tensors carry TP-shardable layouts: qkv/gate/up are
+    column-parallel (shard output dim), o/down row-parallel (shard input
+    dim) — annotated in engine.py via NamedSharding; XLA inserts the psums.
+
+The per-channel weight quantization reuses the framework's TQC machinery
+(quantize_llama_params), so serving consumes the same quant math the PTQ
+pipeline validates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import LlamaConfig
+
+Params = Dict[str, Any]
+
+
+# ============================================================ weight quant ==
+
+def quantize_weight(w: np.ndarray, bits: int) -> Dict[str, np.ndarray]:
+    """Per-output-channel symmetric weight quantization. w: (in, out)."""
+    if bits >= 16:
+        return {'w': jnp.asarray(w, jnp.bfloat16)}
+    qmax = (1 << (bits - 1)) - 1
+    absmax = np.maximum(np.abs(w).max(axis=0), 1e-8)       # (out,)
+    scale = (absmax / qmax).astype(np.float32)
+    q = np.clip(np.round(w / scale), -qmax - 1, qmax).astype(np.int8)
+    if bits == 4:
+        # pack two int4 per byte along the input dim
+        assert q.shape[0] % 2 == 0
+        lo = q[0::2] & 0x0F
+        hi = (q[1::2] & 0x0F) << 4
+        packed = (lo | hi).astype(np.int8)
+        return {'w_packed': jnp.asarray(packed),
+                'scale': jnp.asarray(scale)}
+    return {'w_int': jnp.asarray(q), 'scale': jnp.asarray(scale)}
+
+
+def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """(in//2, out) int8 → (in, out) int8 in [-8, 7]."""
+    lo = (packed << 4) >> 4                    # sign-extend low nibble
+    hi = packed >> 4
+    return jnp.stack([lo, hi], axis=1).reshape(-1, packed.shape[-1])
+
+
+def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """x @ dequant(w); dequant fuses into the matmul operand read."""
+    if 'w' in wq:
+        w = wq['w']
+    elif 'w_int' in wq:
+        w = wq['w_int'].astype(jnp.bfloat16) * wq['scale'].astype(jnp.bfloat16)
+    else:
+        w = (_unpack_int4(wq['w_packed']).astype(jnp.bfloat16)
+             * wq['scale'].astype(jnp.bfloat16))
+    return jnp.dot(x.astype(jnp.bfloat16), w,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# =============================================================== init ======
+
+def init_llama_params(cfg: LlamaConfig, seed: int = 0,
+                      quantized: bool = True) -> Params:
+    """Random-initialized (optionally quantized) parameter pytree."""
+    rng = np.random.RandomState(seed)
+    D, H, KV, Dh, F = (cfg.d_model, cfg.n_heads, cfg.n_kv_heads,
+                       cfg.head_dim, cfg.d_ff)
+    bits = cfg.weight_bits if quantized else 16
+
+    def dense(i, o):
+        w = (rng.randn(i, o) * (1.0 / np.sqrt(i))).astype(np.float32)
+        return quantize_weight(w, bits)
+
+    params: Params = {
+        'embed': jnp.asarray(rng.randn(cfg.vocab_size, D).astype(np.float32)
+                             * 0.02, jnp.bfloat16),
+        'final_norm': jnp.ones((D,), jnp.float32),
+        'lm_head': dense(D, cfg.vocab_size),
+        'layers': [],
+    }
+    for _ in range(cfg.n_layers):
+        params['layers'].append({
+            'attn_norm': jnp.ones((D,), jnp.float32),
+            'mlp_norm': jnp.ones((D,), jnp.float32),
+            'wq': dense(D, H * Dh),
+            'wk': dense(D, KV * Dh),
+            'wv': dense(D, KV * Dh),
+            'wo': dense(H * Dh, D),
+            'w_gate': dense(D, F),
+            'w_up': dense(D, F),
+            'w_down': dense(F, D),
+        })
+    return params
+
+
+def quantize_llama_params(params: Params, cfg: LlamaConfig) -> Params:
+    """PTQ an existing bf16 param tree through the framework's weight-quant
+    math (per-channel symmetric, framework TQC semantics)."""
+    def q(wq):
+        if 'w' not in wq:
+            return wq
+        return quantize_weight(np.asarray(wq['w'], np.float32),
+                               cfg.weight_bits)
+    out = dict(params)
+    out['lm_head'] = q(params['lm_head'])
+    out['layers'] = [{k: (q(v) if isinstance(v, dict) else v)
+                      for k, v in layer.items()}
+                     for layer in params['layers']]
+    return out
+
+
+# ============================================================ components ===
+
+def rms_norm(x, gamma, eps):
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+            * gamma).astype(x.dtype)
+
+
+def rope(x, positions, theta):
+    """x: (B, T, H, Dh); positions: (B, T)."""
+    Dh = x.shape[-1]
+    half = Dh // 2
+    freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    angles = positions[..., None].astype(jnp.float32) * freqs   # (B,T,half)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([
+        x1 * cos - x2 * sin,
+        x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
+
+
+# ======================================================== KV cache (int8) ==
+
+def init_kv_cache(cfg: LlamaConfig, batch: int) -> Dict[str, jnp.ndarray]:
+    KV, Dh, T, L = cfg.n_kv_heads, cfg.head_dim, cfg.max_seq_len, cfg.n_layers
+    if cfg.kv_cache_bits == 8:
+        return {
+            'k': jnp.zeros((L, batch, T, KV, Dh), jnp.int8),
+            'v': jnp.zeros((L, batch, T, KV, Dh), jnp.int8),
+            'k_scale': jnp.zeros((L, batch, T, KV), jnp.float32),
+            'v_scale': jnp.zeros((L, batch, T, KV), jnp.float32),
+        }
+    return {
+        'k': jnp.zeros((L, batch, T, KV, Dh), jnp.bfloat16),
+        'v': jnp.zeros((L, batch, T, KV, Dh), jnp.bfloat16),
+    }
+
+
+def _kv_quant(x):
+    """Per-(token, head) int8 quantization of K or V: (B,T,KV,Dh)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)      # (B,T,KV)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -128, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _kv_dequant(q, scale):
+    return q.astype(jnp.float32) * scale[..., None]
+
+
+# ============================================================== forward ====
+
+def attention(x, layer, cache_k, cache_v, cache_ks, cache_vs,
+              positions, write_pos, cfg: LlamaConfig, causal_mask):
+    """One attention block over an int8 KV cache.
+
+    x: (B, T, D); positions: (B, T) absolute positions of the T new tokens;
+    write_pos: (B,) first cache slot to write. Returns (out, new caches).
+    """
+    B, T, D = x.shape
+    H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+
+    q = qmatmul(x, layer['wq']).reshape(B, T, H, Dh)
+    k = qmatmul(x, layer['wk']).reshape(B, T, KV, Dh)
+    v = qmatmul(x, layer['wv']).reshape(B, T, KV, Dh)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+
+    # ---- write new K/V into the cache (quantize-on-write) ----------------
+    if cfg.kv_cache_bits == 8:
+        k_q, k_s = _kv_quant(k)
+        v_q, v_s = _kv_quant(v)
+    else:
+        k_q, v_q, k_s, v_s = (k.astype(jnp.bfloat16),
+                              v.astype(jnp.bfloat16), None, None)
+
+    def write(cache, new):
+        # per-batch dynamic slice write at write_pos
+        def upd(c, n, p):
+            return jax.lax.dynamic_update_slice(
+                c, n.astype(c.dtype), (p,) + (0,) * (c.ndim - 1))
+        return jax.vmap(upd)(cache, new, write_pos)
+
+    cache_k = write(cache_k, k_q)
+    cache_v = write(cache_v, v_q)
+    if cfg.kv_cache_bits == 8:
+        cache_ks = write(cache_ks, k_s)
+        cache_vs = write(cache_vs, v_s)
+        k_all = _kv_dequant(cache_k, cache_ks)      # (B, S, KV, Dh) fp32
+        v_all = _kv_dequant(cache_v, cache_vs)
+    else:
+        k_all = cache_k.astype(jnp.float32)
+        v_all = cache_v.astype(jnp.float32)
+
+    # ---- GQA attention ---------------------------------------------------
+    S = k_all.shape[1]
+    rep = H // KV
+    k_all = jnp.repeat(k_all, rep, axis=2)          # (B, S, H, Dh)
+    v_all = jnp.repeat(v_all, rep, axis=2)
+    logits = jnp.einsum('bthd,bshd->bhts', q.astype(jnp.float32), k_all)
+    logits = logits / np.sqrt(Dh)
+    logits = jnp.where(causal_mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.einsum('bhts,bshd->bthd', probs, v_all)
+    ctx = ctx.reshape(B, T, H * Dh).astype(x.dtype)
+    out = qmatmul(ctx, layer['wo'])
+    return out, cache_k, cache_v, cache_ks, cache_vs
+
+
+def mlp(x, layer):
+    g = qmatmul(x, layer['w_gate'])
+    u = qmatmul(x, layer['w_up'])
+    return qmatmul(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
+                   layer['w_down'])
+
+
+def forward(params: Params, cache: Dict[str, jnp.ndarray],
+            tokens: jnp.ndarray, positions: jnp.ndarray,
+            write_pos: jnp.ndarray, seq_lens: jnp.ndarray,
+            cfg: LlamaConfig) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """tokens: (B, T) int32; positions: (B, T); write_pos/seq_lens: (B,).
+    Returns (logits (B, T, vocab), updated cache)."""
+    B, T = tokens.shape
+    S = cache['k'].shape[2]
+    x = params['embed'][tokens]
+
+    # causal mask over cache slots: token t (absolute pos positions[b,t])
+    # attends to cache slots [0, positions[b,t]]
+    slot_ids = jnp.arange(S)[None, None, None, :]            # (1,1,1,S)
+    tok_pos = positions[:, None, :, None]                    # (B,1,T,1)
+    causal = slot_ids <= tok_pos                             # (B,1,T,S)
+
+    new_cache = dict(cache)
+    ks = new_cache.get('k_scale')
+    vs = new_cache.get('v_scale')
+    k_list, v_list, ks_list, vs_list = [], [], [], []
+    for li, layer in enumerate(params['layers']):
+        h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
+        attn_out, ck, cv, cks, cvs = attention(
+            h, layer, cache['k'][li], cache['v'][li],
+            ks[li] if ks is not None else None,
+            vs[li] if vs is not None else None,
+            positions, write_pos, cfg, causal)
+        k_list.append(ck)
+        v_list.append(cv)
+        if cks is not None:
+            ks_list.append(cks)
+            vs_list.append(cvs)
+        x = x + attn_out
+        h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
+        x = x + mlp(h, layer)
+
+    new_cache['k'] = jnp.stack(k_list)
+    new_cache['v'] = jnp.stack(v_list)
+    if ks_list:
+        new_cache['k_scale'] = jnp.stack(ks_list)
+        new_cache['v_scale'] = jnp.stack(vs_list)
+
+    x = rms_norm(x, params['final_norm'], cfg.rms_eps)
+    logits = qmatmul(x, params['lm_head'])
+    return logits.astype(jnp.float32), new_cache

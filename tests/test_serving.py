@@ -1,0 +1,145 @@
+"""Serving engine tests: quantized decode correctness, KV-cache consistency,
+continuous batching, TP sharding on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppq_tpu.serving import (LlamaConfig, ServingEngine, init_llama_params,
+                             quantize_llama_params)
+from ppq_tpu.serving.engine import Request
+from ppq_tpu.serving.model import forward, init_kv_cache, qmatmul, quantize_weight
+
+
+class TestQuantizedWeights:
+    def test_int8_qmatmul_close_to_fp(self):
+        rng = np.random.RandomState(0)
+        w = rng.randn(64, 32).astype(np.float32) * 0.1
+        x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+        ref = np.asarray(x) @ w
+        got = np.asarray(qmatmul(x, quantize_weight(w, 8)), np.float32)
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 0.05, rel
+
+    def test_int4_pack_roundtrip(self):
+        rng = np.random.RandomState(1)
+        w = rng.randn(64, 16).astype(np.float32) * 0.05
+        wq = quantize_weight(w, 4)
+        assert wq['w_packed'].shape == (32, 16)
+        from ppq_tpu.serving.model import _unpack_int4
+        unpacked = np.asarray(_unpack_int4(wq['w_packed']))
+        assert unpacked.shape == (64, 16)
+        assert unpacked.min() >= -8 and unpacked.max() <= 7
+
+    def test_int4_matmul_reasonable(self):
+        rng = np.random.RandomState(2)
+        w = rng.randn(64, 32).astype(np.float32) * 0.1
+        x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+        ref = np.asarray(x) @ w
+        got = np.asarray(qmatmul(x, quantize_weight(w, 4)), np.float32)
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 0.35, rel
+
+
+class TestForward:
+    def test_prefill_decode_consistency(self):
+        """Decoding token-by-token must match a single prefill pass."""
+        cfg = LlamaConfig.tiny()
+        cfg.kv_cache_bits = 16  # exact cache for the consistency check
+        params = init_llama_params(cfg, seed=3, quantized=False)
+        prompt = np.array([[5, 17, 31, 2, 9, 11, 4, 8]], np.int32)
+        T = prompt.shape[1]
+
+        cache = init_kv_cache(cfg, 1)
+        logits_full, _ = forward(params, cache, jnp.asarray(prompt),
+                                 jnp.arange(T)[None, :],
+                                 jnp.zeros(1, jnp.int32),
+                                 jnp.array([T]), cfg)
+
+        cache = init_kv_cache(cfg, 1)
+        step_logits = []
+        for t in range(T):
+            lg, cache = forward(params, cache, jnp.asarray(prompt[:, t:t+1]),
+                                jnp.array([[t]]), jnp.array([t]),
+                                jnp.array([t + 1]), cfg)
+            step_logits.append(np.asarray(lg[0, 0]))
+        np.testing.assert_allclose(np.stack(step_logits),
+                                   np.asarray(logits_full[0]),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_int8_kv_cache_close_to_fp(self):
+        cfg8 = LlamaConfig.tiny()
+        cfg16 = LlamaConfig.tiny()
+        cfg8.kv_cache_bits = 8
+        cfg16.kv_cache_bits = 16
+        params = init_llama_params(cfg8, seed=4, quantized=False)
+        prompt = np.array([[3, 7, 1, 9, 12, 2]], np.int32)
+        T = prompt.shape[1]
+
+        outs = {}
+        for cfg in (cfg8, cfg16):
+            cache = init_kv_cache(cfg, 1)
+            lg, _ = forward(params, cache, jnp.asarray(prompt),
+                            jnp.arange(T)[None, :], jnp.zeros(1, jnp.int32),
+                            jnp.array([T]), cfg)
+            outs[cfg.kv_cache_bits] = np.asarray(lg)
+        rel = (np.abs(outs[8] - outs[16]).max()
+               / max(np.abs(outs[16]).max(), 1e-6))
+        assert rel < 0.1, rel
+
+
+class TestEngine:
+    def test_generation_deterministic_vs_batchsize(self):
+        """Continuous batching must give the same tokens as solo runs."""
+        cfg = LlamaConfig.tiny()
+        params = init_llama_params(cfg, seed=5)
+        eng = ServingEngine(cfg, params)
+        reqs = [Request(i, [1 + i, 2 + i, 3], max_new_tokens=6)
+                for i in range(3)]
+        eng.run(reqs)
+        batch_tokens = [r.generated for r in reqs]
+
+        solo_tokens = []
+        for i in range(3):
+            eng2 = ServingEngine(cfg, params)
+            r = Request(i, [1 + i, 2 + i, 3], max_new_tokens=6)
+            eng2.run([r])
+            solo_tokens.append(r.generated)
+        assert batch_tokens == solo_tokens
+
+    def test_more_requests_than_slots(self):
+        cfg = LlamaConfig.tiny()
+        cfg.max_batch = 2
+        params = init_llama_params(cfg, seed=6)
+        eng = ServingEngine(cfg, params)
+        reqs = [Request(i, [i + 1, 5], max_new_tokens=4) for i in range(5)]
+        eng.run(reqs)
+        assert all(r.done for r in reqs)
+        assert all(len(r.generated) == 4 for r in reqs)
+
+    def test_tp_sharded_engine_matches_single(self):
+        n = min(2, len(jax.devices()))   # tp ≤ n_kv_heads of the tiny config
+        if n < 2:
+            pytest.skip('needs multiple devices')
+        from jax.sharding import Mesh
+        cfg = LlamaConfig.tiny()
+        params = init_llama_params(cfg, seed=7)
+        devices = np.array(jax.devices()[:n]).reshape(1, n)
+        mesh = Mesh(devices, ('dp', 'tp'))
+
+        single = ServingEngine(cfg, params)
+        r1 = Request(0, [2, 4, 6], max_new_tokens=5)
+        single.run([r1])
+
+        sharded = ServingEngine(cfg, params, mesh=mesh)
+        r2 = Request(0, [2, 4, 6], max_new_tokens=5)
+        sharded.run([r2])
+        assert r1.generated == r2.generated
+
+    def test_benchmark_smoke(self):
+        cfg = LlamaConfig.tiny()
+        params = init_llama_params(cfg, seed=8)
+        eng = ServingEngine(cfg, params)
+        res = eng.benchmark_decode(steps=3, warmup=1)
+        assert res['tokens_per_sec'] > 0
