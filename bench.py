@@ -48,11 +48,25 @@ def main():
     np.asarray(r)
     eager_ips = batch * eager_iters / (time.perf_counter() - t0)
 
+    # --- LLM INT8 serving decode (north-star metric) -----------------------
+    from ppq_tpu.serving import LlamaConfig, ServingEngine, init_llama_params
+    cfg = LlamaConfig(d_model=2048, n_layers=16, n_heads=16, n_kv_heads=8,
+                      d_ff=5632, vocab_size=32000, max_seq_len=1024,
+                      max_batch=8, weight_bits=8)
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=0))
+    dec = eng.benchmark_decode(steps=30, warmup=3)
+
     print(json.dumps({
         'metric': 'resnet18_int8_sim_throughput',
         'value': round(compiled_ips, 2),
         'unit': 'images/sec',
         'vs_baseline': round(compiled_ips / eager_ips, 2),
+        'extra': {
+            'llm_1b_int8_decode_tokens_per_sec_chip':
+                round(dec['tokens_per_sec'], 1),
+            'llm_decode_ms_per_step': round(dec['ms_per_step'], 3),
+            'eager_interpreter_images_per_sec': round(eager_ips, 2),
+        },
     }))
 
 
