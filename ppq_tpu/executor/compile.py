@@ -47,6 +47,100 @@ from .ops.default import ExecContext
 UNCOMPILABLE_TYPES = {'NonZero', 'NonMaxSuppression'}
 
 
+# ---------------------------------------------------------------------------
+# Host (numpy) evaluation of SOI-region ops. Inside a jit trace every jax
+# primitive is STAGED — even on concrete operands — so shape-chain ops must
+# run in numpy to keep their results concrete for the consumers (Reshape /
+# Slice / Resize need static shapes). This is the compile-time realization
+# of the scheduler's SOI split: the SOI subprogram executes at trace time
+# and constant-folds into the XLA program.
+def _soi_eval(op, vals):
+    t = op.type
+    attrs = op.attributes
+    # Shape/Size read only static metadata — valid even on traced inputs.
+    if t == 'Shape':
+        start = int(attrs.get('start', 0))
+        end = attrs.get('end')
+        return np.asarray(list(vals[0].shape)[start: None if end is None
+                                              else int(end)], np.int64)
+    if t == 'Size':
+        return np.asarray(int(np.prod(vals[0].shape)), np.int64)
+    a = [np.asarray(v) for v in vals]
+    if t == 'Gather':
+        return np.take(a[0], a[1].astype(np.int64),
+                       axis=int(attrs.get('axis', 0)))
+    if t == 'GatherElements':
+        return np.take_along_axis(a[0], a[1].astype(np.int64),
+                                  axis=int(attrs.get('axis', 0)))
+    if t == 'Unsqueeze':
+        axes = (a[1].reshape(-1).tolist() if len(a) > 1
+                else list(attrs.get('axes', [0])))
+        out = a[0]
+        for ax in sorted(int(x) for x in axes):
+            out = np.expand_dims(out, ax)
+        return out
+    if t == 'Squeeze':
+        axes = (a[1].reshape(-1).tolist() if len(a) > 1
+                else attrs.get('axes'))
+        return (np.squeeze(a[0]) if axes is None
+                else np.squeeze(a[0], axis=tuple(int(x) for x in axes)))
+    if t == 'Concat':
+        xs = [x for x in a if x.size > 0] or a
+        return np.concatenate([np.atleast_1d(x) for x in xs],
+                              axis=int(attrs.get('axis', 0)))
+    if t == 'Slice':
+        starts = a[1].reshape(-1).astype(np.int64)
+        ends = a[2].reshape(-1).astype(np.int64)
+        axes = (a[3].reshape(-1).astype(np.int64) if len(a) > 3
+                else np.arange(len(starts)))
+        steps = (a[4].reshape(-1).astype(np.int64) if len(a) > 4
+                 else np.ones(len(starts), np.int64))
+        sl = [slice(None)] * a[0].ndim
+        for s, e, ax, st in zip(starts, ends, axes, steps):
+            sl[int(ax)] = slice(int(s), int(e), int(st))
+        return a[0][tuple(sl)]
+    if t == 'Cast':
+        from ..core import DataType
+        return a[0].astype(DataType(int(attrs['to'])).numpy_dtype)
+    if t in ('Add', 'Sub', 'Mul', 'Div', 'Mod'):
+        fn = {'Add': np.add, 'Sub': np.subtract, 'Mul': np.multiply,
+              'Div': lambda x, y: (x // y if np.issubdtype(x.dtype, np.integer)
+                                   else x / y),
+              'Mod': np.mod}[t]
+        return fn(a[0], a[1])
+    if t in ('ReduceProd', 'ReduceSum', 'ReduceMax', 'ReduceMin'):
+        fn = {'ReduceProd': np.prod, 'ReduceSum': np.sum,
+              'ReduceMax': np.max, 'ReduceMin': np.min}[t]
+        axes = attrs.get('axes')
+        axes = tuple(int(x) for x in axes) if axes is not None else None
+        return fn(a[0], axis=axes,
+                  keepdims=bool(attrs.get('keepdims', 1)))
+    if t == 'ConstantOfShape':
+        value = np.asarray(attrs.get('value', np.zeros(1, np.float32)))
+        return np.full([int(v) for v in a[0].reshape(-1)],
+                       value.reshape(-1)[0], dtype=value.dtype)
+    if t == 'Range':
+        return np.arange(a[0].reshape(-1)[0], a[1].reshape(-1)[0],
+                         a[2].reshape(-1)[0])
+    if t == 'Where':
+        return np.where(a[0], a[1], a[2])
+    if t == 'Reshape':
+        return a[0].reshape([int(v) for v in a[1].reshape(-1)])
+    if t == 'Transpose':
+        return np.transpose(a[0], attrs.get('perm'))
+    if t == 'Expand':
+        return np.broadcast_to(a[0], [int(v) for v in a[1].reshape(-1)])
+    if t == 'Identity':
+        return a[0]
+    if t == 'Equal':
+        return np.equal(a[0], a[1])
+    if t == 'Size':
+        return np.asarray(int(np.prod(a[0].shape)), np.int64)
+    raise NotImplementedError(
+        f'SOI op {op.type} ({op.name}) has no host (numpy) evaluation — '
+        f'add it to _soi_eval or dispatch it off the compiled region.')
+
+
 def compilable(graph: BaseGraph) -> Tuple[bool, List[str]]:
     bad = [op.name for op in graph.operations.values()
            if op.type in UNCOMPILABLE_TYPES]
@@ -105,16 +199,25 @@ class CompiledGraph:
     def init_params(self) -> Dict[str, jnp.ndarray]:
         """Parameter pytree (weights stay runtime args → shardable/donatable,
         not burned into the program)."""
+        from ..ir import soi_input_indices
+        # params consumed at SOI-typed input slots (Reshape shapes, Resize
+        # scales, Slice starts, …) must stay concrete at trace time — they
+        # are burned into the program rather than passed as traced args.
+        soi_vars = set()
+        for op in self._order:
+            for idx in soi_input_indices(op):
+                if idx < len(op.inputs):
+                    soi_vars.add(op.inputs[idx].name)
         out = {}
         for name, var in self.graph.variables.items():
             if self._param_scope is not None and name not in self._param_scope:
+                continue
+            if name in soi_vars:
                 continue
             if var.is_parameter and var.has_value:
                 val = np.asarray(var.value)
                 if np.issubdtype(val.dtype, np.floating):
                     out[name] = jnp.asarray(val, jnp.float32)
-                else:
-                    out[name] = jnp.asarray(val)
         return out
 
     def init_qparams(self) -> Dict[str, Dict[str, jnp.ndarray]]:
@@ -254,8 +357,14 @@ class CompiledGraph:
                                                stat_kind, hist_scales)
                 in_vals = [self._apply_quant(v, c, qparams)
                            for v, c in zip(in_vals, cfgs)]
-            fn = resolve_forward(op.platform, op.type)
-            outs = fn(op, in_vals, self._ctx)
+            from ..core import TargetPlatform as _TP
+            if op.platform == _TP.SOI or op.type in ('Shape', 'Size'):
+                # shape/index subprogram: evaluate on host at trace time so
+                # results stay concrete (see _soi_eval docstring)
+                outs = _soi_eval(op, in_vals)
+            else:
+                fn = resolve_forward(op.platform, op.type)
+                outs = fn(op, in_vals, self._ctx)
             if not isinstance(outs, (tuple, list)):
                 outs = [outs]
             if isinstance(op, QuantableOperation):

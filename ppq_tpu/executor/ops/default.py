@@ -1019,10 +1019,22 @@ def Attention_forward(op, values, ctx=None):
 
 
 def MultiHeadAttention_forward(op, values, ctx=None):
-    """(reference default.py:586) q, k, v already projected per-tensor +
-    per-head count attribute."""
-    q, k, v = (jnp.asarray(x) for x in values[:3])
+    """(reference default.py:586) two layouts:
+    * 3-4 inputs: q, k, v already projected (+ optional mask);
+    * 7/11 inputs: q, k, v + projection weights wq wk wv wo
+      (+ biases bq bk bv bo) — the torch MultiheadAttention export layout.
+    """
     num_heads = int(attr(op, 'num_heads', 1))
+    if len(values) >= 7:
+        xq, xk, xv, wq, wk, wv, wo = (jnp.asarray(x) for x in values[:7])
+        def b(i):
+            return jnp.asarray(values[i]) if _present(values, i) else 0.0
+        q = jnp.matmul(xq, wq) + b(7)
+        k = jnp.matmul(xk, wk) + b(8)
+        v = jnp.matmul(xv, wv) + b(9)
+        out = _mha_core(q, k, v, num_heads)
+        return jnp.matmul(out, wo) + b(10)
+    q, k, v = (jnp.asarray(x) for x in values[:3])
     mask = jnp.asarray(values[3]) if _present(values, 3) else None
     return _mha_core(q, k, v, num_heads, mask)
 

