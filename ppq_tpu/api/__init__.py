@@ -1,5 +1,6 @@
 from .interface import (dispatch_graph, export_ppq_graph, format_graph,
-                        load_graph, load_native_graph, load_onnx_graph, manop,
+                        load_caffe_graph, load_graph, load_native_graph,
+                        load_onnx_graph, manop, quantize_caffe_model,
                         quantize_graph, quantize_native_model,
                         quantize_onnx_model)
 from .setting import (QuantizationSetting, QuantizationSettingFactory)
@@ -7,6 +8,7 @@ from .setting import (QuantizationSetting, QuantizationSettingFactory)
 __all__ = [
     'dispatch_graph', 'export_ppq_graph', 'format_graph', 'load_graph',
     'load_native_graph', 'load_onnx_graph', 'manop', 'quantize_graph',
-    'quantize_native_model', 'quantize_onnx_model', 'QuantizationSetting',
+    'quantize_native_model', 'quantize_onnx_model', 'quantize_caffe_model',
+    'load_caffe_graph', 'QuantizationSetting',
     'QuantizationSettingFactory',
 ]

@@ -22,7 +22,8 @@ from .setting import QuantizationSetting, QuantizationSettingFactory
 __all__ = [
     'load_onnx_graph', 'load_native_graph', 'load_graph', 'format_graph',
     'dispatch_graph', 'quantize_onnx_model', 'quantize_graph',
-    'quantize_native_model', 'export_ppq_graph', 'manop',
+    'quantize_native_model', 'quantize_caffe_model', 'load_caffe_graph',
+    'export_ppq_graph', 'manop',
     'QuantizationSetting', 'QuantizationSettingFactory',
 ]
 
@@ -139,6 +140,19 @@ def quantize_native_model(native_import_file: str, calib_dataloader: Iterable,
                           **kwargs) -> BaseGraph:
     """(reference api/interface.py:453)"""
     graph = load_native_graph(native_import_file)
+    return quantize_graph(graph, calib_dataloader, **kwargs)
+
+
+def load_caffe_graph(prototxt_path: str, caffemodel_path=None) -> BaseGraph:
+    """(reference api/interface.py:28 load_caffe_graph)"""
+    from ..frontends.caffe import load_caffe_graph as _load
+    return _load(prototxt_path, caffemodel_path)
+
+
+def quantize_caffe_model(caffe_proto_file: str, caffe_model_file: str,
+                         calib_dataloader: Iterable, **kwargs) -> BaseGraph:
+    """(reference api/interface.py:349)"""
+    graph = load_caffe_graph(caffe_proto_file, caffe_model_file)
     return quantize_graph(graph, calib_dataloader, **kwargs)
 
 

@@ -12,6 +12,15 @@ PARSER_COLLECTION = {
     'native': NativeImporter,
 }
 
+
+def _register_caffe():
+    from .caffe import CaffeExporter, CaffeParser
+    PARSER_COLLECTION['caffe'] = CaffeParser
+    EXPORTER_COLLECTION.setdefault(TargetPlatform.SNPE_INT8, CaffeExporter)
+
+
+
+
 EXPORTER_COLLECTION = {
     TargetPlatform.ONNX: OnnxExporter,
     TargetPlatform.FP32: OnnxExporter,
@@ -52,5 +61,6 @@ def _register_default_exporters():
 
 try:
     _register_default_exporters()
+    _register_caffe()
 except ImportError:  # partial builds during bring-up
     pass

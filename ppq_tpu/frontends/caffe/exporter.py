@@ -1,0 +1,185 @@
+"""BaseGraph → Caffe exporter (redesign of ppq/parser/caffe_exporter.py:561
++ caffe/caffe_export_utils.py:22 op exporters).
+
+Writes <file>.prototxt (text NetParameter) + <file>.caffemodel (binary
+weights). Quantized graphs additionally emit a qparams JSON sidecar via
+config_path (matching the PPLDSP/SNPE caffe-exporter flavors which ship the
+quant table next to the model).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from google.protobuf import text_format
+
+from ...core import QuantizationStates, ppq_warning
+from ...ir import BaseGraph, GraphExporter, Operation, QuantableOperation
+from . import caffe_pb2 as pb
+
+
+def _set_blob(blob: 'pb.BlobProto', value: np.ndarray):
+    value = np.asarray(value, np.float32)
+    blob.shape.dim.extend(int(d) for d in value.shape)
+    blob.data.extend(float(v) for v in value.reshape(-1))
+
+
+class CaffeExporter(GraphExporter):
+    def export(self, file_path: str, graph: BaseGraph,
+               config_path: Optional[str] = None, **kwargs):
+        base, ext = os.path.splitext(file_path)
+        proto_path = file_path if ext == '.prototxt' else base + '.prototxt'
+        model_path = base + '.caffemodel'
+
+        net = pb.NetParameter()
+        net.name = graph.name
+        for name, var in graph.inputs.items():
+            net.input.append(name)
+            shp = net.input_shape.add()
+            shp.dim.extend(int(d) for d in (var.shape or [1]))
+
+        for op in graph.topological_sort():
+            self._export_op(net, op)
+
+        with open(proto_path, 'w') as f:
+            f.write(text_format.MessageToString(net))
+        with open(model_path, 'wb') as f:
+            f.write(net.SerializeToString())
+        if config_path:
+            from ..onnx.exporter import dump_quant_config_json
+            dump_quant_config_json(graph, config_path)
+
+    # ------------------------------------------------------------------ ops
+    def _export_op(self, net, op: Operation):
+        layer = net.layer.add()
+        layer.name = op.name
+        layer.bottom.extend(v.name for v in op.inputs if not v.is_parameter)
+        layer.top.extend(v.name for v in op.outputs)
+        params = [v for v in op.inputs if v.is_parameter and v.has_value]
+        t = op.type
+
+        if t in ('Conv', 'ConvTranspose'):
+            layer.type = 'Convolution' if t == 'Conv' else 'Deconvolution'
+            p = layer.convolution_param
+            w = np.asarray(params[0].value)
+            p.num_output = int(w.shape[0] if t == 'Conv' else w.shape[1])
+            ks = op.attributes.get('kernel_shape', list(w.shape[2:]))
+            p.kernel_size.append(int(ks[0]))
+            strides = op.attributes.get('strides', [1, 1])
+            p.stride.append(int(strides[0]))
+            pads = op.attributes.get('pads', [0, 0, 0, 0])
+            p.pad.append(int(pads[0]))
+            dil = op.attributes.get('dilations', [1, 1])
+            p.dilation.append(int(dil[0]))
+            p.group = int(op.attributes.get('group', 1))
+            p.bias_term = len(params) > 1
+            for pv in params:
+                _set_blob(layer.blobs.add(), pv.value)
+            return
+
+        if t == 'Gemm':
+            layer.type = 'InnerProduct'
+            p = layer.inner_product_param
+            w = np.asarray(params[0].value)
+            trans_b = int(op.attributes.get('transB', 0))
+            if not trans_b:
+                w = np.ascontiguousarray(w.T)   # caffe stores (out, in)
+            p.num_output = int(w.shape[0])
+            p.bias_term = len(params) > 1
+            _set_blob(layer.blobs.add(), w)
+            if len(params) > 1:
+                _set_blob(layer.blobs.add(), params[1].value)
+            return
+
+        if t in ('MaxPool', 'AveragePool', 'GlobalMaxPool',
+                 'GlobalAveragePool'):
+            layer.type = 'Pooling'
+            p = layer.pooling_param
+            p.pool = p.MAX if 'Max' in t else p.AVE
+            if t.startswith('Global'):
+                p.global_pooling = True
+            else:
+                ks = op.attributes.get('kernel_shape', [2, 2])
+                p.kernel_size = int(ks[0])
+                p.stride = int(op.attributes.get('strides', [1, 1])[0])
+                p.pad = int(op.attributes.get('pads', [0, 0, 0, 0])[0])
+            return
+
+        if t == 'Relu':
+            layer.type = 'ReLU'
+            return
+        if t == 'LeakyRelu':
+            layer.type = 'ReLU'
+            layer.relu_param.negative_slope = float(
+                op.attributes.get('alpha', 0.01))
+            return
+        if t == 'BatchNormalization':
+            layer.type = 'BatchNorm'
+            layer.batch_norm_param.eps = float(
+                op.attributes.get('epsilon', 1e-5))
+            gamma, beta, mean, var = (np.asarray(p.value) for p in params[:4])
+            _set_blob(layer.blobs.add(), mean)
+            _set_blob(layer.blobs.add(), var)
+            _set_blob(layer.blobs.add(), np.asarray([1.0]))
+            # gamma/beta ride in a following Scale layer
+            scale = net.layer.add()
+            scale.name = f'{op.name}_scale'
+            scale.type = 'Scale'
+            scale.bottom.append(op.outputs[0].name)
+            scale.top.append(op.outputs[0].name)   # in-place, caffe idiom
+            scale.scale_param.bias_term = True
+            _set_blob(scale.blobs.add(), gamma)
+            _set_blob(scale.blobs.add(), beta)
+            return
+        if t in ('Add', 'Mul', 'Max') and not params:
+            layer.type = 'Eltwise'
+            layer.eltwise_param.operation = {
+                'Mul': 0, 'Add': 1, 'Max': 2}[t]
+            return
+        if t == 'Concat':
+            layer.type = 'Concat'
+            layer.concat_param.axis = int(op.attributes.get('axis', 1))
+            return
+        if t == 'Softmax':
+            layer.type = 'Softmax'
+            layer.softmax_param.axis = int(op.attributes.get('axis', 1))
+            return
+        if t == 'Flatten':
+            layer.type = 'Flatten'
+            layer.flatten_param.axis = int(op.attributes.get('axis', 1))
+            return
+        if t == 'Transpose':
+            layer.type = 'Permute'
+            layer.permute_param.order.extend(
+                int(x) for x in op.attributes.get('perm', []))
+            return
+        if t == 'Reshape':
+            layer.type = 'Reshape'
+            shape_var = next((v for v in op.inputs if v.is_parameter), None)
+            if shape_var is not None and shape_var.has_value:
+                layer.reshape_param.shape.dim.extend(
+                    int(d) for d in np.asarray(shape_var.value).reshape(-1))
+            return
+        if t in ('Sigmoid', 'Tanh', 'Abs', 'Dropout'):
+            layer.type = {'Sigmoid': 'Sigmoid', 'Tanh': 'TanH',
+                          'Abs': 'AbsVal', 'Dropout': 'Dropout'}[t]
+            return
+        if t == 'Resize':
+            layer.type = 'Upsample'
+            scales_var = next(
+                (v for v in op.inputs[2:3] if v.is_parameter), None)
+            zoom = 2
+            if scales_var is not None and scales_var.has_value and \
+                    np.asarray(scales_var.value).size >= 4:
+                zoom = int(np.asarray(scales_var.value).reshape(-1)[2])
+            layer.upsample_param.scale = zoom
+            return
+
+        ppq_warning(f'Caffe exporter: op type {t!r} has no native caffe '
+                    f'layer; exported with type={t!r} (custom layer).')
+        layer.type = t
+        for pv in params:
+            _set_blob(layer.blobs.add(), pv.value)

@@ -1,3 +1,4 @@
+from .deploy import GraphDeviceSwitcher, RunnableGraph, TrainableGraph
 from .graph import (BaseGraph, GraphBuilder, GraphExporter, Operation, Opset,
                     Variable)
 from .morph import (GraphDecomposer, GraphFormatter, GraphMerger,

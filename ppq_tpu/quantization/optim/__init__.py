@@ -8,6 +8,7 @@ from .fcalibration import (CompiledCalibrationPass,
 from .parameters import ParameterQuantizePass, PassiveParameterQuantizePass
 from .equalization import (ActivationEqualizationPass, ChannelwiseSplitPass,
                            LayerwiseEqualizationPass)
+from .experimental import LearningToCalibPass, MatrixFactorizationPass
 from .extension import ExtensionPass
 from .morph import (GRUSplitPass, HorizontalLayerSplitPass,
                     NCNNFormatGemmPass, NXPResizeModeChangePass)
@@ -29,5 +30,5 @@ __all__ = [
     'HorizontalLayerSplitPass', 'NCNNFormatGemmPass',
     'NXPResizeModeChangePass', 'SSDEqualizationPass', 'AdaroundPass',
     'BiasCorrectionPass', 'LearnedStepSizePass', 'RoundTuningPass',
-    'TrainingBasedPass',
+    'TrainingBasedPass', 'LearningToCalibPass', 'MatrixFactorizationPass',
 ]

@@ -1,0 +1,126 @@
+"""Caffe frontend round-trip tests (reference: ppq/parser/caffe_parser.py
+coverage via system tests)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ppq_tpu import TargetPlatform, TPUExecutor, quantize_graph
+from ppq_tpu.frontends.caffe import (CaffeExporter, CaffeParser,
+                                     load_caffe_graph)
+from ppq_tpu.quantization.measure import torch_snr_error
+
+PROTOTXT = """
+name: "lenet_like"
+input: "data"
+input_shape { dim: 1 dim: 1 dim: 16 dim: 16 }
+layer {
+  name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 8 kernel_size: 3 pad: 1 stride: 1 }
+}
+layer { name: "relu1" type: "ReLU" bottom: "conv1" top: "conv1" }
+layer {
+  name: "pool1" type: "Pooling" bottom: "conv1" top: "pool1"
+  pooling_param { pool: MAX kernel_size: 2 stride: 2 }
+}
+layer {
+  name: "conv2" type: "Convolution" bottom: "pool1" top: "conv2"
+  convolution_param { num_output: 8 kernel_size: 3 pad: 1 }
+}
+layer { name: "relu2" type: "ReLU" bottom: "conv2" top: "conv2" }
+layer {
+  name: "sum" type: "Eltwise" bottom: "conv2" bottom: "pool1" top: "sum"
+  eltwise_param { operation: SUM }
+}
+layer {
+  name: "gpool" type: "Pooling" bottom: "sum" top: "gpool"
+  pooling_param { pool: AVE global_pooling: true }
+}
+layer { name: "flat" type: "Flatten" bottom: "gpool" top: "flat" }
+layer {
+  name: "fc" type: "InnerProduct" bottom: "flat" top: "fc"
+  inner_product_param { num_output: 10 }
+}
+layer { name: "prob" type: "Softmax" bottom: "fc" top: "prob" }
+"""
+
+
+@pytest.fixture(scope='module')
+def caffe_files(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp('caffe')
+    proto = tmp / 'net.prototxt'
+    proto.write_text(PROTOTXT)
+    # build a weight net with random blobs via the pb2 schema
+    from ppq_tpu.frontends.caffe import caffe_pb2 as pb
+    from google.protobuf import text_format
+    net = pb.NetParameter()
+    text_format.Merge(PROTOTXT, net)
+    rng = np.random.RandomState(0)
+    for layer in net.layer:
+        if layer.type == 'Convolution':
+            co = layer.convolution_param.num_output
+            ci = 1 if layer.name == 'conv1' else 8
+            k = layer.convolution_param.kernel_size[0]
+            w = layer.blobs.add()
+            val = rng.randn(co, ci, k, k).astype(np.float32) * 0.3
+            w.shape.dim.extend(val.shape)
+            w.data.extend(val.reshape(-1))
+            b = layer.blobs.add()
+            bv = rng.randn(co).astype(np.float32) * 0.05
+            b.shape.dim.extend(bv.shape)
+            b.data.extend(bv)
+        elif layer.type == 'InnerProduct':
+            w = layer.blobs.add()
+            val = rng.randn(10, 8).astype(np.float32) * 0.3
+            w.shape.dim.extend(val.shape)
+            w.data.extend(val.reshape(-1))
+            b = layer.blobs.add()
+            bv = rng.randn(10).astype(np.float32) * 0.05
+            b.shape.dim.extend(bv.shape)
+            b.data.extend(bv)
+    model = tmp / 'net.caffemodel'
+    model.write_bytes(net.SerializeToString())
+    return str(proto), str(model), tmp
+
+
+def test_parse_and_execute(caffe_files):
+    proto, model, _ = caffe_files
+    g = load_caffe_graph(proto, model)
+    assert 'data' in g.inputs and len(g.outputs) == 1
+    types = {op.type for op in g.operations.values()}
+    assert {'Conv', 'Relu', 'MaxPool', 'Gemm', 'Softmax'} <= types
+    x = np.random.RandomState(1).randn(1, 1, 16, 16).astype(np.float32)
+    out = np.asarray(TPUExecutor(g).forward(x)[0])
+    assert out.shape == (1, 10)
+    np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-4)  # softmax
+
+
+def test_caffe_quantize_e2e(caffe_files):
+    proto, model, _ = caffe_files
+    g = load_caffe_graph(proto, model)
+    rng = np.random.RandomState(2)
+    loader = [rng.randn(1, 1, 16, 16).astype(np.float32) for _ in range(4)]
+    ref = np.asarray(TPUExecutor(load_caffe_graph(proto, model))
+                     .forward(loader[0])[0])
+    quantize_graph(g, loader, calib_steps=4,
+                   platform=TargetPlatform.TPU_INT8, verbose=False)
+    q = np.asarray(TPUExecutor(g).forward(loader[0])[0])
+    snr = float(torch_snr_error(q.reshape(1, -1), ref.reshape(1, -1)))
+    assert snr < 0.05, snr
+
+
+def test_caffe_export_roundtrip(caffe_files):
+    proto, model, tmp = caffe_files
+    g = load_caffe_graph(proto, model)
+    x = np.random.RandomState(3).randn(1, 1, 16, 16).astype(np.float32)
+    ref = np.asarray(TPUExecutor(g).forward(x)[0])
+
+    out_proto = str(tmp / 'exported.prototxt')
+    CaffeExporter().export(out_proto, g)
+    assert os.path.exists(out_proto)
+    assert os.path.exists(str(tmp / 'exported.caffemodel'))
+
+    re = load_caffe_graph(out_proto, str(tmp / 'exported.caffemodel'))
+    out = np.asarray(TPUExecutor(re).forward(x)[0])
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
