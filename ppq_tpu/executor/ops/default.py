@@ -1114,6 +1114,78 @@ def DequantizeLinear_forward(op, values, ctx=None):
     return (x - zp) * scale
 
 
+# ---------------------------------------------------- vendor / alias ops ---
+
+def AdaptiveAvgPool2d_forward(op, values, ctx=None):
+    """torch export alias (reference default.py): average-pool to a fixed
+    output size."""
+    x = jnp.asarray(values[0])
+    out_h, out_w = [int(v) for v in np.atleast_1d(
+        attr(op, 'output_size', _np(values[1]) if _present(values, 1)
+             else [1, 1]))][:2]
+    n, c, h, w = x.shape
+    if (h % out_h == 0) and (w % out_w == 0):
+        kh, kw = h // out_h, w // out_w
+        return jnp.mean(x.reshape(n, c, out_h, kh, out_w, kw), axis=(3, 5))
+    # general case: interpolate bin edges
+    ys = [slice((i * h) // out_h, max(((i + 1) * h + out_h - 1) // out_h,
+                                      (i * h) // out_h + 1))
+          for i in range(out_h)]
+    xs = [slice((j * w) // out_w, max(((j + 1) * w + out_w - 1) // out_w,
+                                      (j * w) // out_w + 1))
+          for j in range(out_w)]
+    rows = [jnp.stack([jnp.mean(x[:, :, sy, sx], axis=(2, 3))
+                       for sx in xs], axis=-1) for sy in ys]
+    return jnp.stack(rows, axis=-2)
+
+
+def ChannelShuffle_forward(op, values, ctx=None):
+    x = jnp.asarray(values[0])
+    g = int(attr(op, 'group', attr(op, 'groups', 1)))
+    n, c, h, w = x.shape
+    return x.reshape(n, g, c // g, h, w).transpose(0, 2, 1, 3, 4) \
+            .reshape(n, c, h, w)
+
+
+def Scale_forward(op, values, ctx=None):
+    """Caffe Scale: y = x * scale (+ bias), channel-broadcast."""
+    x = jnp.asarray(values[0])
+    scale = jnp.asarray(values[1])
+    shape = [1] * x.ndim
+    if scale.ndim == 1 and x.ndim > 1:
+        shape[1] = -1
+        scale = scale.reshape(shape)
+    y = x * scale
+    if _present(values, 2):
+        bias = jnp.asarray(values[2])
+        if bias.ndim == 1 and x.ndim > 1:
+            bias = bias.reshape(shape)
+        y = y + bias
+    return y
+
+
+def Parameter_forward(op, values, ctx=None):
+    return np.asarray(attr(op, 'value'))
+
+
+def SkipLayerNorm_forward(op, values, ctx=None):
+    """TensorRT skipLayerNormPlugin: LN(x + skip) (reference
+    fuse_skiplayernorm target, IR/morph.py:821)."""
+    x = jnp.asarray(values[0]) + jnp.asarray(values[1])
+    gamma = jnp.asarray(values[2])
+    beta = jnp.asarray(values[3]) if _present(values, 3) else 0.0
+    eps = float(attr(op, 'epsilon', 1e-5))
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def CaffeArgMax_forward(op, values, ctx=None):
+    x = jnp.asarray(values[0])
+    axis = int(attr(op, 'axis', 1))
+    return jnp.argmax(x, axis=axis).astype(jnp.int64)
+
+
 # =============================================================== the table ===
 
 DEFAULT_BACKEND_TABLE: Dict[str, Callable] = {
@@ -1177,4 +1249,16 @@ DEFAULT_BACKEND_TABLE: Dict[str, Callable] = {
     'PPQDeviceSwitch': PPQDeviceSwitch_forward,
     'QuantizeLinear': QuantizeLinear_forward,
     'DequantizeLinear': DequantizeLinear_forward,
+    # vendor / alias ops (reference table parity)
+    'AdaptiveAvgPool2d': AdaptiveAvgPool2d_forward,
+    'ChannelShuffle': ChannelShuffle_forward,
+    'Scale': Scale_forward,
+    'Parameter': Parameter_forward,
+    'skipLayerNormPlugin': SkipLayerNorm_forward,
+    'CaffeArgMax': CaffeArgMax_forward,
+    'LayerNorm': LayerNormalization_forward,
+    'grid_sampler': GridSample_forward,
+    'MMCVRoiAlign': RoiAlign_forward,
+    'Interp': Resize_forward,
+    'Tan': _unary(jnp.tan),
 }
