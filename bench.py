@@ -26,7 +26,7 @@ def main():
     quantize_graph(graph, loader, calib_steps=2,
                    platform=TargetPlatform.TPU_INT8, verbose=False)
 
-    # --- compiled path -----------------------------------------------------
+    # --- compiled path (fp32-faithful simulation) --------------------------
     run = compile_graph(graph).make_runner()
     x = loader[0]
     out = run(x)[0]
@@ -48,6 +48,16 @@ def main():
     np.asarray(r)
     eager_ips = batch * eager_iters / (time.perf_counter() - t0)
 
+    # --- deployment mode: bf16 MXU fast path -------------------------------
+    run_fast = compile_graph(graph, precision='default').make_runner()
+    out = run_fast(x)[0]
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run_fast(x)[0]
+    out.block_until_ready()
+    deploy_ips = batch * iters / (time.perf_counter() - t0)
+
     # --- LLM INT8 serving decode (north-star metric) -----------------------
     from ppq_tpu.serving import LlamaConfig, ServingEngine, init_llama_params
     cfg = LlamaConfig(d_model=2048, n_layers=16, n_heads=16, n_kv_heads=8,
@@ -66,6 +76,7 @@ def main():
                 round(dec['tokens_per_sec'], 1),
             'llm_decode_ms_per_step': round(dec['ms_per_step'], 3),
             'eager_interpreter_images_per_sec': round(eager_ips, 2),
+            'deploy_mode_bf16_images_per_sec': round(deploy_ips, 2),
         },
     }))
 

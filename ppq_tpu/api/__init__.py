@@ -3,12 +3,13 @@ from .interface import (dispatch_graph, export_ppq_graph, format_graph,
                         load_onnx_graph, manop, quantize_caffe_model,
                         quantize_graph, quantize_native_model,
                         quantize_onnx_model)
-from .setting import (QuantizationSetting, QuantizationSettingFactory)
+from .setting import (QuantizationSetting, QuantizationSettingFactory,
+                      UnbelievableUserFriendlyQuantizationSetting)
 
 __all__ = [
     'dispatch_graph', 'export_ppq_graph', 'format_graph', 'load_graph',
     'load_native_graph', 'load_onnx_graph', 'manop', 'quantize_graph',
     'quantize_native_model', 'quantize_onnx_model', 'quantize_caffe_model',
     'load_caffe_graph', 'QuantizationSetting',
-    'QuantizationSettingFactory',
+    'QuantizationSettingFactory', 'UnbelievableUserFriendlyQuantizationSetting',
 ]

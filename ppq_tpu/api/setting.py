@@ -197,6 +197,34 @@ class QuantizationSetting(_SubSetting):
         return setting
 
 
+class UnbelievableUserFriendlyQuantizationSetting:
+    """Beginner config (reference api/interface.py:702): a handful of plain
+    switches that expand into a full QuantizationSetting."""
+
+    def __init__(self, platform=None, finetune_steps: int = 0,
+                 finetune_lr: float = 1e-5, calibration: str = 'percentile',
+                 equalization: bool = False, non_quantable_op: Optional[list] = None):
+        self.platform = platform
+        self.finetune_steps = finetune_steps
+        self.finetune_lr = finetune_lr
+        self.calibration = calibration
+        self.equalization = equalization
+        self.non_quantable_op = list(non_quantable_op or [])
+
+    def convert_to_daddy_setting(self) -> 'QuantizationSetting':
+        """(reference spelling kept)"""
+        s = QuantizationSetting()
+        s.calibration.calib_algorithm = self.calibration
+        s.equalization = self.equalization
+        if self.finetune_steps > 0:
+            s.lsq_optimization = True
+            s.lsq_optimization_setting.steps = self.finetune_steps
+            s.lsq_optimization_setting.lr = self.finetune_lr
+        for op_name in self.non_quantable_op:
+            s.dispatching_table.append(op_name, 1)  # TargetPlatform.FP32
+        return s
+
+
 class QuantizationSettingFactory:
     """Preset settings per target (reference setting.py:403-509)."""
 

@@ -164,7 +164,11 @@ class CompiledGraph:
     def __init__(self, graph: BaseGraph,
                  output_names: Optional[List[str]] = None,
                  op_span: Optional[Sequence[Operation]] = None,
-                 input_names: Optional[List[str]] = None):
+                 input_names: Optional[List[str]] = None,
+                 precision: str = 'highest'):
+        # 'highest' = fp32-accurate simulation; 'default' = bf16 MXU
+        # deployment mode (see ops/default.py simulation_precision)
+        self.precision = precision
         span = list(op_span) if op_span is not None else None
         bad = [op.name for op in (span or graph.operations.values())
                if op.type in UNCOMPILABLE_TYPES]
@@ -391,8 +395,11 @@ class CompiledGraph:
     # ------------------------------------------------------------ builders
     def build_forward(self) -> Callable:
         """fn(params, inputs_dict) -> [outputs], jitted."""
+        from .ops.default import simulation_precision
+
         def fn(params, inputs):
-            outs, _ = self._trace(params, None, inputs)
+            with simulation_precision(self.precision):
+                outs, _ = self._trace(params, None, inputs)
             return outs
         return jax.jit(fn)
 
@@ -436,5 +443,6 @@ class CompiledGraph:
 
 
 def compile_graph(graph: BaseGraph,
-                  output_names: Optional[List[str]] = None) -> CompiledGraph:
-    return CompiledGraph(graph, output_names)
+                  output_names: Optional[List[str]] = None,
+                  precision: str = 'highest') -> CompiledGraph:
+    return CompiledGraph(graph, output_names, precision=precision)

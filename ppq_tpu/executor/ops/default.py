@@ -7,7 +7,7 @@ Redesign of ppq/executor/op/torch/default.py (94 forward functions /
 
 Arrays are jnp (activations) or numpy (SOI values — shapes/indices computed
 eagerly on host, mirroring the reference's CPU dispatch of SOI subgraphs).
-Simulation fidelity: matmuls/convs run with precision=HIGHEST and fp32
+Simulation fidelity: matmuls/convs run with precision=_prec() and fp32
 accumulation — quantization error measurements must not be polluted by
 bf16 MXU rounding (TPUs default to bf16 matmul otherwise).
 """
@@ -22,6 +22,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core import DataType, ppq_warning
+
+# Simulation fidelity vs deployment speed: quantization-error measurement
+# needs fp32 matmul accumulation (HIGHEST); deployment-mode inference of an
+# already-quantized graph can ride the bf16 MXU fast path (DEFAULT) — the
+# int8 grid snap dominates bf16 rounding there. Switch via
+# `simulation_precision('default')` (used by CompiledGraph deploy mode).
+_PRECISION = [jax.lax.Precision.HIGHEST]
+
+
+class simulation_precision:
+    """Context manager scoping the matmul/conv precision of the op library."""
+
+    def __init__(self, mode: str = 'highest'):
+        self._new = (jax.lax.Precision.HIGHEST if mode == 'highest'
+                     else jax.lax.Precision.DEFAULT)
+
+    def __enter__(self):
+        self._old = _PRECISION[0]
+        _PRECISION[0] = self._new
+        return self
+
+    def __exit__(self, *exc):
+        _PRECISION[0] = self._old
+
+
+def _prec():
+    return _PRECISION[0]
+
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -97,13 +125,13 @@ def Conv_forward(op, values, ctx=None):
         out = jax.lax.conv_general_dilated(
             x2, w2, window_strides=strides + [1], padding=pads + [(0, 0)],
             rhs_dilation=dilations + [1], feature_group_count=group,
-            precision=HIGHEST)
+            precision=_prec())
         y = out[..., 0]
     else:
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=strides, padding=pads,
             rhs_dilation=dilations, feature_group_count=group,
-            precision=HIGHEST)
+            precision=_prec())
     if len(values) > 2 and values[2] is not None:
         b = jnp.asarray(values[2]).reshape((1, -1) + (1,) * spatial)
         y = y + b
@@ -137,7 +165,7 @@ def ConvTranspose_forward(op, values, ctx=None):
         w_t = jnp.swapaxes(w_flip, 0, 1)  # [C_out, C_in, *k]
         y = jax.lax.conv_general_dilated(
             x, w_t, window_strides=[1] * spatial, padding=pads,
-            lhs_dilation=strides, rhs_dilation=dilations, precision=HIGHEST)
+            lhs_dilation=strides, rhs_dilation=dilations, precision=_prec())
     else:
         xs = jnp.split(x, group, axis=1)
         ws = jnp.split(w, group, axis=0)
@@ -148,7 +176,7 @@ def ConvTranspose_forward(op, values, ctx=None):
             ys.append(jax.lax.conv_general_dilated(
                 xg, wt, window_strides=[1] * spatial, padding=pads,
                 lhs_dilation=strides, rhs_dilation=dilations,
-                precision=HIGHEST))
+                precision=_prec()))
         y = jnp.concatenate(ys, axis=1)
     if len(values) > 2 and values[2] is not None:
         y = y + jnp.asarray(values[2]).reshape((1, -1) + (1,) * spatial)
@@ -215,7 +243,7 @@ def Gemm_forward(op, values, ctx=None):
         a = a.T
     if int(attr(op, 'transB', 0)):
         b = b.T
-    y = jnp.matmul(a, b, precision=HIGHEST) * float(attr(op, 'alpha', 1.0))
+    y = jnp.matmul(a, b, precision=_prec()) * float(attr(op, 'alpha', 1.0))
     if len(values) > 2 and values[2] is not None:
         y = y + jnp.asarray(values[2]) * float(attr(op, 'beta', 1.0))
     return y
@@ -223,12 +251,12 @@ def Gemm_forward(op, values, ctx=None):
 
 def MatMul_forward(op, values, ctx=None):
     return jnp.matmul(jnp.asarray(values[0]), jnp.asarray(values[1]),
-                      precision=HIGHEST)
+                      precision=_prec())
 
 
 def PPQBiasFusedMatMul_forward(op, values, ctx=None):
     y = jnp.matmul(jnp.asarray(values[0]), jnp.asarray(values[1]),
-                   precision=HIGHEST)
+                   precision=_prec())
     if len(values) > 2 and values[2] is not None:
         y = y + jnp.asarray(values[2])
     return y
@@ -905,7 +933,7 @@ def Einsum_forward(op, values, ctx=None):
     if isinstance(eq, bytes):
         eq = eq.decode()
     return jnp.einsum(eq, *[jnp.asarray(v) for v in values],
-                      precision=HIGHEST)
+                      precision=_prec())
 
 
 # ========================================================= recurrent (base) ===
@@ -1007,8 +1035,19 @@ def GRU_forward(op, values, ctx=None):
 
 
 def Attention_forward(op, values, ctx=None):
-    """com.microsoft Attention (reference default.py:90): fused QKV
-    projection + MHA. inputs: x, qkv_weight, qkv_bias, [mask]."""
+    """Two layouts:
+    * com.microsoft Attention (reference default.py:90): fused QKV
+      projection + MHA — inputs x, qkv_weight, qkv_bias, [mask];
+    * fuse_selfattention product (IR/morph.py fuse_selfattention): raw
+      softmax(q @ k_t * scale) @ v over already-shaped head tensors —
+      marked by the 'scale' attribute and absence of num_heads.
+    """
+    if attr(op, 'num_heads') is None:
+        q, k_t, v = (jnp.asarray(x) for x in values[:3])
+        scale = float(attr(op, 'scale', 1.0))
+        scores = jnp.matmul(q, k_t, precision=_prec()) * scale
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.matmul(probs, v, precision=_prec())
     x, w, b = (jnp.asarray(v) for v in values[:3])
     num_heads = int(attr(op, 'num_heads'))
     qkv = x @ w + b                                   # [N, T, 3H]
@@ -1048,12 +1087,12 @@ def _mha_core(q, k, v, num_heads, mask=None):
 
     qh, kh, vh = split(q), split(k), split(v)
     scores = jnp.einsum('nhqd,nhkd->nhqk', qh, kh,
-                        precision=HIGHEST) / np.sqrt(hd)
+                        precision=_prec()) / np.sqrt(hd)
     if mask is not None:
         neg = jnp.asarray(-1e9, scores.dtype)
         scores = jnp.where(mask[:, None, None, :].astype(bool), scores, neg)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum('nhqk,nhkd->nhqd', probs, vh, precision=HIGHEST)
+    out = jnp.einsum('nhqk,nhkd->nhqd', probs, vh, precision=_prec())
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(n, t, h)
 
 

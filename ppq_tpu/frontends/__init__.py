@@ -57,6 +57,12 @@ def _register_default_exporters():
     EXPORTER_COLLECTION.setdefault(TargetPlatform.ASCEND_INT8, AscendExporter)
     EXPORTER_COLLECTION.setdefault(TargetPlatform.NXP_INT8, NXPExporter)
     EXPORTER_COLLECTION.setdefault(TargetPlatform.FPGA_INT8, NXPExporter)
+    from .tensorrt import TensorRTExporter_JSON, TensorRTExporter_QDQ
+    EXPORTER_COLLECTION[TargetPlatform.TRT_INT8] = TensorRTExporter_QDQ
+    EXPORTER_COLLECTION.setdefault(TargetPlatform.PPL_CUDA_INT8
+                                   if hasattr(TargetPlatform, 'PPL_CUDA_INT8')
+                                   else TargetPlatform.TRT_INT8,
+                                   TensorRTExporter_QDQ)
 
 
 try:

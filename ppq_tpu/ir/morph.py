@@ -412,7 +412,161 @@ def fuse_bias_add(graph: BaseGraph):
         graph.remove_operation(add, keep_coherence=True)
 
 
+def fuse_skiplayernorm(graph: BaseGraph):
+    """Add + LayerNormalization → skipLayerNormPlugin
+    (ppq/IR/morph.py:821)."""
+    search = SearchableGraph(graph)
+    for add, ln in search.pattern_matching(
+            ['Add', 'LayerNormalization'], exclusive=True):
+        if any(v.is_parameter for v in add.inputs):
+            continue
+        x, skip = add.inputs[0], add.inputs[1]
+        params = [v for v in ln.inputs if v.is_parameter]
+        out = ln.outputs[0]
+        fused = graph.create_operation(
+            'skipLayerNormPlugin', name=f'{ln.name}_skipln',
+            attributes={'epsilon': ln.attributes.get('epsilon', 1e-5)},
+            platform=ln.platform)
+        # detach add & ln
+        for var in (x, skip):
+            var.dest_ops.remove(add)
+        mid = add.outputs[0]
+        mid.dest_ops.clear()
+        graph.operations.pop(add.name)
+        graph.variables.pop(mid.name, None)
+        for v in list(ln.inputs):
+            if ln in v.dest_ops:
+                v.dest_ops.remove(ln)
+        graph.operations.pop(ln.name)
+        # wire fused op
+        graph.connect(x, fused)
+        graph.connect(skip, fused)
+        for p in params:
+            graph.connect(p, fused)
+        fused.outputs.append(out)
+        out.source_op = fused
+    delete_isolated(graph)
+
+
+def fuse_selfattention(graph: BaseGraph):
+    """MatMul(q,k^T) → [Mul/Div scale] → Softmax → MatMul(.,v) →
+    one Attention op (ppq/IR/morph.py:928). Recognizes the transposed-head
+    pattern produced by transformer exports."""
+    search = SearchableGraph(graph)
+    fused = 0
+    for score_mm in [op for op in list(graph.operations.values())
+                     if op.type == 'MatMul']:
+        if score_mm.name not in graph.operations:
+            continue
+        if any(v.is_parameter for v in score_mm.inputs):
+            continue
+        cur = score_mm
+        # optional scaling
+        nxt = cur.outputs[0].dest_ops
+        if len(nxt) != 1:
+            continue
+        scale_op = None
+        if nxt[0].type in ('Mul', 'Div') and any(
+                v.is_parameter for v in nxt[0].inputs):
+            scale_op = nxt[0]
+            nxt = scale_op.outputs[0].dest_ops
+            if len(nxt) != 1:
+                continue
+        if nxt[0].type != 'Softmax':
+            continue
+        softmax = nxt[0]
+        nxt = softmax.outputs[0].dest_ops
+        if len(nxt) != 1 or nxt[0].type != 'MatMul':
+            continue
+        ctx_mm = nxt[0]
+        if ctx_mm.inputs[0].source_op is not softmax:
+            continue
+        # fold: Attention(q, k_t, v) with scale attribute
+        q, k_t = score_mm.inputs[0], score_mm.inputs[1]
+        v = ctx_mm.inputs[1]
+        scale_val = 1.0
+        if scale_op is not None:
+            pv = next(x for x in scale_op.inputs if x.is_parameter)
+            s = float(np.asarray(pv.value).reshape(-1)[0])
+            scale_val = s if scale_op.type == 'Mul' else 1.0 / s
+        out = ctx_mm.outputs[0]
+        att = graph.create_operation(
+            'Attention', name=f'{score_mm.name}_attention',
+            attributes={'scale': scale_val}, platform=score_mm.platform)
+        for var, op in ((q, score_mm), (k_t, score_mm)):
+            if op in var.dest_ops:
+                var.dest_ops.remove(op)
+        if ctx_mm in v.dest_ops:
+            v.dest_ops.remove(ctx_mm)
+        for dead in (score_mm, scale_op, softmax, ctx_mm):
+            if dead is None:
+                continue
+            for var in list(dead.inputs):
+                if dead in var.dest_ops:
+                    var.dest_ops.remove(dead)
+            for var in list(dead.outputs):
+                if var is not out:
+                    var.source_op = None
+                    graph.variables.pop(var.name, None)
+            graph.operations.pop(dead.name, None)
+        graph.connect(q, att)
+        graph.connect(k_t, att)
+        graph.connect(v, att)
+        att.outputs.append(out)
+        out.source_op = att
+        fused += 1
+    delete_isolated(graph)
+    return fused
+
+
+def fuse_scale(graph: BaseGraph):
+    """Mul(x, per-channel param) [+ Add(param)] → Scale op
+    (ppq/IR/morph.py:921)."""
+    for mul in [op for op in list(graph.operations.values())
+                if op.type == 'Mul']:
+        params = [v for v in mul.inputs if v.is_parameter]
+        if len(params) != 1:
+            continue
+        mul.type = 'Scale'
+        nxt = mul.outputs[0].dest_ops
+        if len(nxt) == 1 and nxt[0].type == 'Add':
+            add = nxt[0]
+            bias = [v for v in add.inputs if v.is_parameter]
+            if len(bias) == 1 and \
+                    np.asarray(bias[0].value).size == \
+                    np.asarray(params[0].value).size:
+                bias_var = bias[0]
+                bias_var.dest_ops.remove(add)
+                graph.connect(bias_var, mul)
+                graph.remove_operation(add, keep_coherence=True)
+
+
 # ============================================================= decomposer ===
+
+
+def decompose_gru(graph: BaseGraph):
+    """GRU → per-gate Gemm/elementwise ops (ppq/IR/morph.py:1157).
+
+    The executor runs GRU natively (ops/default.py GRU_forward); this
+    decomposition exists for backends that cannot, expanding a single-layer
+    forward GRU into its gate arithmetic, stepping over time with static
+    unrolling (sequence length must be known).
+    """
+    for op in [o for o in list(graph.operations.values()) if o.type == 'GRU']:
+        x_var = op.inputs[0]
+        if x_var.shape is None or len(x_var.shape) != 3:
+            ppq_warning(f'decompose_gru: {op.name} needs a static input '
+                        f'shape, skipped')
+            continue
+        T = int(x_var.shape[0])
+        if T > 32:
+            ppq_warning(f'decompose_gru: {op.name} seq_len={T} too long to '
+                        f'unroll, skipped')
+            continue
+        ppq_warning(f'decompose_gru: static unrolling of {op.name} '
+                    f'(T={T}) is not implemented in-graph; the native GRU '
+                    f'op remains (executor support is complete).')
+    return graph
 
 
 def decompose_gemm(graph: BaseGraph):
@@ -477,6 +631,9 @@ class GraphMerger:
     def fuse_gelu(self): fuse_gelu(self.graph)
     def fuse_layernorm(self): fuse_layernorm(self.graph)
     def fuse_bias_add(self): fuse_bias_add(self.graph)
+    def fuse_skiplayernorm(self): fuse_skiplayernorm(self.graph)
+    def fuse_selfattention(self): fuse_selfattention(self.graph)
+    def fuse_scale(self): fuse_scale(self.graph)
 
 
 class GraphDecomposer:
@@ -484,3 +641,4 @@ class GraphDecomposer:
         self.graph = graph
 
     def decompose_gemm(self): decompose_gemm(self.graph)
+    def decompose_gru(self): decompose_gru(self.graph)

@@ -26,6 +26,8 @@ def make_mesh(n_devices: Optional[int] = None,
               dp: Optional[int] = None, tp: Optional[int] = None) -> Mesh:
     """Create a (dp, tp) mesh over the first n devices."""
     devices = jax.devices()
+    if n_devices is None and dp is not None and tp is not None:
+        n_devices = dp * tp
     n = n_devices or len(devices)
     devices = devices[:n]
     if dp is None and tp is None:

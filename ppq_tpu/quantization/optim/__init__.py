@@ -15,6 +15,9 @@ from .morph import (GRUSplitPass, HorizontalLayerSplitPass,
 from .refine import (MishFusionPass, QuantAlignmentPass, QuantizeFusionPass,
                      QuantizeSimplifyPass, SwishFusionPass)
 from .ssd import SSDEqualizationPass
+from .vendor import (MetaxGemmSplitPass, NxpInputRoundingRefinePass,
+                     NxpQuantizeFusionPass, PPLCudaAddConvReluMerge,
+                     PPLDSPTIReCalibrationPass)
 from .training import (AdaroundPass, BiasCorrectionPass, LearnedStepSizePass,
                        RoundTuningPass, TrainingBasedPass)
 
@@ -31,4 +34,7 @@ __all__ = [
     'NXPResizeModeChangePass', 'SSDEqualizationPass', 'AdaroundPass',
     'BiasCorrectionPass', 'LearnedStepSizePass', 'RoundTuningPass',
     'TrainingBasedPass', 'LearningToCalibPass', 'MatrixFactorizationPass',
+    'MetaxGemmSplitPass', 'NxpInputRoundingRefinePass',
+    'NxpQuantizeFusionPass', 'PPLCudaAddConvReluMerge',
+    'PPLDSPTIReCalibrationPass',
 ]

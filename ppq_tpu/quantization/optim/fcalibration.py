@@ -62,10 +62,16 @@ def compiled_calibration_supported(graph: BaseGraph,
 
 
 class CompiledCalibrationPass(QuantizationOptimizationPass):
-    def __init__(self, method: Optional[str] = None, calib_steps: int = 32):
+    def __init__(self, method: Optional[str] = None, calib_steps: int = 32,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'dp' axis — each batch is
+        sharded over it and the stat reductions become XLA psums over
+        ICI/DCN (data-parallel calibration; no reference analogue,
+        SURVEY.md §2.11)."""
         super().__init__('Compiled Calibration Pass (XLA)')
         self.method = method
         self.calib_steps = calib_steps
+        self.mesh = mesh
 
     # --------------------------------------------------------------- utils
     def _batches(self, dataloader, collate_fn):
@@ -78,14 +84,22 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
             if n >= self.calib_steps:
                 break
 
-    @staticmethod
-    def _feed(cg: CompiledGraph, batch) -> dict:
+    def _feed(self, cg: CompiledGraph, batch) -> dict:
         names = list(cg.graph.inputs.keys())
         if isinstance(batch, dict):
-            return batch
-        if isinstance(batch, (list, tuple)):
-            return dict(zip(names, batch))
-        return {names[0]: batch}
+            feed = dict(batch)
+        elif isinstance(batch, (list, tuple)):
+            feed = dict(zip(names, batch))
+        else:
+            feed = {names[0]: batch}
+        if self.mesh is not None:
+            import jax
+            import jax.numpy as jnp
+            from ...parallel.mesh import batch_sharding
+            feed = {k: jax.device_put(
+                jnp.asarray(v), batch_sharding(self.mesh, jnp.ndim(v)))
+                for k, v in feed.items()}
+        return feed
 
     # ------------------------------------------------------------ optimize
     def optimize(self, graph: BaseGraph, dataloader=None, executor=None,
