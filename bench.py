@@ -42,7 +42,7 @@ def main():
     ex = TPUExecutor(graph)
     np.asarray(ex.forward(x)[0])     # warm
     t0 = time.perf_counter()
-    eager_iters = 3
+    eager_iters = 1
     for _ in range(eager_iters):
         r = ex.forward(x)[0]
     np.asarray(r)

@@ -1,6 +1,8 @@
 from .config import LlamaConfig
 from .engine import ServingEngine
 from .model import init_llama_params, quantize_llama_params
+from .ring_attention import reference_attention, sequence_parallel_attention
 
 __all__ = ['LlamaConfig', 'ServingEngine', 'init_llama_params',
-           'quantize_llama_params']
+           'quantize_llama_params', 'sequence_parallel_attention',
+           'reference_attention']

@@ -80,18 +80,20 @@ def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray]) -> jnp.ndarray:
 def init_llama_params(cfg: LlamaConfig, seed: int = 0,
                       quantized: bool = True) -> Params:
     """Random-initialized (optionally quantized) parameter pytree."""
-    rng = np.random.RandomState(seed)
+    rng = np.random.default_rng(seed)
     D, H, KV, Dh, F = (cfg.d_model, cfg.n_heads, cfg.n_kv_heads,
                        cfg.head_dim, cfg.d_ff)
     bits = cfg.weight_bits if quantized else 16
 
     def dense(i, o):
-        w = (rng.randn(i, o) * (1.0 / np.sqrt(i))).astype(np.float32)
+        w = rng.standard_normal((i, o), dtype=np.float32) \
+            * np.float32(1.0 / np.sqrt(i))
         return quantize_weight(w, bits)
 
     params: Params = {
-        'embed': jnp.asarray(rng.randn(cfg.vocab_size, D).astype(np.float32)
-                             * 0.02, jnp.bfloat16),
+        'embed': jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, D), dtype=np.float32) * 0.02,
+            jnp.bfloat16),
         'final_norm': jnp.ones((D,), jnp.float32),
         'lm_head': dense(D, cfg.vocab_size),
         'layers': [],
