@@ -204,7 +204,22 @@ class TPUExecutor(BaseGraphExecutor):
     def tracing_operation_meta(self, inputs,
                                output_names: Optional[List[str]] = None):
         """Shape/dtype inference by execution (reference torch.py:579-613):
-        runs the graph once and writes observed meta onto Variables."""
+        runs the graph once and writes observed meta onto Variables.
+
+        Runs pinned to the CPU backend: only shapes/dtypes matter, and eager
+        per-op dispatch to a remote TPU pays seconds of compile+transfer per
+        op (the accelerator path is the compiled executor, never this)."""
+        try:
+            cpu = jax.devices('cpu')[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                return self._tracing_operation_meta(inputs, output_names)
+        return self._tracing_operation_meta(inputs, output_names)
+
+    def _tracing_operation_meta(self, inputs,
+                                output_names: Optional[List[str]] = None):
         values = self._feed(inputs)
         graph = self.graph
         for op in self._executing_order:

@@ -13,6 +13,7 @@ accumulator), Clip min/max and Pad constant share the input scale.
 
 from __future__ import annotations
 
+from contextlib import nullcontext as _nullcontext
 from typing import Optional
 
 import numpy as np
@@ -32,6 +33,18 @@ class ParameterQuantizePass(QuantizationOptimizationPass):
 
     def optimize(self, graph: BaseGraph, dataloader=None, executor=None,
                  **kwargs):
+        # weights live on host and the reductions are tiny — pin to the CPU
+        # backend so eager observer math never round-trips a remote TPU
+        import jax
+        try:
+            cpu = jax.devices('cpu')[0]
+        except RuntimeError:
+            cpu = None
+        ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+        with ctx:
+            self._calibrate_parameters(graph)
+
+    def _calibrate_parameters(self, graph: BaseGraph):
         for op in graph.operations.values():
             if not isinstance(op, QuantableOperation):
                 continue

@@ -259,7 +259,8 @@ def ppq_quant_toint(value: np.ndarray, cfg: TensorQuantizationConfig) -> np.ndar
         shape[cfg.channel_axis] = -1
         scale = scale.reshape(shape)
         offset = offset.reshape(shape)
-    q = np.asarray(round_tensor(jnp.asarray(value / scale), cfg.rounding))
+    from .rounding import round_tensor_np
+    q = round_tensor_np(value / scale, cfg.rounding)
     q = np.clip(q + np.round(offset), cfg.quant_min, cfg.quant_max)
     if cfg.num_of_bits <= 8:
         return q.astype(np.int8) if cfg.quant_min < 0 else q.astype(np.uint8)
@@ -267,5 +268,34 @@ def ppq_quant_toint(value: np.ndarray, cfg: TensorQuantizationConfig) -> np.ndar
 
 
 def fake_quant_np(value: np.ndarray, cfg: TensorQuantizationConfig) -> np.ndarray:
-    """Host-side fake quant used by ParameterBakingPass."""
-    return np.asarray(ppq_fake_quant(jnp.asarray(np.asarray(value, np.float32)), cfg))
+    """Host-side fake quant used by ParameterBakingPass.
+
+    Pure numpy for linear policies — parameters live on host, and routing a
+    per-weight eager jnp call through a remote TPU costs seconds per tensor
+    (the compiled executor owns all accelerator math)."""
+    from .rounding import round_tensor_np
+    if not cfg.is_active:
+        return np.asarray(value, np.float32)
+    value = np.asarray(value, np.float32)
+    if cfg.policy.linear and not cfg.policy.dynamic:
+        scale = np.asarray(cfg.scale, np.float32)
+        offset = (np.round(np.asarray(cfg.offset, np.float32))
+                  if cfg.policy.asymmetric else np.zeros_like(scale))
+        if cfg.policy.per_channel and cfg.channel_axis is not None:
+            shape = [1] * value.ndim
+            shape[cfg.channel_axis] = -1
+            scale = scale.reshape(shape)
+            offset = offset.reshape(shape)
+        q = round_tensor_np(value / scale, cfg.rounding) + offset
+        q = np.clip(q, cfg.quant_min, cfg.quant_max)
+        return ((q - offset) * scale).astype(np.float32)
+    # floating / dynamic: reuse the jnp path, pinned to the CPU backend
+    import jax
+    try:
+        cpu = jax.devices('cpu')[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return np.asarray(ppq_fake_quant(jnp.asarray(value), cfg))
+    return np.asarray(ppq_fake_quant(jnp.asarray(value), cfg))

@@ -36,6 +36,27 @@ def round_tensor(x: jnp.ndarray, policy: RoundingPolicy) -> jnp.ndarray:
     raise ValueError(f'Unknown rounding policy {policy}')
 
 
+def round_tensor_np(x, policy: RoundingPolicy):
+    """Numpy twin of round_tensor — host-side parameter math must not
+    round-trip an accelerator."""
+    import numpy as np
+    if policy == RoundingPolicy.ROUND_HALF_EVEN:
+        return np.round(x)
+    if policy in (RoundingPolicy.ROUND_HALF_UP, RoundingPolicy.ROUND_TO_NEAR_INT):
+        return np.floor(x + 0.5)
+    if policy == RoundingPolicy.ROUND_HALF_DOWN:
+        return np.ceil(x - 0.5)
+    if policy == RoundingPolicy.ROUND_HALF_TOWARDS_ZERO:
+        return np.sign(x) * np.ceil(np.abs(x) - 0.5)
+    if policy == RoundingPolicy.ROUND_HALF_FAR_FROM_ZERO:
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+    if policy == RoundingPolicy.ROUND_UP:
+        return np.ceil(x)
+    if policy == RoundingPolicy.ROUND_DOWN:
+        return np.floor(x)
+    raise ValueError(f'Unknown rounding policy {policy}')
+
+
 def round_scalar(value: float, policy: RoundingPolicy) -> int:
     """Exact scalar rounding via decimal arithmetic — golden reference
     (mirrors reference tests/test_rounding.py strategy)."""

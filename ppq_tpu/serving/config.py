@@ -26,6 +26,10 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     max_seq_len: int = 2048
 
+    # mixture-of-experts (0 = dense FFN)
+    n_experts: int = 0
+    top_k: int = 2
+
     # quantization
     weight_bits: int = 8            # 8 | 4 | 16 (16 = bf16, no quant)
     kv_cache_bits: int = 8          # 8 | 16

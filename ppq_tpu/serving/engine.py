@@ -48,17 +48,29 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Dict[str, Any]:
     def pick(d, layout):
         return {k: layout[k] for k in d}
 
+    exp3 = NamedSharding(mesh, P('tp', None, None))
+    exp2 = NamedSharding(mesh, P('tp', None))
+    moe_layout = {'w': exp3, 'w_int': exp3, 'w_packed': exp3, 'scale': exp2}
+
     def layer_spec(layer):
-        return {
+        spec = {
             'attn_norm': rep, 'mlp_norm': rep,
             'wq': pick(layer['wq'], col),
             'wk': pick(layer['wk'], col),
             'wv': pick(layer['wv'], col),
             'wo': pick(layer['wo'], row),
-            'w_gate': pick(layer['w_gate'], col),
-            'w_up': pick(layer['w_up'], col),
-            'w_down': pick(layer['w_down'], row),
         }
+        if 'moe' in layer:
+            # experts shard over the tp axis (ep-as-tp on a 2-axis mesh;
+            # a dedicated 'ep' axis works the same via moe.shard_moe_params)
+            spec['moe'] = {'router': rep}
+            for wname in ('w_gate', 'w_up', 'w_down'):
+                spec['moe'][wname] = pick(layer['moe'][wname], moe_layout)
+        else:
+            spec['w_gate'] = pick(layer['w_gate'], col)
+            spec['w_up'] = pick(layer['w_up'], col)
+            spec['w_down'] = pick(layer['w_down'], row)
+        return spec
 
     def spec_of(params):
         return {

@@ -98,18 +98,26 @@ def init_llama_params(cfg: LlamaConfig, seed: int = 0,
         'lm_head': dense(D, cfg.vocab_size),
         'layers': [],
     }
-    for _ in range(cfg.n_layers):
-        params['layers'].append({
+    for li in range(cfg.n_layers):
+        layer = {
             'attn_norm': jnp.ones((D,), jnp.float32),
             'mlp_norm': jnp.ones((D,), jnp.float32),
             'wq': dense(D, H * Dh),
             'wk': dense(D, KV * Dh),
             'wv': dense(D, KV * Dh),
             'wo': dense(H * Dh, D),
-            'w_gate': dense(D, F),
-            'w_up': dense(D, F),
-            'w_down': dense(F, D),
-        })
+        }
+        if cfg.n_experts > 0:
+            from .moe import init_moe_params
+            moe = init_moe_params(D, F, cfg.n_experts, cfg.top_k,
+                                  weight_bits=bits, seed=seed * 1000 + li)
+            moe.pop('top_k'); moe.pop('n_experts')
+            layer['moe'] = moe
+        else:
+            layer['w_gate'] = dense(D, F)
+            layer['w_up'] = dense(D, F)
+            layer['w_down'] = dense(F, D)
+        params['layers'].append(layer)
     return params
 
 
@@ -240,7 +248,11 @@ def attention(x, layer, cache_k, cache_v, cache_ks, cache_vs,
     return out, cache_k, cache_v, cache_ks, cache_vs
 
 
-def mlp(x, layer):
+def mlp(x, layer, cfg=None):
+    if 'moe' in layer:
+        from .moe import moe_ffn
+        return moe_ffn(x, layer['moe'],
+                       top_k=cfg.top_k if cfg is not None else 2)
     g = qmatmul(x, layer['w_gate'])
     u = qmatmul(x, layer['w_up'])
     return qmatmul(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
@@ -281,7 +293,7 @@ def forward(params: Params, cache: Dict[str, jnp.ndarray],
             vs_list.append(cvs)
         x = x + attn_out
         h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
-        x = x + mlp(h, layer)
+        x = x + mlp(h, layer, cfg)
 
     new_cache['k'] = jnp.stack(k_list)
     new_cache['v'] = jnp.stack(v_list)
