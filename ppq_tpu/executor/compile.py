@@ -331,6 +331,16 @@ class CompiledGraph:
             idx = jnp.clip((jnp.abs(v).reshape(-1) / scale).astype(jnp.int32),
                            0, bins - 1)
             stats[var_name] = jnp.bincount(idx, length=bins)
+        elif kind == 'hist_signed':
+            # signed histogram over a precomputed [lo, hi) range — used by
+            # the compiled percentile calibrator (an XLA sort/quantile over
+            # big activations compiles pathologically slowly on TPU; a
+            # histogram CDF is one fused scatter-free pass)
+            lo, width = entry['lo'], entry['width']
+            bins = entry.get('bins', OBSERVER_KL_HIST_BINS)
+            idx = jnp.clip(((v.reshape(-1) - lo) / width).astype(jnp.int32),
+                           0, bins - 1)
+            stats[var_name] = jnp.bincount(idx, length=bins)
 
     def _trace(self, params: dict, qparams: Optional[dict], inputs: dict,
                stat_kind: Optional[str] = None,

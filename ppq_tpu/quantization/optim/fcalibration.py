@@ -117,19 +117,17 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
 
         algo_of = {name: cfg.observer_algorithm
                    for name, cfg in targets.items()}
-        onepass = {n for n, a in algo_of.items() if a in ('minmax', 'percentile')}
+        onepass = {n for n, a in algo_of.items() if a == 'minmax'}
+        # percentile runs two-phase via a signed histogram CDF: exact
+        # jnp.quantile would emit an XLA sort per tensor, which compiles
+        # pathologically slowly for large activations on TPU
+        pct_phase = {n for n, a in algo_of.items() if a == 'percentile'}
         twophase = {n for n, a in algo_of.items() if a in ('kl', 'mse')}
 
-        # ---------------- phase 1: minmax/percentile + absmax for hist ----
+        # ---------------- phase 1: minmax (+range probes for histograms) --
         spec = {}
-        for n in onepass:
-            cfg = targets[n]
-            if algo_of[n] == 'percentile':
-                pct = cfg.detail.get(OBSERVER_PERCENTILE_MANUL_OVERRIDE,
-                                     OBSERVER_PERCENTILE)
-                spec[n] = {'kind': 'percentile', 'percentile': float(pct)}
-            else:
-                spec[n] = {'kind': 'minmax'}
+        for n in onepass | pct_phase:
+            spec[n] = {'kind': 'minmax'}
         for n in twophase:
             spec[n] = {'kind': 'absmax'}
 
@@ -146,18 +144,51 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
         if n_batches == 0:
             raise ValueError('Calibration dataloader yielded no batches.')
 
-        for name in onepass:
+        ranges = {}
+        for name in onepass | pct_phase:
             if name not in folds:
                 continue
-            cfg = targets[name]
-            if algo_of[name] == 'minmax':
-                lo = np.minimum.reduce([s[0] for s in folds[name]])
-                hi = np.maximum.reduce([s[1] for s in folds[name]])
-            else:  # percentile: batch average (observer semantics)
-                lo = np.mean([s[0] for s in folds[name]], axis=0)
-                hi = np.mean([s[1] for s in folds[name]], axis=0)
-            scale, offset = minmax_to_scale_offset(lo, hi, cfg)
-            self._activate(cfg, scale, offset)
+            lo = np.minimum.reduce([s[0] for s in folds[name]])
+            hi = np.maximum.reduce([s[1] for s in folds[name]])
+            if name in onepass:
+                cfg = targets[name]
+                scale, offset = minmax_to_scale_offset(lo, hi, cfg)
+                self._activate(cfg, scale, offset)
+            else:
+                ranges[name] = (float(np.min(lo)), float(np.max(hi)))
+
+        # -------- phase 2a: percentile via signed-histogram CDF ------------
+        if pct_phase:
+            bins = OBSERVER_KL_HIST_BINS
+            spec_p = {}
+            for n in pct_phase:
+                if n not in ranges:
+                    continue
+                lo, hi = ranges[n]
+                width = max((hi - lo) / bins, OBSERVER_MIN_SCALE)
+                spec_p[n] = {'kind': 'hist_signed', 'lo': lo,
+                             'width': width, 'bins': bins}
+            fn_p = cg.build_calibration_forward(spec_p)
+            hists_p: Dict[str, np.ndarray] = {}
+            for batch in self._batches(dataloader, collate_fn):
+                _, stats = fn_p(params, self._feed(cg, batch))
+                for name, h in stats.items():
+                    hists_p[name] = hists_p.get(name, 0) + \
+                        np.asarray(h, np.float64)
+            for name, h in hists_p.items():
+                cfg = targets[name]
+                pct = float(cfg.detail.get(OBSERVER_PERCENTILE_MANUL_OVERRIDE,
+                                           OBSERVER_PERCENTILE))
+                lo0, hi0 = ranges[name]
+                width = spec_p[name]['width']
+                cdf = np.cumsum(h) / max(h.sum(), 1.0)
+                hi_bin = int(np.searchsorted(cdf, pct))
+                lo_bin = int(np.searchsorted(cdf, 1.0 - pct))
+                hi_v = lo0 + (hi_bin + 1) * width
+                lo_v = lo0 + lo_bin * width
+                scale, offset = minmax_to_scale_offset(
+                    np.asarray(lo_v), np.asarray(hi_v), cfg)
+                self._activate(cfg, scale, offset)
 
         # ---------------- phase 2: histograms for kl/mse -------------------
         if twophase:
