@@ -56,6 +56,8 @@ def main():
     quantize_graph(graph, loader, calib_steps=2,
                    platform=TargetPlatform.TPU_INT8, verbose=False)
     _t('quantized')
+    from ppq_tpu.quantization.optim.fcalibration import \
+        LAST_CALIBRATION_PROFILE as calprof
 
     # --- compiled path (fp32-faithful simulation) --------------------------
     run = compile_graph(graph).make_runner()
@@ -107,6 +109,10 @@ def main():
             'llm_decode_ms_per_step': round(dec['ms_per_step'], 3),
             'eager_interpreter_images_per_sec': round(eager_ips, 2),
             'deploy_mode_bf16_images_per_sec': round(deploy_ips, 2),
+            'calibration_images_per_sec': round(
+                calprof.get('images', 0) /
+                max(calprof.get('compile_s', 0) + calprof.get('run_s', 0),
+                    1e-9), 2) if calprof else None,
         },
     }))
 

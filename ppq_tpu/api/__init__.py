@@ -1,6 +1,7 @@
 from .interface import (dispatch_graph, export_ppq_graph, format_graph,
                         load_caffe_graph, load_graph, load_native_graph,
-                        load_onnx_graph, manop, quantize_caffe_model,
+                        load_onnx_graph, load_torch_model, manop,
+                        quantize_caffe_model, quantize_torch_model,
                         quantize_graph, quantize_native_model,
                         quantize_onnx_model)
 from .setting import (QuantizationSetting, QuantizationSettingFactory,
@@ -10,6 +11,7 @@ __all__ = [
     'dispatch_graph', 'export_ppq_graph', 'format_graph', 'load_graph',
     'load_native_graph', 'load_onnx_graph', 'manop', 'quantize_graph',
     'quantize_native_model', 'quantize_onnx_model', 'quantize_caffe_model',
-    'load_caffe_graph', 'QuantizationSetting',
+    'load_caffe_graph', 'quantize_torch_model', 'load_torch_model',
+    'QuantizationSetting',
     'QuantizationSettingFactory', 'UnbelievableUserFriendlyQuantizationSetting',
 ]

@@ -8,6 +8,8 @@ runs on the JAX executor; TPU vs CPU placement is JAX's device choice.
 from __future__ import annotations
 
 import os
+
+import numpy as np
 from typing import Any, Callable, Dict, Iterable, List, Optional, Union
 
 from ..core import (TargetPlatform, dump_native, load_native, ppq_info,
@@ -23,6 +25,7 @@ __all__ = [
     'load_onnx_graph', 'load_native_graph', 'load_graph', 'format_graph',
     'dispatch_graph', 'quantize_onnx_model', 'quantize_graph',
     'quantize_native_model', 'quantize_caffe_model', 'load_caffe_graph',
+    'quantize_torch_model', 'load_torch_model',
     'export_ppq_graph', 'manop',
     'QuantizationSetting', 'QuantizationSettingFactory',
 ]
@@ -140,6 +143,41 @@ def quantize_native_model(native_import_file: str, calib_dataloader: Iterable,
                           **kwargs) -> BaseGraph:
     """(reference api/interface.py:453)"""
     graph = load_native_graph(native_import_file)
+    return quantize_graph(graph, calib_dataloader, **kwargs)
+
+
+def load_torch_model(model, sample_input, onnx_save_path: Optional[str] = None
+                     ) -> BaseGraph:
+    """Export a torch.nn.Module through torch.onnx and parse it
+    (reference api/interface.py:279 quantize_torch_model's load step).
+    The environment carries no `onnx` package — our protobuf bindings shim
+    the two symbols torch's serializer touches."""
+    import sys
+    import tempfile
+    import types
+
+    from ..frontends.onnx import onnx_pb2 as pb
+    if 'onnx' not in sys.modules:
+        shim = types.ModuleType('onnx')
+        shim.ModelProto = pb.ModelProto
+        shim.load_model_from_string = pb.ModelProto.FromString
+        sys.modules['onnx'] = shim
+
+    import torch
+    path = onnx_save_path or tempfile.mktemp(suffix='.onnx')
+    torch.onnx.export(model.eval(), (sample_input,), path, opset_version=13,
+                      dynamo=False)
+    return load_onnx_graph(path)
+
+
+def quantize_torch_model(model, calib_dataloader: Iterable,
+                         sample_input=None, **kwargs) -> BaseGraph:
+    """(reference api/interface.py:279)"""
+    if sample_input is None:
+        import torch
+        first = next(iter(calib_dataloader))
+        sample_input = torch.as_tensor(np.asarray(first))
+    graph = load_torch_model(model, sample_input)
     return quantize_graph(graph, calib_dataloader, **kwargs)
 
 

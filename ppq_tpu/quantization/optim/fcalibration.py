@@ -35,6 +35,10 @@ from .base import QuantizationOptimizationPass
 
 COMPILED_ALGOS = {'minmax', 'percentile', 'kl', 'mse'}
 
+# profile of the most recent compiled calibration run (read by bench.py):
+# {'batches', 'images', 'compile_s', 'run_s'}
+LAST_CALIBRATION_PROFILE = {}
+
 
 def _activation_targets(graph: BaseGraph) -> Dict[str, TensorQuantizationConfig]:
     """var name → INITIAL root activation TQC awaiting calibration."""
@@ -131,18 +135,38 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
         for n in twophase:
             spec[n] = {'kind': 'absmax'}
 
+        import time as _time
         fn = cg.build_calibration_forward(spec)
         folds: Dict[str, list] = {}
         n_batches = 0
+        n_images = 0
+        compile_s = run_s = 0.0
         for batch in self._batches(dataloader, collate_fn):
+            t0 = _time.perf_counter()
             _, stats = fn(params, self._feed(cg, batch))
+            dt = _time.perf_counter() - t0
+            if n_batches == 0:
+                compile_s = dt
+            else:
+                run_s += dt
             for name, s in stats.items():
                 folds.setdefault(name, []).append(
                     tuple(np.asarray(x, np.float64) for x in s)
                     if isinstance(s, tuple) else np.asarray(s, np.float64))
             n_batches += 1
+            try:
+                first = (batch[0] if isinstance(batch, (list, tuple))
+                         else next(iter(batch.values()))
+                         if isinstance(batch, dict) else batch)
+                n_images += int(np.asarray(first).shape[0])
+            except Exception:
+                pass
         if n_batches == 0:
             raise ValueError('Calibration dataloader yielded no batches.')
+        LAST_CALIBRATION_PROFILE.clear()
+        LAST_CALIBRATION_PROFILE.update({
+            'batches': n_batches, 'images': n_images,
+            'compile_s': compile_s, 'run_s': run_s})
 
         ranges = {}
         for name in onepass | pct_phase:
