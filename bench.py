@@ -41,10 +41,14 @@ def main():
     cfg = LlamaConfig(d_model=2048, n_layers=16, n_heads=16, n_kv_heads=8,
                       d_ff=5632, vocab_size=32000, max_seq_len=1024,
                       max_batch=8, weight_bits=8)
+    cfg.prefill_buckets = (128,)
     eng = ServingEngine(cfg, init_llama_params(cfg, seed=0))
     _t('llm engine built')
     dec = eng.benchmark_decode(steps=30, warmup=3)
     _t('llm decode measured')
+    serve = eng.benchmark_serving(n_requests=16, prompt_len=64,
+                                  max_new_tokens=32)
+    _t('llm serving measured')
     del eng
 
     batch = 8
@@ -109,6 +113,10 @@ def main():
             'llm_decode_ms_per_step': round(dec['ms_per_step'], 3),
             'eager_interpreter_images_per_sec': round(eager_ips, 2),
             'deploy_mode_bf16_images_per_sec': round(deploy_ips, 2),
+            'llm_serving_generated_tokens_per_sec': round(
+                serve['generated_tokens_per_sec'], 1),
+            'llm_serving_requests_per_sec': round(
+                serve['requests_per_sec'], 2),
             'calibration_images_per_sec': round(
                 calprof.get('images', 0) /
                 max(calprof.get('compile_s', 0) + calprof.get('run_s', 0),

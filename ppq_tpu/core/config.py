@@ -21,3 +21,14 @@ class _GlobalConfig:
 
 
 PPQ_TPU_CONFIG = _GlobalConfig()
+
+
+def enable_compilation_cache(cache_dir: str = '/tmp/ppq_tpu_xla_cache',
+                             min_compile_secs: float = 2.0):
+    """Turn on JAX's persistent XLA compilation cache — repeat quantization
+    and serving runs of the same model then skip their multi-minute
+    first-compiles. Call once before any jit."""
+    import jax
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      float(min_compile_secs))

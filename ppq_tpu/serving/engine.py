@@ -233,6 +233,35 @@ class ServingEngine:
         return requests
 
     # ---------------------------------------------------------------- bench
+    def benchmark_serving(self, n_requests: int = 32, prompt_len: int = 64,
+                          max_new_tokens: int = 32,
+                          seed: int = 0) -> Dict[str, float]:
+        """End-to-end continuous-batching throughput: a burst of requests
+        streamed through run() — includes prefill, scheduling, and decode."""
+        rng = np.random.RandomState(seed)
+        reqs = [Request(i, rng.randint(1, self.cfg.vocab_size,
+                                       prompt_len).tolist(),
+                        max_new_tokens=max_new_tokens)
+                for i in range(n_requests)]
+        # warm the compiled paths (one admit + one decode)
+        warm = [Request(-1, reqs[0].prompt, max_new_tokens=2)]
+        self.run(warm)
+        self.cache = self._new_cache()
+        self.slot_len[:] = 0
+        self.slot_req = [None] * self.cfg.max_batch
+
+        t0 = time.perf_counter()
+        self.run(reqs)
+        dt = time.perf_counter() - t0
+        gen_tokens = sum(len(r.generated) for r in reqs)
+        prompt_tokens = n_requests * prompt_len
+        return {
+            'requests_per_sec': n_requests / dt,
+            'generated_tokens_per_sec': gen_tokens / dt,
+            'total_tokens_per_sec': (gen_tokens + prompt_tokens) / dt,
+            'wall_s': dt,
+        }
+
     def benchmark_decode(self, batch: Optional[int] = None, steps: int = 50,
                          warmup: int = 5) -> Dict[str, float]:
         """Steady-state decode throughput (tokens/sec) at full batch."""
