@@ -4,8 +4,10 @@ config family."""
 
 from .builder import NetBuilder
 from .detection import yolo_lite
+from .segmentation import deeplab_lite, srcnn, unet_lite
 from .transformer import bert_encoder, crnn_ocr, mha_fused_encoder
 from .vision import mobilenet_v2, resnet18, tiny_cnn
 
 __all__ = ['NetBuilder', 'yolo_lite', 'bert_encoder', 'crnn_ocr',
-           'mha_fused_encoder', 'mobilenet_v2', 'resnet18', 'tiny_cnn']
+           'mha_fused_encoder', 'mobilenet_v2', 'resnet18', 'tiny_cnn',
+           'deeplab_lite', 'srcnn', 'unet_lite']

@@ -101,3 +101,21 @@ def test_mobilenet_v2_int8_with_equalization():
     equalized = snr_of(s)
     assert equalized < 0.6, equalized
     assert equalized < plain * 1.1, (plain, equalized)
+
+
+def test_deeplab_lite_int8():
+    from ppq_tpu.zoo import deeplab_lite
+    fn = lambda: deeplab_lite(num_classes=4, in_size=32)
+    quantize_and_check(fn, (1, 3, 32, 32), snr_limit=0.05)
+
+
+def test_srcnn_int8():
+    from ppq_tpu.zoo import srcnn
+    fn = lambda: srcnn(scale=2, in_size=16)
+    quantize_and_check(fn, (1, 1, 16, 16), snr_limit=0.05)
+
+
+def test_unet_lite_int8():
+    from ppq_tpu.zoo import unet_lite
+    fn = lambda: unet_lite(in_size=32)
+    quantize_and_check(fn, (1, 3, 32, 32), snr_limit=0.05)
