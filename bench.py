@@ -47,7 +47,7 @@ def main():
     dec = eng.benchmark_decode(steps=30, warmup=3)
     _t('llm decode measured')
     serve = eng.benchmark_serving(n_requests=16, prompt_len=64,
-                                  max_new_tokens=32)
+                                  max_new_tokens=32, sync_every=32)
     _t('llm serving measured')
     del eng
 

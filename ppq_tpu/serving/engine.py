@@ -127,6 +127,7 @@ class ServingEngine:
         B = cfg.max_batch
         self.slot_len = np.zeros(B, np.int64)        # tokens in cache per slot
         self.slot_req: List[Optional[Request]] = [None] * B
+        self._decode_burst: Dict[int, Any] = {}
         self._decode = self._build_decode()
         self._prefill = {}                            # bucket → jitted fn
 
@@ -152,29 +153,64 @@ class ServingEngine:
             return next_tok, cache
         return decode_step
 
+    def _build_decode_burst(self, n_steps: int):
+        """n greedy decode steps in ONE jitted lax.scan — a single host
+        round-trip per burst. On a tunneled/remote accelerator the per-step
+        sync dominates serving latency; bursting amortizes it (and trims
+        dispatch overhead on local chips too)."""
+        if n_steps in self._decode_burst:
+            return self._decode_burst[n_steps]
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode_burst(params, cache, tokens, seq_lens):
+            def body(carry, _):
+                cache, tokens, seq_lens = carry
+                positions = seq_lens[:, None]
+                logits, cache = forward(params, cache, tokens[:, None],
+                                        positions, seq_lens, seq_lens + 1,
+                                        cfg)
+                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                return (cache, nxt, seq_lens + 1), nxt
+
+            (cache, _, seq_lens), toks = jax.lax.scan(
+                body, (cache, tokens, seq_lens), None, length=n_steps)
+            return toks, cache                      # toks: (n_steps, B)
+        self._decode_burst[n_steps] = decode_burst
+        return decode_burst
+
     def _prefill_fn(self, bucket: int):
+        """Batched masked prefill: all max_batch slots run through one jitted
+        program; inactive slots are masked out of the cache write — a burst
+        of admits costs one prefill instead of one per request."""
         if bucket in self._prefill:
             return self._prefill[bucket]
         cfg = self.cfg
+        B = cfg.max_batch
 
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=())
-        def prefill(params, cache, tokens, length, slot):
-            # tokens: (1, bucket) padded prompt for one slot
-            positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
-            write_pos = jnp.zeros((1,), jnp.int32)
-            # slice this slot's cache, run, write back
-            def take(c):
-                return jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1)
-            sub_cache = {k: take(v) for k, v in cache.items()}
-            logits, sub_cache = forward(params, sub_cache, tokens,
-                                        positions, write_pos,
-                                        jnp.array([bucket]), cfg)
-            def put(c, s):
-                return jax.lax.dynamic_update_slice_in_dim(
-                    c, s, slot, axis=1)
-            cache = {k: put(cache[k], sub_cache[k]) for k in cache}
-            last = jnp.argmax(logits[0, length - 1, :]).astype(jnp.int32)
-            return last, cache
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill(params, cache, tokens, lengths, active):
+            # tokens: (B, bucket); lengths: (B,); active: (B,) bool
+            positions = jnp.broadcast_to(
+                jnp.arange(bucket, dtype=jnp.int32)[None, :], (B, bucket))
+            write_pos = jnp.zeros((B,), jnp.int32)
+            fresh = init_kv_cache(cfg, B)
+            logits, new_cache = forward(params, fresh, tokens, positions,
+                                        write_pos,
+                                        jnp.full((B,), bucket, jnp.int32),
+                                        cfg)
+            # merge: active slots take the fresh cache, others keep theirs
+            mask_c = active[None, :, None, None, None]   # (1,B,1,1,1)
+            mask_s = active[None, :, None, None]
+            merged = {}
+            for k in cache:
+                m = mask_c if cache[k].ndim == 5 else mask_s
+                merged[k] = jnp.where(m, new_cache[k].astype(cache[k].dtype),
+                                      cache[k])
+            last = jnp.take_along_axis(
+                jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
+            return last, merged
         self._prefill[bucket] = prefill
         return prefill
 
@@ -186,45 +222,81 @@ class ServingEngine:
         raise ValueError(f'prompt length {n} exceeds largest bucket '
                          f'{self.cfg.prefill_buckets[-1]}')
 
-    def _admit(self, req: Request, slot: int):
-        bucket = self._bucket_for(len(req.prompt))
-        toks = np.zeros((1, bucket), np.int32)
-        toks[0, :len(req.prompt)] = req.prompt
+    def _admit_batch(self, admits):
+        """admits: list of (slot, Request) — one masked batched prefill."""
+        B = self.cfg.max_batch
+        bucket = self._bucket_for(max(len(r.prompt) for _, r in admits))
+        toks = np.zeros((B, bucket), np.int32)
+        lengths = np.zeros(B, np.int32)
+        active = np.zeros(B, bool)
+        for slot, req in admits:
+            toks[slot, :len(req.prompt)] = req.prompt
+            lengths[slot] = len(req.prompt)
+            active[slot] = True
         fn = self._prefill_fn(bucket)
         last, self.cache = fn(self.params, self.cache, jnp.asarray(toks),
-                              len(req.prompt), slot)
-        self.slot_req[slot] = req
-        self.slot_len[slot] = len(req.prompt)
-        req.generated.append(int(last))
+                              jnp.asarray(lengths), jnp.asarray(active))
+        last = np.asarray(last)
+        for slot, req in admits:
+            self.slot_req[slot] = req
+            self.slot_len[slot] = len(req.prompt)
+            req.generated.append(int(last[slot]))
 
-    def run(self, requests: List[Request],
+    def run(self, requests: List[Request], sync_every: int = 1,
             progress: bool = False) -> List[Request]:
-        """Continuous-batching generation loop until all requests finish."""
+        """Continuous-batching generation loop until all requests finish.
+
+        sync_every > 1 decodes that many greedy steps per host round-trip
+        (one lax.scan program); eos-terminated requests are truncated after
+        the burst. Exact for greedy decoding.
+        """
         waiting = list(requests)
         cur_tok = np.zeros(self.cfg.max_batch, np.int32)
         while waiting or any(r is not None for r in self.slot_req):
-            # admit into free slots
+            # admit a burst into all free slots with ONE batched prefill
+            admits = []
             for slot in range(self.cfg.max_batch):
                 if self.slot_req[slot] is None and waiting:
-                    req = waiting.pop(0)
-                    self._admit(req, slot)
+                    admits.append((slot, waiting.pop(0)))
+            if admits:
+                self._admit_batch(admits)
+                for slot, req in admits:
                     cur_tok[slot] = req.generated[-1]
-            # batched decode step
             active = [i for i, r in enumerate(self.slot_req) if r is not None]
             if not active:
                 break
+
+            # fixed burst length (stable jit cache); per-slot overshoot past
+            # max_new_tokens is dropped at retire below
+            cache_room = int(self.cfg.max_seq_len - 1 -
+                             max(self.slot_len[s] for s in active))
+            # (max over active: the fullest slot bounds the burst)
+            n = max(1, min(sync_every, cache_room))
+
             seq_lens = jnp.asarray(self.slot_len, jnp.int32)
-            next_tok, self.cache = self._decode(
-                self.params, self.cache, jnp.asarray(cur_tok), seq_lens)
-            next_np = np.asarray(next_tok)
+            if n == 1:
+                next_tok, self.cache = self._decode(
+                    self.params, self.cache, jnp.asarray(cur_tok), seq_lens)
+                toks_np = np.asarray(next_tok)[None, :]       # (1, B)
+            else:
+                fn = self._build_decode_burst(n)
+                toks, self.cache = fn(self.params, self.cache,
+                                      jnp.asarray(cur_tok), seq_lens)
+                toks_np = np.asarray(toks)                    # (n, B)
+
             for slot in active:
                 req = self.slot_req[slot]
-                self.slot_len[slot] += 1
-                tok = int(next_np[slot])
-                req.generated.append(tok)
-                cur_tok[slot] = tok
+                new = [int(t) for t in toks_np[:, slot]]
+                budget = req.max_new_tokens - len(req.generated)
+                new = new[:max(budget, 0)] or new[:1]
+                if req.eos_id is not None and req.eos_id in new:
+                    new = new[:new.index(req.eos_id) + 1]
+                req.generated.extend(new)
+                self.slot_len[slot] += len(new)
+                cur_tok[slot] = new[-1]
                 limit_hit = len(req.generated) >= req.max_new_tokens
-                eos_hit = req.eos_id is not None and tok == req.eos_id
+                eos_hit = req.eos_id is not None and \
+                    req.generated[-1] == req.eos_id
                 cache_full = self.slot_len[slot] >= self.cfg.max_seq_len - 1
                 if limit_hit or eos_hit or cache_full:
                     req.done = True
@@ -234,7 +306,7 @@ class ServingEngine:
 
     # ---------------------------------------------------------------- bench
     def benchmark_serving(self, n_requests: int = 32, prompt_len: int = 64,
-                          max_new_tokens: int = 32,
+                          max_new_tokens: int = 32, sync_every: int = 8,
                           seed: int = 0) -> Dict[str, float]:
         """End-to-end continuous-batching throughput: a burst of requests
         streamed through run() — includes prefill, scheduling, and decode."""
@@ -244,14 +316,15 @@ class ServingEngine:
                         max_new_tokens=max_new_tokens)
                 for i in range(n_requests)]
         # warm the compiled paths (one admit + one decode)
-        warm = [Request(-1, reqs[0].prompt, max_new_tokens=2)]
-        self.run(warm)
+        warm = [Request(-1, reqs[0].prompt,
+                        max_new_tokens=max(2, sync_every))]
+        self.run(warm, sync_every=sync_every)
         self.cache = self._new_cache()
         self.slot_len[:] = 0
         self.slot_req = [None] * self.cfg.max_batch
 
         t0 = time.perf_counter()
-        self.run(reqs)
+        self.run(reqs, sync_every=sync_every)
         dt = time.perf_counter() - t0
         gen_tokens = sum(len(r.generated) for r in reqs)
         prompt_tokens = n_requests * prompt_len

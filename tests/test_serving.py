@@ -143,3 +143,35 @@ class TestEngine:
         eng = ServingEngine(cfg, params)
         res = eng.benchmark_decode(steps=3, warmup=1)
         assert res['tokens_per_sec'] > 0
+
+
+class TestBurstDecode:
+    def test_sync_every_parity(self):
+        """sync_every>1 must generate exactly the same tokens (greedy)."""
+        cfg = LlamaConfig.tiny()
+        params = init_llama_params(cfg, seed=13)
+
+        def gen(sync_every):
+            eng = ServingEngine(cfg, params)
+            reqs = [Request(i, [2 + i, 5, 7], max_new_tokens=9)
+                    for i in range(3)]
+            eng.run(reqs, sync_every=sync_every)
+            return [r.generated for r in reqs]
+
+        assert gen(1) == gen(4) == gen(9)
+
+    def test_burst_with_eos_truncates(self):
+        cfg = LlamaConfig.tiny()
+        params = init_llama_params(cfg, seed=14)
+        eng = ServingEngine(cfg, params)
+        r0 = Request(0, [1, 2, 3], max_new_tokens=12)
+        eng.run([r0])
+        if len(set(r0.generated)) < 2:
+            pytest.skip('degenerate generation')
+        eos = r0.generated[4]
+        eng2 = ServingEngine(cfg, params)
+        r1 = Request(0, [1, 2, 3], max_new_tokens=12, eos_id=eos)
+        eng2.run([r1], sync_every=6)
+        assert r1.generated[-1] == eos
+        assert len(r1.generated) <= 12
+        assert eos not in r1.generated[:-1]
