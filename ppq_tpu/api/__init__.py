@@ -1,4 +1,6 @@
-from .interface import (dispatch_graph, export_ppq_graph, format_graph,
+from .interface import (DEQUANTIZE_GRAPH, DISABLE_PALLAS_KERNEL,
+                        ENABLE_PALLAS_KERNEL, dispatch_graph,
+                        export_ppq_graph, format_graph,
                         load_caffe_graph, load_graph, load_native_graph,
                         load_onnx_graph, load_torch_model, manop,
                         quantize_caffe_model, quantize_torch_model,
@@ -8,6 +10,7 @@ from .setting import (QuantizationSetting, QuantizationSettingFactory,
                       UnbelievableUserFriendlyQuantizationSetting)
 
 __all__ = [
+    'ENABLE_PALLAS_KERNEL', 'DISABLE_PALLAS_KERNEL', 'DEQUANTIZE_GRAPH',
     'dispatch_graph', 'export_ppq_graph', 'format_graph', 'load_graph',
     'load_native_graph', 'load_onnx_graph', 'manop', 'quantize_graph',
     'quantize_native_model', 'quantize_onnx_model', 'quantize_caffe_model',

@@ -26,7 +26,8 @@ __all__ = [
     'dispatch_graph', 'quantize_onnx_model', 'quantize_graph',
     'quantize_native_model', 'quantize_caffe_model', 'load_caffe_graph',
     'quantize_torch_model', 'load_torch_model',
-    'export_ppq_graph', 'manop',
+    'export_ppq_graph', 'manop', 'ENABLE_PALLAS_KERNEL',
+    'DISABLE_PALLAS_KERNEL', 'DEQUANTIZE_GRAPH',
     'QuantizationSetting', 'QuantizationSettingFactory',
 ]
 
@@ -210,6 +211,48 @@ def export_ppq_graph(graph: BaseGraph, platform: TargetPlatform,
                     config_path=config_save_to, **kwargs)
     ppq_info(f'Graph exported to {graph_save_to} '
              f'({type(exporter).__name__})')
+
+
+class ENABLE_PALLAS_KERNEL:
+    """Scope the Pallas fake-quant kernels on (reference pattern:
+    ENABLE_CUDA_KERNEL, api/interface.py:915)."""
+
+    def __init__(self, enabled: bool = True):
+        self._enabled = enabled
+
+    def __enter__(self):
+        from ..core.config import PPQ_TPU_CONFIG
+        self._saved = PPQ_TPU_CONFIG.USING_PALLAS_KERNEL
+        PPQ_TPU_CONFIG.USING_PALLAS_KERNEL = self._enabled
+        return self
+
+    def __exit__(self, *exc):
+        from ..core.config import PPQ_TPU_CONFIG
+        PPQ_TPU_CONFIG.USING_PALLAS_KERNEL = self._saved
+
+
+class DISABLE_PALLAS_KERNEL(ENABLE_PALLAS_KERNEL):
+    """(reference: DISABLE_CUDA_KERNEL, api/interface.py:942)"""
+
+    def __init__(self):
+        super().__init__(enabled=False)
+
+
+class DEQUANTIZE_GRAPH:
+    """Temporarily disable all quantization on a graph
+    (reference api/interface.py:957)."""
+
+    def __init__(self, graph: BaseGraph):
+        self.graph = graph
+
+    def __enter__(self):
+        from ..ir import dequantize_graph
+        dequantize_graph(self.graph)
+        return self.graph
+
+    def __exit__(self, *exc):
+        from ..ir import restore_graph_quantization
+        restore_graph_quantization(self.graph)
 
 
 def manop(graph: BaseGraph, list_of_passes, calib_dataloader=None,

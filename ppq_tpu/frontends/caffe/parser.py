@@ -31,14 +31,6 @@ def _blob_to_array(blob: 'pb.BlobProto') -> np.ndarray:
     return data.reshape(dims) if dims else data
 
 
-def _uniq(seq):
-    out = []
-    for s in seq:
-        if s not in out:
-            out.append(s)
-    return out
-
-
 class CaffeParser(GraphBuilder):
     def build(self, prototxt_path: str,
               caffemodel_path: Optional[str] = None) -> BaseGraph:
