@@ -37,19 +37,25 @@ def main():
 
     # --- LLM INT8 serving decode first: measured in a clean process state
     # (eager/XLA residue from the resnet phase perturbs decode latency) ----
-    from ppq_tpu.serving import LlamaConfig, ServingEngine, init_llama_params
-    cfg = LlamaConfig(d_model=2048, n_layers=16, n_heads=16, n_kv_heads=8,
-                      d_ff=5632, vocab_size=32000, max_seq_len=1024,
-                      max_batch=8, weight_bits=8)
-    cfg.prefill_buckets = (128,)
-    eng = ServingEngine(cfg, init_llama_params(cfg, seed=0))
-    _t('llm engine built')
-    dec = eng.benchmark_decode(steps=30, warmup=3)
-    _t('llm decode measured')
-    serve = eng.benchmark_serving(n_requests=16, prompt_len=64,
-                                  max_new_tokens=32, sync_every=32)
-    _t('llm serving measured')
-    del eng
+    dec = {'tokens_per_sec': 0.0, 'ms_per_step': 0.0}
+    serve = {'generated_tokens_per_sec': 0.0, 'requests_per_sec': 0.0}
+    try:
+        from ppq_tpu.serving import (LlamaConfig, ServingEngine,
+                                     init_llama_params)
+        cfg = LlamaConfig(d_model=2048, n_layers=16, n_heads=16, n_kv_heads=8,
+                          d_ff=5632, vocab_size=32000, max_seq_len=1024,
+                          max_batch=8, weight_bits=8)
+        cfg.prefill_buckets = (128,)
+        eng = ServingEngine(cfg, init_llama_params(cfg, seed=0))
+        _t('llm engine built')
+        dec = eng.benchmark_decode(steps=30, warmup=3)
+        _t('llm decode measured')
+        serve = eng.benchmark_serving(n_requests=16, prompt_len=64,
+                                      max_new_tokens=32, sync_every=32)
+        _t('llm serving measured')
+        del eng
+    except Exception as e:   # never let the LLM phase sink the headline
+        print(f'[bench] llm phase failed: {e}', file=sys.stderr)
 
     batch = 8
     shape = (batch, 3, 224, 224)

@@ -110,12 +110,29 @@ class Request:
         self.done = False
 
 
+class SamplingParams:
+    """Engine-wide sampling configuration (greedy when temperature == 0)."""
+
+    def __init__(self, temperature: float = 0.0, top_k: int = 0,
+                 seed: int = 0):
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.seed = int(seed)
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature <= 0.0
+
+
 # ---------------------------------------------------------------- engine ---
 class ServingEngine:
     def __init__(self, cfg: LlamaConfig, params: Params,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None,
+                 sampling: Optional[SamplingParams] = None):
         self.cfg = cfg
         self.mesh = mesh
+        self.sampling = sampling or SamplingParams()
+        self._rng_key = jax.random.PRNGKey(self.sampling.seed)
         if mesh is not None:
             spec = param_shardings(cfg, mesh)(params)
             params = jax.tree.map(jax.device_put, params, spec)
@@ -140,16 +157,27 @@ class ServingEngine:
         return cache
 
     # ------------------------------------------------------------ compiled
+    def _select(self, logits, key):
+        """Greedy or (top-k) temperature sampling over (B, vocab) logits."""
+        sp = self.sampling
+        if sp.greedy:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        scaled = logits / sp.temperature
+        if sp.top_k > 0:
+            kth = jnp.sort(scaled, axis=-1)[:, -sp.top_k][:, None]
+            scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
     def _build_decode(self):
         cfg = self.cfg
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def decode_step(params, cache, tokens, seq_lens):
+        def decode_step(params, cache, tokens, seq_lens, key):
             # tokens: (B,) current token per slot; seq_lens: (B,) cache fill
             positions = seq_lens[:, None]                    # (B, 1)
             logits, cache = forward(params, cache, tokens[:, None],
                                     positions, seq_lens, seq_lens + 1, cfg)
-            next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+            next_tok = self._select(logits[:, -1, :], key)
             return next_tok, cache
         return decode_step
 
@@ -163,18 +191,19 @@ class ServingEngine:
         cfg = self.cfg
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def decode_burst(params, cache, tokens, seq_lens):
-            def body(carry, _):
+        def decode_burst(params, cache, tokens, seq_lens, key):
+            def body(carry, step_key):
                 cache, tokens, seq_lens = carry
                 positions = seq_lens[:, None]
                 logits, cache = forward(params, cache, tokens[:, None],
                                         positions, seq_lens, seq_lens + 1,
                                         cfg)
-                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                nxt = self._select(logits[:, -1, :], step_key)
                 return (cache, nxt, seq_lens + 1), nxt
 
+            keys = jax.random.split(key, n_steps)
             (cache, _, seq_lens), toks = jax.lax.scan(
-                body, (cache, tokens, seq_lens), None, length=n_steps)
+                body, (cache, tokens, seq_lens), keys)
             return toks, cache                      # toks: (n_steps, B)
         self._decode_burst[n_steps] = decode_burst
         return decode_burst
@@ -274,14 +303,17 @@ class ServingEngine:
             n = max(1, min(sync_every, cache_room))
 
             seq_lens = jnp.asarray(self.slot_len, jnp.int32)
+            self._rng_key, step_key = jax.random.split(self._rng_key)
             if n == 1:
                 next_tok, self.cache = self._decode(
-                    self.params, self.cache, jnp.asarray(cur_tok), seq_lens)
+                    self.params, self.cache, jnp.asarray(cur_tok), seq_lens,
+                    step_key)
                 toks_np = np.asarray(next_tok)[None, :]       # (1, B)
             else:
                 fn = self._build_decode_burst(n)
                 toks, self.cache = fn(self.params, self.cache,
-                                      jnp.asarray(cur_tok), seq_lens)
+                                      jnp.asarray(cur_tok), seq_lens,
+                                      step_key)
                 toks_np = np.asarray(toks)                    # (n, B)
 
             for slot in active:
@@ -342,12 +374,15 @@ class ServingEngine:
         cache = self._new_cache()
         tokens = jnp.zeros((self.cfg.max_batch,), jnp.int32)
         seq_lens = jnp.full((self.cfg.max_batch,), 16, jnp.int32)
+        key = jax.random.PRNGKey(0)
         for _ in range(warmup):
-            tok, cache = self._decode(self.params, cache, tokens, seq_lens)
+            tok, cache = self._decode(self.params, cache, tokens, seq_lens,
+                                      key)
         tok.block_until_ready()
         t0 = time.perf_counter()
         for _ in range(steps):
-            tok, cache = self._decode(self.params, cache, tokens, seq_lens)
+            tok, cache = self._decode(self.params, cache, tokens, seq_lens,
+                                      key)
         tok.block_until_ready()
         dt = time.perf_counter() - t0
         toks_per_s = B * steps / dt

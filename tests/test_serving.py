@@ -175,3 +175,36 @@ class TestBurstDecode:
         assert r1.generated[-1] == eos
         assert len(r1.generated) <= 12
         assert eos not in r1.generated[:-1]
+
+
+class TestSampling:
+    def test_temperature_sampling_varies(self):
+        from ppq_tpu.serving.engine import SamplingParams
+        cfg = LlamaConfig.tiny()
+        params = init_llama_params(cfg, seed=15)
+
+        def gen(seed):
+            eng = ServingEngine(
+                cfg, params,
+                sampling=SamplingParams(temperature=1.5, top_k=20,
+                                        seed=seed))
+            r = Request(0, [3, 5], max_new_tokens=12)
+            eng.run([r], sync_every=4)
+            return r.generated
+
+        a, b = gen(0), gen(1)
+        assert len(a) == len(b) == 12
+        assert a != b, 'different seeds must sample different tokens'
+
+    def test_zero_temperature_is_greedy(self):
+        from ppq_tpu.serving.engine import SamplingParams
+        cfg = LlamaConfig.tiny()
+        params = init_llama_params(cfg, seed=16)
+        eng1 = ServingEngine(cfg, params)
+        eng2 = ServingEngine(cfg, params,
+                             sampling=SamplingParams(temperature=0.0))
+        r1 = Request(0, [4, 2], max_new_tokens=6)
+        r2 = Request(0, [4, 2], max_new_tokens=6)
+        eng1.run([r1])
+        eng2.run([r2])
+        assert r1.generated == r2.generated
