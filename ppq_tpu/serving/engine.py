@@ -243,18 +243,84 @@ class ServingEngine:
         self._prefill[bucket] = prefill
         return prefill
 
+    def _prefill_chunk_fn(self, chunk: int):
+        """Continuation prefill: write `chunk` prompt tokens at an arbitrary
+        cache offset, attending over everything already in the cache —
+        prompts longer than any bucket stream through in chunk-size pieces
+        (one compiled program regardless of prompt length)."""
+        key = ('chunk', chunk)
+        if key in self._prefill:
+            return self._prefill[key]
+        cfg = self.cfg
+        B = cfg.max_batch
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill_chunk(params, cache, tokens, write_pos, active):
+            positions = write_pos[:, None] + jnp.arange(chunk,
+                                                        dtype=jnp.int32)
+            logits, new_cache = forward(params, cache, tokens, positions,
+                                        write_pos, write_pos + chunk, cfg)
+            mask_c = active[None, :, None, None, None]
+            mask_s = active[None, :, None, None]
+            merged = {}
+            for k in cache:
+                m = mask_c if cache[k].ndim == 5 else mask_s
+                merged[k] = jnp.where(m, new_cache[k].astype(cache[k].dtype),
+                                      cache[k])
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), merged
+        self._prefill[key] = prefill_chunk
+        return prefill_chunk
+
     # ------------------------------------------------------------- serving
     def _bucket_for(self, n: int) -> int:
         for b in self.cfg.prefill_buckets:
             if n <= b:
                 return b
-        raise ValueError(f'prompt length {n} exceeds largest bucket '
-                         f'{self.cfg.prefill_buckets[-1]}')
+        # longer prompts stream through chunked prefill
+        return -1
+
+    def _admit_long(self, req: Request, slot: int):
+        """Chunked prefill for prompts longer than every bucket: stream the
+        prompt through the cache in chunk-size pieces (the final chunk
+        overlaps backward so no padded garbage lands in the cache)."""
+        B = self.cfg.max_batch
+        chunk = self.cfg.prefill_buckets[-1]
+        n = len(req.prompt)
+        if n >= self.cfg.max_seq_len:
+            raise ValueError(f'prompt length {n} exceeds max_seq_len '
+                             f'{self.cfg.max_seq_len}')
+        fn = self._prefill_chunk_fn(chunk)
+        offsets = list(range(0, n - chunk, chunk)) + [n - chunk]
+        active = np.zeros(B, bool)
+        active[slot] = True
+        last = None
+        for off in offsets:
+            toks = np.zeros((B, chunk), np.int32)
+            toks[slot] = req.prompt[off: off + chunk]
+            write_pos = np.zeros(B, np.int32)
+            write_pos[slot] = off
+            last, self.cache = fn(self.params, self.cache,
+                                  jnp.asarray(toks), jnp.asarray(write_pos),
+                                  jnp.asarray(active))
+        self.slot_req[slot] = req
+        self.slot_len[slot] = n
+        req.generated.append(int(np.asarray(last)[slot, n - 1 - offsets[-1]]))
 
     def _admit_batch(self, admits):
         """admits: list of (slot, Request) — one masked batched prefill."""
         B = self.cfg.max_batch
-        bucket = self._bucket_for(max(len(r.prompt) for _, r in admits))
+        longest = max(len(r.prompt) for _, r in admits)
+        if self._bucket_for(longest) == -1:
+            # split: chunked path for over-bucket prompts, batched for rest
+            long_admits = [(s, r) for s, r in admits
+                           if self._bucket_for(len(r.prompt)) == -1]
+            short_admits = [a for a in admits if a not in long_admits]
+            for slot, req in long_admits:
+                self._admit_long(req, slot)
+            if short_admits:
+                self._admit_batch(short_admits)
+            return
+        bucket = self._bucket_for(longest)
         toks = np.zeros((B, bucket), np.int32)
         lengths = np.zeros(B, np.int32)
         active = np.zeros(B, bool)

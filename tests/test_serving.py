@@ -208,3 +208,36 @@ class TestSampling:
         eng1.run([r1])
         eng2.run([r2])
         assert r1.generated == r2.generated
+
+
+class TestChunkedPrefill:
+    def test_long_prompt_matches_single_bucket(self):
+        """A prompt longer than every bucket must produce the same tokens as
+        an engine whose bucket covers it outright."""
+        import dataclasses
+        cfg_small = LlamaConfig.tiny()          # buckets (16, 64)
+        cfg_big = LlamaConfig.tiny()
+        cfg_big.prefill_buckets = (128,)        # covers the prompt directly
+
+        params = init_llama_params(cfg_small, seed=17)
+        prompt = list(np.random.RandomState(5).randint(1, 200, 100))
+
+        eng_big = ServingEngine(cfg_big, params)
+        r_ref = Request(0, prompt, max_new_tokens=6)
+        eng_big.run([r_ref])
+
+        eng_small = ServingEngine(cfg_small, params)
+        r_chunk = Request(0, prompt, max_new_tokens=6)
+        eng_small.run([r_chunk])
+
+        assert r_chunk.generated == r_ref.generated
+
+    def test_long_and_short_requests_mix(self):
+        cfg = LlamaConfig.tiny()
+        params = init_llama_params(cfg, seed=18)
+        eng = ServingEngine(cfg, params)
+        long_prompt = list(np.random.RandomState(6).randint(1, 200, 80))
+        reqs = [Request(0, long_prompt, max_new_tokens=4),
+                Request(1, [5, 9, 2], max_new_tokens=4)]
+        eng.run(reqs)
+        assert all(len(r.generated) == 4 for r in reqs)
