@@ -255,10 +255,25 @@ class TPUExecutor(BaseGraphExecutor):
             feed[var.name] = jnp.zeros(shape, var.dtype.to_numpy())
         return self.forward(feed)
 
-    def forward_with_gradient(self, *args, **kwargs):
-        raise NotImplementedError(
-            'JAX is functional: build a differentiable closure with '
-            'ppq_tpu.executor.compile.build_block_function and use jax.grad.')
+    def forward_with_gradient(self, inputs,
+                              output_names: Optional[List[str]] = None):
+        """Differentiable forward (reference torch.py:412, torch autograd).
+
+        JAX is functional, so instead of taped tensors this returns
+        (outputs, vjp_fn): vjp_fn(cotangents) -> (param_grads, qparam_grads)
+        pulled back through the whole compiled graph — quant sites included
+        via their custom-vjp STE/LSQ rules.
+        """
+        from .compile import CompiledGraph
+        cg = CompiledGraph(self.graph, output_names=output_names)
+        params = cg.init_params()
+        qparams = cg.init_qparams()
+        fwd = cg.build_trainable_forward()
+        feed = self._feed(inputs)
+        feed = {k: jnp.asarray(v) for k, v in feed.items()}
+        outputs, vjp_fn = jax.vjp(lambda p, q: fwd(p, q, feed),
+                                  params, qparams)
+        return outputs, vjp_fn
 
 
 def _dtype_of(v) -> DataType:

@@ -114,9 +114,10 @@ class SamplingParams:
     """Engine-wide sampling configuration (greedy when temperature == 0)."""
 
     def __init__(self, temperature: float = 0.0, top_k: int = 0,
-                 seed: int = 0):
+                 top_p: float = 1.0, seed: int = 0):
         self.temperature = float(temperature)
         self.top_k = int(top_k)
+        self.top_p = float(top_p)
         self.seed = int(seed)
 
     @property
@@ -166,6 +167,16 @@ class ServingEngine:
         if sp.top_k > 0:
             kth = jnp.sort(scaled, axis=-1)[:, -sp.top_k][:, None]
             scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        if sp.top_p < 1.0:
+            # nucleus: keep the smallest prefix of sorted probs covering p
+            sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_logits, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # cutoff logit: last one whose preceding cumulative mass < p
+            keep = cum - probs < sp.top_p
+            cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
+                             axis=-1, keepdims=True)
+            scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
         return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 
     def _build_decode(self):

@@ -241,3 +241,20 @@ class TestChunkedPrefill:
                 Request(1, [5, 9, 2], max_new_tokens=4)]
         eng.run(reqs)
         assert all(len(r.generated) == 4 for r in reqs)
+
+
+def test_top_p_sampling_restricts_support():
+    """With tiny top_p the sampler must collapse to near-greedy."""
+    from ppq_tpu.serving.engine import SamplingParams
+    cfg = LlamaConfig.tiny()
+    params = init_llama_params(cfg, seed=19)
+    greedy_eng = ServingEngine(cfg, params)
+    rg = Request(0, [7, 3], max_new_tokens=8)
+    greedy_eng.run([rg])
+
+    nucleus_eng = ServingEngine(
+        cfg, params, sampling=SamplingParams(temperature=1.0, top_p=1e-6,
+                                             seed=0))
+    rn = Request(0, [7, 3], max_new_tokens=8)
+    nucleus_eng.run([rn])
+    assert rn.generated == rg.generated
