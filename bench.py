@@ -87,12 +87,14 @@ def main():
     ex = TPUExecutor(graph)
     np.asarray(ex.forward(x)[0])     # warm
     _t('eager warm')
-    t0 = time.perf_counter()
-    eager_iters = 1
-    for _ in range(eager_iters):
+    # best of 3 single-iteration measurements: the per-op dispatch baseline
+    # fluctuates with tunnel load; report its best case (conservative ratio)
+    eager_ips = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
         r = ex.forward(x)[0]
-    np.asarray(r)
-    eager_ips = batch * eager_iters / (time.perf_counter() - t0)
+        np.asarray(r)
+        eager_ips = max(eager_ips, batch / (time.perf_counter() - t0))
 
     # --- deployment mode: bf16 MXU fast path -------------------------------
     _t('eager measured')

@@ -125,7 +125,11 @@ def _soi_eval(op, vals):
     if t == 'Where':
         return np.where(a[0], a[1], a[2])
     if t == 'Reshape':
-        return a[0].reshape([int(v) for v in a[1].reshape(-1)])
+        shape = [int(v) for v in a[1].reshape(-1)]
+        if not int(attrs.get('allowzero', 0)):
+            shape = [a[0].shape[i] if v == 0 else v
+                     for i, v in enumerate(shape)]
+        return a[0].reshape(shape)
     if t == 'Transpose':
         return np.transpose(a[0], attrs.get('perm'))
     if t == 'Expand':

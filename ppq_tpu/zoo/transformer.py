@@ -42,7 +42,9 @@ def bert_encoder(seq_len: int = 128, d_model: int = 256, n_heads: int = 4,
         v = dense(h, d_model, d_model)
 
         def split_heads(t):
-            t = b.reshape(t, [batch, seq_len, n_heads, dh])
+            # 0 = copy batch dim from input (onnx Reshape semantics) —
+            # keeps the graph batch-size agnostic like real exports
+            t = b.reshape(t, [0, seq_len, n_heads, dh])
             return b.transpose(t, [0, 2, 1, 3])       # (B, H, T, dh)
 
         qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
@@ -53,7 +55,7 @@ def bert_encoder(seq_len: int = 128, d_model: int = 256, n_heads: int = 4,
         probs = b.softmax(scores, axis=-1)
         ctx = b.matmul(probs, vh)                     # (B, H, T, dh)
         ctx = b.transpose(ctx, [0, 2, 1, 3])
-        ctx = b.reshape(ctx, [batch, seq_len, d_model])
+        ctx = b.reshape(ctx, [0, seq_len, d_model])
         attn_out = dense(ctx, d_model, d_model)
         h = layer_norm(b.add(h, attn_out))
 
