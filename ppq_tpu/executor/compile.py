@@ -145,6 +145,32 @@ def _soi_eval(op, vals):
         f'add it to _soi_eval or dispatch it off the compiled region.')
 
 
+def _device_histogram(idx: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """Scatter-free histogram: chunked equality-sum reduction.
+
+    jnp.bincount lowers to scatter-add, which the TPU compiler handles
+    pathologically slowly when dozens of instances appear in one program
+    (~5s compile each — calibration programs took minutes). An equality
+    one-hot reduction is pure VPU math: ~N*bins bool ops per tensor,
+    memory-bounded by the chunk, and compiles in milliseconds.
+    """
+    CH = 8192
+    n = idx.shape[0]
+    pad = (-n) % CH
+    if pad:
+        idx = jnp.concatenate([idx, jnp.full((pad,), -1, idx.dtype)])
+    chunks = idx.reshape(-1, CH)
+    bin_ids = jnp.arange(bins, dtype=idx.dtype)
+
+    def body(acc, chunk):
+        return acc + jnp.sum(
+            (chunk[:, None] == bin_ids[None, :]).astype(jnp.int32),
+            axis=0), None
+
+    counts, _ = jax.lax.scan(body, jnp.zeros((bins,), jnp.int32), chunks)
+    return counts
+
+
 def compilable(graph: BaseGraph) -> Tuple[bool, List[str]]:
     bad = [op.name for op in graph.operations.values()
            if op.type in UNCOMPILABLE_TYPES]
@@ -334,7 +360,7 @@ class CompiledGraph:
                     if isinstance(entry, dict) else OBSERVER_KL_HIST_BINS)
             idx = jnp.clip((jnp.abs(v).reshape(-1) / scale).astype(jnp.int32),
                            0, bins - 1)
-            stats[var_name] = jnp.bincount(idx, length=bins)
+            stats[var_name] = _device_histogram(idx, bins)
         elif kind == 'hist_signed':
             # signed histogram over a precomputed [lo, hi) range — used by
             # the compiled percentile calibrator (an XLA sort/quantile over
@@ -344,7 +370,7 @@ class CompiledGraph:
             bins = entry.get('bins', OBSERVER_KL_HIST_BINS)
             idx = jnp.clip(((v.reshape(-1) - lo) / width).astype(jnp.int32),
                            0, bins - 1)
-            stats[var_name] = jnp.bincount(idx, length=bins)
+            stats[var_name] = _device_histogram(idx, bins)
 
     def _trace(self, params: dict, qparams: Optional[dict], inputs: dict,
                stat_kind: Optional[str] = None,

@@ -136,7 +136,15 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
             spec[n] = {'kind': 'absmax'}
 
         import time as _time
+        _t0 = _time.perf_counter()
+
+        def _dbg(msg):
+            from ...core import PPQ_TPU_CONFIG
+            if PPQ_TPU_CONFIG.DEBUG:
+                ppq_info(f'[calib] {msg} (+{_time.perf_counter() - _t0:.1f}s)')
+
         fn = cg.build_calibration_forward(spec)
+        _dbg('phase1 traced')
         folds: Dict[str, list] = {}
         n_batches = 0
         n_images = 0
@@ -163,6 +171,7 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                 pass
         if n_batches == 0:
             raise ValueError('Calibration dataloader yielded no batches.')
+        _dbg('phase1 folded')
         LAST_CALIBRATION_PROFILE.clear()
         LAST_CALIBRATION_PROFILE.update({
             'batches': n_batches, 'images': n_images,
@@ -192,13 +201,16 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                 width = max((hi - lo) / bins, OBSERVER_MIN_SCALE)
                 spec_p[n] = {'kind': 'hist_signed', 'lo': lo,
                              'width': width, 'bins': bins}
+            _dbg('phase2a spec built')
             fn_p = cg.build_calibration_forward(spec_p)
             hists_p: Dict[str, np.ndarray] = {}
-            for batch in self._batches(dataloader, collate_fn):
+            for bi, batch in enumerate(self._batches(dataloader, collate_fn)):
                 _, stats = fn_p(params, self._feed(cg, batch))
+                _dbg(f'phase2a batch {bi} dispatched')
                 for name, h in stats.items():
                     hists_p[name] = hists_p.get(name, 0) + \
                         np.asarray(h, np.float64)
+                _dbg(f'phase2a batch {bi} folded')
             for name, h in hists_p.items():
                 cfg = targets[name]
                 pct = float(cfg.detail.get(OBSERVER_PERCENTILE_MANUL_OVERRIDE,
@@ -213,6 +225,7 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                 scale, offset = minmax_to_scale_offset(
                     np.asarray(lo_v), np.asarray(hi_v), cfg)
                 self._activate(cfg, scale, offset)
+            _dbg('phase2a rendered')
 
         # ---------------- phase 2: histograms for kl/mse -------------------
         if twophase:
