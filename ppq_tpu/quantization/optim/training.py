@@ -42,6 +42,58 @@ def _batches(dataloader, collate_fn, limit):
             break
 
 
+class _unbaked_parameters:
+    """Context: temporarily restore BAKED/PASSIVE_BAKED parameters to their
+    fp32 values with live (ACTIVATED/PASSIVE) configs, re-baking on exit.
+
+    Training passes may legally run after ParameterBakingPass (manop flows);
+    training must see quantization applied at runtime — and any weight the
+    pass writes must flow into the fp32 shadows so exporters re-quantize
+    the *trained* values (stale shadows broke the deploy==sim guarantee).
+    """
+
+    def __init__(self, graph: BaseGraph):
+        self.graph = graph
+        self.had_baked = False
+
+    def __enter__(self):
+        for op in self.graph.operations.values():
+            if not isinstance(op, QuantableOperation):
+                continue
+            for var, cfg in zip(op.inputs,
+                                op.config.input_quantization_config):
+                if not var.is_parameter:
+                    continue
+                if cfg.state == QuantizationStates.BAKED:
+                    if var.name in op._fp32_params:
+                        var.value = np.array(op._fp32_params[var.name],
+                                             copy=True)
+                    cfg.state = QuantizationStates.ACTIVATED
+                    self.had_baked = True
+                elif cfg.state == QuantizationStates.PASSIVE_BAKED:
+                    if var.name in op._fp32_params:
+                        var.value = np.array(op._fp32_params[var.name],
+                                             copy=True)
+                    cfg.state = QuantizationStates.PASSIVE
+                    self.had_baked = True
+        return self
+
+    def __exit__(self, *exc):
+        if self.had_baked:
+            from .baking import ParameterBakingPass
+            ParameterBakingPass().optimize(self.graph)
+
+
+def _sync_fp32_shadow(graph: BaseGraph, var_name: str, value: np.ndarray):
+    """Write a trained parameter into the IR and its owners' fp32 shadows."""
+    var = graph.variables[var_name]
+    var.value = np.asarray(value)
+    for dest in var.dest_ops:
+        if isinstance(dest, QuantableOperation) and \
+                var_name in dest._fp32_params:
+            dest._fp32_params[var_name] = np.array(var.value, copy=True)
+
+
 def _feed(graph: BaseGraph, batch) -> dict:
     names = list(graph.inputs.keys())
     if isinstance(batch, dict):
@@ -127,10 +179,11 @@ class LearnedStepSizePass(TrainingBasedPass):
         blocks = BlockBuilder(graph).build(self.block_size)
         if not blocks:
             return
-        qt_cache, fp_cache = self.collect_caches(graph, blocks, dataloader,
-                                                 collate_fn)
-        for block in blocks:
-            self._finetune_block(graph, block, qt_cache, fp_cache)
+        with _unbaked_parameters(graph):
+            qt_cache, fp_cache = self.collect_caches(graph, blocks,
+                                                     dataloader, collate_fn)
+            for block in blocks:
+                self._finetune_block(graph, block, qt_cache, fp_cache)
 
     def _finetune_block(self, graph, block, qt_cache, fp_cache):
         cg = CompiledGraph(graph, op_span=block.rps,
@@ -186,7 +239,7 @@ class LearnedStepSizePass(TrainingBasedPass):
                                     qt_cache, fp_cache)
         if post_loss < pre_loss:   # accept (reference check, training.py:115)
             for name, value in trainable['params'].items():
-                graph.variables[name].value = np.asarray(value)
+                _sync_fp32_shadow(graph, name, np.asarray(value))
             if self.is_scale_trainable:
                 cg.write_back_qparams(post_qparams)
             ppq_info(f'LSQ {block}: loss {pre_loss:.3e} → {post_loss:.3e} '
@@ -258,11 +311,9 @@ class BiasCorrectionPass(TrainingBasedPass):
                 continue
             correction = sums[name] / max(count, 1)
             b_var = op.inputs[2]
-            b_var.value = (np.asarray(b_var.value, np.float64)
-                           + correction).astype(np.float32)
-            # keep the fp32 shadow in sync so dequantize() doesn't undo it
-            if b_var.name in op._fp32_params:
-                op._fp32_params[b_var.name] = np.array(b_var.value, copy=True)
+            _sync_fp32_shadow(graph, b_var.name,
+                              (np.asarray(b_var.value, np.float64)
+                               + correction).astype(np.float32))
 
 
 class AdaroundPass(TrainingBasedPass):
@@ -313,10 +364,11 @@ class AdaroundPass(TrainingBasedPass):
         blocks = BlockBuilder(graph).build(self.block_size)
         if not blocks:
             return
-        qt_cache, fp_cache = self.collect_caches(graph, blocks, dataloader,
-                                                 collate_fn)
-        for block in blocks:
-            self._tune_block(graph, block, qt_cache, fp_cache)
+        with _unbaked_parameters(graph):
+            qt_cache, fp_cache = self.collect_caches(graph, blocks,
+                                                     dataloader, collate_fn)
+            for block in blocks:
+                self._tune_block(graph, block, qt_cache, fp_cache)
 
     def _tune_block(self, graph, block, qt_cache, fp_cache):
         targets = self._weight_targets(block)

@@ -130,3 +130,24 @@ class TestTrainingPasses:
                 s = np.asarray(cfg.scale).reshape(-1, 1, 1, 1)
                 q = w / s
                 np.testing.assert_allclose(q, np.round(q), atol=1e-4)
+
+
+def test_finetune_after_baking_preserves_export_guarantee():
+    """Regression: training passes applied AFTER ParameterBakingPass (manop
+    flows) must keep deploy == sim — stale fp32 shadows once made exporters
+    re-quantize pre-training weights."""
+    from ppq_tpu import export_ppq_graph
+    from ppq_tpu.api import load_onnx_graph
+
+    graph, loader = build_quantized()        # pipeline ends with baking
+    manop(graph, [BiasCorrectionPass(steps=4),
+                  LearnedStepSizePass(block_size=2, steps=20, calib_steps=4)],
+          calib_dataloader=loader, verbose=False)
+    sim = np.asarray(TPUExecutor(graph).forward(loader[0])[0])
+
+    import tempfile
+    path = tempfile.mktemp(suffix='.onnx')
+    export_ppq_graph(graph, TargetPlatform.TPU_INT8, path)
+    deployed = np.asarray(TPUExecutor(load_onnx_graph(path)).forward(
+        loader[0])[0])
+    np.testing.assert_allclose(deployed, sim, atol=1e-6)
