@@ -14,4 +14,5 @@ from .opdef import (OpSocket, VLink, fp32_input_indices, socket_of,
                     soi_input_indices)
 from .quantize import (QuantableOperation, dequantize_graph,
                        quantize_operation, restore_graph_quantization)
-from .search import OperationSet, Path, SearchableGraph
+from .search import (GraphPattern, OperationSet, Path, SearchableGraph,
+                     TraversalCommand)

@@ -342,14 +342,22 @@ def fuse_gelu(graph: BaseGraph):
 
 
 def fuse_layernorm(graph: BaseGraph):
-    """ReduceMean/Sub/Pow/ReduceMean/Add/Sqrt/Div/Mul/Add decomposed pattern →
-    LayerNormalization (ppq/IR/morph.py:693-820)."""
+    """ReduceMean/Sub/Pow/ReduceMean/Add/Sqrt/Div/Mul/Add decomposed DAG →
+    LayerNormalization (ppq/IR/morph.py:693-820). Matched with the DAG
+    pattern engine: the Sub→Div variance/centering branch is a structural
+    edge of the pattern, not a linearity assumption."""
+    from .search import GraphPattern
     search = SearchableGraph(graph)
-    chains = search.pattern_matching(
+    ln_pattern = GraphPattern(
         ['ReduceMean', 'Sub', 'Pow', 'ReduceMean', 'Add', 'Sqrt', 'Div',
-         'Mul', 'Add'], exclusive=False)
+         'Mul', 'Add'],
+        edges=[[0, 1], [1, 2], [2, 3], [3, 4], [4, 5], [5, 6], [1, 6],
+               [6, 7], [7, 8]])
+    chains = search.dag_matching(ln_pattern, exclusive=False)
     for ops in chains:
         rm1, sub, pow_, rm2, add_eps, sqrt, div, mul, add_b = ops
+        if any(o.name not in graph.operations for o in ops):
+            continue                      # consumed by an earlier match
         x_cands = [v for v in rm1.inputs if not v.is_parameter]
         if not x_cands:
             continue
@@ -452,33 +460,35 @@ def fuse_selfattention(graph: BaseGraph):
     """MatMul(q,k^T) → [Mul/Div scale] → Softmax → MatMul(.,v) →
     one Attention op (ppq/IR/morph.py:928). Recognizes the transposed-head
     pattern produced by transformer exports."""
+    from .search import GraphPattern
     search = SearchableGraph(graph)
     fused = 0
-    for score_mm in [op for op in list(graph.operations.values())
-                     if op.type == 'MatMul']:
-        if score_mm.name not in graph.operations:
-            continue
+    # two DAG shapes: with and without an explicit scale op between the
+    # score MatMul and the Softmax
+    scaled = search.dag_matching(GraphPattern(
+        ['MatMul', lambda op: op.type in ('Mul', 'Div'), 'Softmax',
+         'MatMul'], edges=[[0, 1], [1, 2], [2, 3]]), exclusive=False)
+    plain = search.dag_matching(GraphPattern(
+        ['MatMul', 'Softmax', 'MatMul'], edges=[[0, 1], [1, 2]]),
+        exclusive=False)
+    candidates = [(m[0], m[1], m[2], m[3]) for m in scaled] + \
+                 [(m[0], None, m[1], m[2]) for m in plain]
+    for score_mm, scale_op, softmax, ctx_mm in candidates:
+        if any(op is not None and op.name not in graph.operations
+               for op in (score_mm, scale_op, softmax, ctx_mm)):
+            continue                      # consumed by an earlier match
         if any(v.is_parameter for v in score_mm.inputs):
             continue
-        cur = score_mm
-        # optional scaling
-        nxt = cur.outputs[0].dest_ops
-        if len(nxt) != 1:
+        # single-consumer interior (safe-to-fuse)
+        if len(score_mm.outputs[0].dest_ops) != 1:
             continue
-        scale_op = None
-        if nxt[0].type in ('Mul', 'Div') and any(
-                v.is_parameter for v in nxt[0].inputs):
-            scale_op = nxt[0]
-            nxt = scale_op.outputs[0].dest_ops
-            if len(nxt) != 1:
+        if scale_op is not None:
+            if not any(v.is_parameter for v in scale_op.inputs):
                 continue
-        if nxt[0].type != 'Softmax':
+            if len(scale_op.outputs[0].dest_ops) != 1:
+                continue
+        if len(softmax.outputs[0].dest_ops) != 1:
             continue
-        softmax = nxt[0]
-        nxt = softmax.outputs[0].dest_ops
-        if len(nxt) != 1 or nxt[0].type != 'MatMul':
-            continue
-        ctx_mm = nxt[0]
         if ctx_mm.inputs[0].source_op is not softmax:
             continue
         # fold: Attention(q, k_t, v) with scale attribute
@@ -544,28 +554,192 @@ def fuse_scale(graph: BaseGraph):
 # ============================================================= decomposer ===
 
 
-def decompose_gru(graph: BaseGraph):
-    """GRU → per-gate Gemm/elementwise ops (ppq/IR/morph.py:1157).
+def decompose_gru(graph: BaseGraph, max_unroll: int = 128):
+    """GRU → per-gate Gemm/elementwise subgraph (ppq/IR/morph.py:1157).
 
-    The executor runs GRU natively (ops/default.py GRU_forward); this
-    decomposition exists for backends that cannot, expanding a single-layer
-    forward GRU into its gate arithmetic, stepping over time with static
-    unrolling (sequence length must be known).
-    """
+    Expands each single-direction GRU into its gate arithmetic, statically
+    unrolled over time (sequence length must be known from the input shape).
+    Gate order is ONNX zrh; `linear_before_reset` is honored. Per step t:
+
+        z_t = Sigmoid(Gemm(x_t, Wz, wbz+rbz) + Gemm(h, Rz))
+        r_t = Sigmoid(Gemm(x_t, Wr, wbr+rbr) + Gemm(h, Rr))
+        hh  = Tanh(Gemm(x_t, Wh, wbh) + r*(Gemm(h, Rh)+rbh))   (lbr=1)
+        hh  = Tanh(Gemm(x_t, Wh, wbh) + Gemm(r*h, Rh, rbh))    (lbr=0)
+        h   = hh + z * (h - hh)
+
+    The result matches GRU_forward (ops/default.py) to float tolerance —
+    parity-tested in tests/test_gru_decompose.py. Bidirectional GRUs and
+    GRUs with an active sequence_lens input are left intact with a warning
+    (the executor runs them natively)."""
     for op in [o for o in list(graph.operations.values()) if o.type == 'GRU']:
         x_var = op.inputs[0]
-        if x_var.shape is None or len(x_var.shape) != 3:
-            ppq_warning(f'decompose_gru: {op.name} needs a static input '
-                        f'shape, skipped')
+        w_var, r_var = op.inputs[1], op.inputs[2]
+        if not (w_var.is_parameter and r_var.is_parameter and
+                w_var.has_value and r_var.has_value):
+            ppq_warning(f'decompose_gru: {op.name} has non-constant weights, '
+                        f'skipped')
             continue
-        T = int(x_var.shape[0])
-        if T > 32:
-            ppq_warning(f'decompose_gru: {op.name} seq_len={T} too long to '
-                        f'unroll, skipped')
+        W, R = np.asarray(w_var.value), np.asarray(r_var.value)
+        num_dir, H = W.shape[0], R.shape[-1]
+        if num_dir != 1:
+            ppq_warning(f'decompose_gru: {op.name} is bidirectional, skipped '
+                        f'(executor runs it natively)')
             continue
-        ppq_warning(f'decompose_gru: static unrolling of {op.name} '
-                    f'(T={T}) is not implemented in-graph; the native GRU '
-                    f'op remains (executor support is complete).')
+        shape = x_var.shape
+        if shape is None or len(shape) != 3 or any(
+                s is None or int(s) <= 0 for s in shape[:2]):
+            ppq_warning(f'decompose_gru: {op.name} needs a static (T, N, I) '
+                        f'input shape, skipped')
+            continue
+        T, N = int(shape[0]), int(shape[1])
+        if T > max_unroll:
+            ppq_warning(f'decompose_gru: {op.name} seq_len={T} exceeds '
+                        f'max_unroll={max_unroll}, skipped')
+            continue
+
+        def _real_input(idx):
+            if idx >= len(op.inputs):
+                return None
+            v = op.inputs[idx]
+            if v.source_op is None and not v.has_value:
+                return None          # empty-name optional slot (placeholder)
+            return v
+
+        seq_lens = _real_input(4)
+        if seq_lens is not None and (seq_lens.has_value and
+                                     np.asarray(seq_lens.value).size > 0):
+            ppq_warning(f'decompose_gru: {op.name} uses sequence_lens, '
+                        f'skipped')
+            continue
+        b_var = _real_input(3)
+        B = (np.asarray(b_var.value) if b_var is not None and b_var.has_value
+             else np.zeros((1, 6 * H), np.float32))
+        h0_var = _real_input(5)
+        lbr = int(op.attributes.get('linear_before_reset', 0))
+        plat = op.platform
+
+        wb, rb = B[0][:3 * H], B[0][3 * H:]
+        Wz, Wr, Wh = W[0][:H], W[0][H:2 * H], W[0][2 * H:]
+        Rz, Rr, Rh = R[0][:H], R[0][H:2 * H], R[0][2 * H:]
+
+        def param(val, name_hint):
+            return graph.create_variable(
+                name=f'{op.name}_{name_hint}',
+                value=np.ascontiguousarray(val, dtype=np.float32),
+                is_parameter=True)
+
+        def gemm(x, w, b, tag):
+            """y = x @ w.T (+ b); w: (H, K) parameter, transB=1."""
+            g = graph.create_operation(
+                'Gemm', name=f'{op.name}_{tag}',
+                attributes={'alpha': 1.0, 'beta': 1.0,
+                            'transA': 0, 'transB': 1}, platform=plat)
+            graph.connect(x, g)
+            graph.connect(param(w, f'{tag}_w'), g)
+            if b is not None:
+                graph.connect(param(b, f'{tag}_b'), g)
+            return graph.create_variable(source_op=g)
+
+        def unary(kind, x, tag):
+            o = graph.create_operation(kind, name=f'{op.name}_{tag}',
+                                       platform=plat)
+            graph.connect(x, o)
+            return graph.create_variable(source_op=o)
+
+        def binary(kind, a, b, tag):
+            o = graph.create_operation(kind, name=f'{op.name}_{tag}',
+                                       platform=plat)
+            graph.connect(a, o)
+            graph.connect(b, o)
+            return graph.create_variable(source_op=o)
+
+        # initial hidden state: Squeeze(initial_h) or a zeros parameter
+        if h0_var is not None:
+            sq = graph.create_operation(
+                'Squeeze', name=f'{op.name}_h0_squeeze', platform=plat)
+            graph.connect(h0_var, sq)
+            graph.connect(graph.create_variable(
+                name=f'{op.name}_h0_axes', value=np.asarray([0], np.int64),
+                is_parameter=True), sq)
+            h = graph.create_variable(source_op=sq)
+        else:
+            h = param(np.zeros((N, H), np.float32), 'h_init')
+
+        step_outs = []
+        for t in range(T):
+            # x_t = Gather(X, t, axis=0): (N, I)
+            gat = graph.create_operation(
+                'Gather', name=f'{op.name}_x{t}',
+                attributes={'axis': 0}, platform=plat)
+            graph.connect(x_var, gat)
+            graph.connect(graph.create_variable(
+                name=f'{op.name}_idx{t}', value=np.asarray(t, np.int64),
+                is_parameter=True), gat)
+            x_t = graph.create_variable(source_op=gat)
+
+            z = unary('Sigmoid',
+                      binary('Add', gemm(x_t, Wz, wb[:H] + rb[:H], f't{t}_zx'),
+                             gemm(h, Rz, None, f't{t}_zh'), f't{t}_zsum'),
+                      f't{t}_z')
+            r = unary('Sigmoid',
+                      binary('Add',
+                             gemm(x_t, Wr, wb[H:2 * H] + rb[H:2 * H],
+                                  f't{t}_rx'),
+                             gemm(h, Rr, None, f't{t}_rh'), f't{t}_rsum'),
+                      f't{t}_r')
+            hx = gemm(x_t, Wh, wb[2 * H:], f't{t}_hx')
+            if lbr:
+                hr = gemm(h, Rh, rb[2 * H:], f't{t}_hr')
+                gated = binary('Mul', r, hr, f't{t}_rgate')
+            else:
+                rh_in = binary('Mul', r, h, f't{t}_rh_in')
+                gated = gemm(rh_in, Rh, rb[2 * H:], f't{t}_hr')
+            hh = unary('Tanh', binary('Add', hx, gated, f't{t}_hsum'),
+                       f't{t}_hh')
+            # h = hh + z * (h - hh)
+            diff = binary('Sub', h, hh, f't{t}_diff')
+            scaled = binary('Mul', z, diff, f't{t}_zdiff')
+            h = binary('Add', hh, scaled, f't{t}_hnew')
+
+            # (N, H) → (1, 1, N, H) for the Y output stack
+            un = graph.create_operation(
+                'Unsqueeze', name=f'{op.name}_y{t}_unsq', platform=plat)
+            graph.connect(h, un)
+            graph.connect(graph.create_variable(
+                name=f'{op.name}_y{t}_axes',
+                value=np.asarray([0, 1], np.int64), is_parameter=True), un)
+            step_outs.append(graph.create_variable(source_op=un))
+
+        # assemble outputs: Y = Concat(step_outs, axis=0); Y_h = Unsqueeze(h)
+        y_out = op.outputs[0] if len(op.outputs) > 0 else None
+        yh_out = op.outputs[1] if len(op.outputs) > 1 else None
+
+        # detach the GRU from the graph (keep its output Variables)
+        for v in list(op.inputs):
+            if op in v.dest_ops:
+                v.dest_ops.remove(op)
+        op.inputs.clear()
+        op.outputs.clear()
+        graph.operations.pop(op.name)
+
+        if y_out is not None:
+            cat = graph.create_operation(
+                'Concat', name=f'{op.name}_y_concat',
+                attributes={'axis': 0}, platform=plat)
+            for v in step_outs:
+                graph.connect(v, cat)
+            cat.outputs.append(y_out)
+            y_out.source_op = cat
+        if yh_out is not None:
+            un = graph.create_operation(
+                'Unsqueeze', name=f'{op.name}_yh_unsq', platform=plat)
+            graph.connect(h, un)
+            graph.connect(graph.create_variable(
+                name=f'{op.name}_yh_axes', value=np.asarray([0], np.int64),
+                is_parameter=True), un)
+            un.outputs.append(yh_out)
+            yh_out.source_op = un
+        delete_isolated(graph)
     return graph
 
 

@@ -1,6 +1,6 @@
 """Graph pattern/search engine (redesign of ppq/IR/search.py:28-690).
 
-Three query families, all lambda-driven:
+Query families, all lambda-driven:
 
   * path_matching    — enumerate op paths sp → ... → ep where every hop
                        satisfies rp (relay predicate); forward or backward.
@@ -9,11 +9,20 @@ Three query families, all lambda-driven:
   * pattern_matching — match a linear chain of type/predicate patterns
                        (the workhorse of fusion passes), optionally
                        'exclusive': interior ops must have a single consumer.
+  * dag_matching     — full subgraph (DAG) pattern matching via GraphPattern
+                       (reference GraphPattern + PatternMatchHelper.
+                       match_burte_force, ppq/IR/search.py:166-390) — the
+                       engine behind multi-branch fusions (self-attention,
+                       layernorm, swish/mish).
+  * TraversalCommand — string-query form of path/opset matching; the
+                       reference defines the SELECT/FROM/TO/THROUGH grammar
+                       but leaves `complie` unimplemented (search.py:136) —
+                       here the compiler is functional.
 """
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Set, Union
+from typing import Callable, Dict, List, Optional, Sequence, Set, Union
 
 from .graph import BaseGraph, Operation
 
@@ -40,6 +49,60 @@ def _as_predicate(pattern: Pattern) -> OpPredicate:
         return lambda op, t=pattern: op.type == t
     types = set(pattern)
     return lambda op, ts=types: op.type in ts
+
+
+class GraphPattern:
+    """A connected sub-DAG pattern: `nodes[i]` is a type string / predicate,
+    `edges` are (producer_idx, consumer_idx) pairs (reference GraphPattern,
+    ppq/IR/search.py:166). Must be acyclic and connected."""
+
+    def __init__(self, nodes: Sequence[Pattern],
+                 edges: Sequence[Sequence[int]]):
+        self.preds = [_as_predicate(p) for p in nodes]
+        n = len(self.preds)
+        self.n = n
+        self.parents: List[List[int]] = [[] for _ in range(n)]
+        self.children: List[List[int]] = [[] for _ in range(n)]
+        for e in edges:
+            if len(e) != 2:
+                raise ValueError(f'pattern edge {e!r} must be a pair')
+            a, b = int(e[0]), int(e[1])
+            if not (0 <= a < n and 0 <= b < n):
+                raise IndexError(f'pattern edge {e!r} out of range 0..{n-1}')
+            self.children[a].append(b)
+            self.parents[b].append(a)
+        # assignment order: start anywhere, always extend via an edge to an
+        # already-placed node (keeps the candidate set small); doubles as the
+        # connectivity check. Cycles are rejected via Kahn count.
+        indeg = [len(p) for p in self.parents]
+        stack = [i for i in range(n) if indeg[i] == 0]
+        seen = 0
+        work = list(indeg)
+        while stack:
+            cur = stack.pop()
+            seen += 1
+            for c in self.children[cur]:
+                work[c] -= 1
+                if work[c] == 0:
+                    stack.append(c)
+        if seen != n:
+            raise ValueError('pattern contains a cycle')
+        order = [0]
+        placed = {0}
+        while len(order) < n:
+            for i in range(n):
+                if i in placed:
+                    continue
+                if any(p in placed for p in self.parents[i]) or \
+                        any(c in placed for c in self.children[i]):
+                    order.append(i)
+                    placed.add(i)
+                    break
+            else:
+                raise ValueError('pattern is not connected')
+        self.order = order
+        self.roots = [i for i in range(n) if not self.parents[i]]
+        self.leaves = [i for i in range(n) if not self.children[i]]
 
 
 class SearchableGraph:
@@ -164,6 +227,96 @@ class SearchableGraph:
                 uniq.append(r)
         return uniq
 
+    def dag_matching(self, pattern: GraphPattern, exclusive: bool = True,
+                     max_matches: int = 100000) -> List[List[Operation]]:
+        """Enumerate every injective embedding of `pattern` into the graph
+        (reference match_burte_force semantics, ppq/IR/search.py:288-390).
+
+        Backtracking over `pattern.order`: each node after the first is
+        adjacent to an already-assigned node, so candidates come from the
+        assigned neighborhood, not the whole graph — typical cost is
+        O(matches · pattern_size · fanout), not the reference's O(N·M^k)
+        frontier product.
+
+        `exclusive` enforces fusion safety: a matched non-root must draw ALL
+        its inputs from within the match (and exactly its pattern in-degree
+        of distinct producers); a matched non-leaf must send all its outputs
+        into the match.
+        """
+        pt = pattern
+        results: List[List[Operation]] = []
+        assign: List[Optional[Operation]] = [None] * pt.n
+        used: Set[str] = set()
+
+        def feeds(a: Operation, b: Operation) -> bool:
+            return any(b in v.dest_ops for v in a.outputs)
+
+        def ok_here(idx: int, op: Operation) -> bool:
+            if not pt.preds[idx](op) or op.name in used:
+                return False
+            for p in pt.parents[idx]:
+                if assign[p] is not None and not feeds(assign[p], op):
+                    return False
+            for c in pt.children[idx]:
+                if assign[c] is not None and not feeds(op, assign[c]):
+                    return False
+            return True
+
+        def extend(pos: int):
+            if len(results) >= max_matches:
+                raise OverflowError(
+                    'too many pattern matches; simplify the pattern')
+            if pos == pt.n:
+                if exclusive and not self._dag_exclusive(pt, assign):
+                    return
+                results.append(list(assign))
+                return
+            idx = pt.order[pos]
+            cands: Optional[Set[Operation]] = None
+            for p in pt.parents[idx]:
+                if assign[p] is not None:
+                    nxt = set(self.graph.get_downstream_operations(assign[p]))
+                    cands = nxt if cands is None else cands & nxt
+            for c in pt.children[idx]:
+                if assign[c] is not None:
+                    nxt = set(self.graph.get_upstream_operations(assign[c]))
+                    cands = nxt if cands is None else cands & nxt
+            pool = cands if cands is not None \
+                else self.graph.operations.values()
+            for op in pool:
+                if ok_here(idx, op):
+                    assign[idx] = op
+                    used.add(op.name)
+                    extend(pos + 1)
+                    used.discard(op.name)
+                    assign[idx] = None
+
+        extend(0)
+        # de-dup (symmetric patterns can reach the same embedding twice)
+        seen, uniq = set(), []
+        for r in results:
+            key = tuple(o.name for o in r)
+            if key not in seen:
+                seen.add(key)
+                uniq.append(r)
+        return uniq
+
+    def _dag_exclusive(self, pt: GraphPattern,
+                       assign: List[Operation]) -> bool:
+        matched = {op.name for op in assign}
+        for idx, op in enumerate(assign):
+            if idx not in pt.roots:
+                ups = [u for u in self.graph.get_upstream_operations(op)]
+                if any(u.name not in matched for u in ups):
+                    return False
+                if len(set(u.name for u in ups)) != len(set(pt.parents[idx])):
+                    return False
+            if idx not in pt.leaves:
+                if any(d.name not in matched
+                       for d in self.graph.get_downstream_operations(op)):
+                    return False
+        return True
+
     def activation_matching(self, start_op_types: Set[str],
                             end_types: Set[str]) -> dict:
         """computing-op → its direct activation op (ppq/IR/search.py:621)."""
@@ -199,3 +352,112 @@ class SearchableGraph:
                     sources.append(node)
             result[op.name] = sources
         return result
+
+    def traverse(self, command: 'TraversalCommand'):
+        """Execute a TraversalCommand against this graph."""
+        if command.matching_type == 'opset':
+            return self.opset_matching(command.sp_expr, command.rp_expr,
+                                       command.ep_expr,
+                                       direction=command.direction)
+        paths = self.path_matching(command.sp_expr, command.rp_expr,
+                                   command.ep_expr,
+                                   direction=command.direction)
+        if command.where is not None:
+            paths = [p for p in paths if command.where(p)]
+        if command.select == 'START':
+            return OperationSet(p[0] for p in paths)
+        if command.select == 'END':
+            return OperationSet(p[-1] for p in paths)
+        return paths
+
+
+class TraversalCommand:
+    """Declarative path/opset query (reference TraversalCommand,
+    ppq/IR/search.py:81-136). The reference documents a SELECT/FROM/TO/
+    THROUGH/WHERE string grammar but leaves its `complie` a `pass`; here
+    `compile` is implemented.
+
+    Query grammar (case-insensitive keywords, one clause per line or
+    semicolon-separated)::
+
+        SELECT  START | END | PATH
+        FROM    Conv, Gemm          # start-point op types ('Any' matches all)
+        TO      Relu                # end-point op types
+        THROUGH Any                 # relay op types
+        WHERE   Path.length < 3     # optional path filter
+        [DIRECTION up|down]
+
+    Example::
+
+        cmd = TraversalCommand.compile('''
+            SELECT START
+            FROM Conv, Gemm
+            TO Relu
+            THROUGH Any
+            WHERE Path.length < 3''')
+        starts = SearchableGraph(graph).traverse(cmd)
+    """
+
+    def __init__(self, sp_expr: Pattern, rp_expr: Pattern, ep_expr: Pattern,
+                 direction: str = 'down', matching_type: str = 'path',
+                 select: str = 'PATH',
+                 where: Optional[Callable[[Path], bool]] = None):
+        if matching_type not in ('path', 'opset'):
+            raise ValueError("matching_type must be 'path' or 'opset'")
+        if direction not in ('up', 'down'):
+            raise ValueError("direction must be 'up' or 'down'")
+        self.sp_expr = sp_expr
+        self.rp_expr = rp_expr
+        self.ep_expr = ep_expr
+        self.direction = direction
+        self.matching_type = matching_type
+        self.select = select.upper()
+        self.where = where
+
+    @staticmethod
+    def compile(query: str) -> 'TraversalCommand':
+        import re
+        clauses: Dict[str, str] = {}
+        for raw in re.split(r'[;\n]', query):
+            line = raw.strip()
+            if not line:
+                continue
+            m = re.match(r'(SELECT|FROM|TO|THROUGH|WHERE|DIRECTION)\s+(.*)',
+                         line, re.IGNORECASE)
+            if m is None:
+                raise ValueError(f'cannot parse query clause: {line!r}')
+            clauses[m.group(1).upper()] = m.group(2).strip()
+
+        def type_clause(text: Optional[str]) -> Pattern:
+            if text is None or text.strip().lower() == 'any':
+                return lambda op: True
+            types = {t.strip().strip('\'"') for t in text.split(',')
+                     if t.strip()}
+            return lambda op, ts=types: op.type in ts
+
+        select = clauses.get('SELECT', 'PATH').strip().strip('\'"').upper()
+        if select not in ('START', 'END', 'PATH', 'OPSET'):
+            raise ValueError(f'SELECT must be START/END/PATH/OPSET, '
+                             f'got {select!r}')
+        where = None
+        if 'WHERE' in clauses:
+            import re as _re
+            m = _re.match(r'Path\.length\s*(<|<=|>|>=|==)\s*(\d+)',
+                          clauses['WHERE'], _re.IGNORECASE)
+            if m is None:
+                raise ValueError(f'unsupported WHERE clause: '
+                                 f'{clauses["WHERE"]!r} (use Path.length '
+                                 f'<op> N)')
+            import operator
+            cmp = {'<': operator.lt, '<=': operator.le, '>': operator.gt,
+                   '>=': operator.ge, '==': operator.eq}[m.group(1)]
+            bound = int(m.group(2))
+            where = lambda path, c=cmp, b=bound: c(len(path), b)
+        return TraversalCommand(
+            sp_expr=type_clause(clauses.get('FROM')),
+            rp_expr=type_clause(clauses.get('THROUGH')),
+            ep_expr=type_clause(clauses.get('TO')),
+            direction=clauses.get('DIRECTION', 'down').lower(),
+            matching_type='opset' if select == 'OPSET' else 'path',
+            select=select if select != 'OPSET' else 'PATH',
+            where=where)

@@ -191,15 +191,48 @@ def _kv_dequant(q, scale):
 
 # ============================================================== forward ====
 
+def _window_write(cache_slab, new, write_pos, active):
+    """Write a (B, T, ...) window into a (B, S, ...) cache slab at per-slot
+    offsets. Inactive slots write their current window back (no-op) —
+    O(T) traffic, never an O(S) merge."""
+    def upd(c, n, p, a):
+        n = n.astype(c.dtype)
+        if a is not None:
+            cur = jax.lax.dynamic_slice(
+                c, (p,) + (0,) * (c.ndim - 1), n.shape)
+            n = jnp.where(a, n, cur)
+        return jax.lax.dynamic_update_slice(
+            c, n, (p,) + (0,) * (c.ndim - 1))
+    if active is None:
+        return jax.vmap(lambda c, n, p: upd(c, n, p, None))(
+            cache_slab, new, write_pos)
+    return jax.vmap(upd)(cache_slab, new, write_pos, active)
+
+
 def attention(x, layer, cache_k, cache_v, cache_ks, cache_vs,
-              positions, write_pos, cfg: LlamaConfig, causal_mask):
-    """One attention block over an int8 KV cache.
+              positions, write_pos, cfg: LlamaConfig, causal_mask,
+              active=None):
+    """One attention block over an int8 KV cache layer slab.
 
     x: (B, T, D); positions: (B, T) absolute positions of the T new tokens;
-    write_pos: (B,) first cache slot to write. Returns (out, new caches).
+    write_pos: (B,) first cache slot to write; active: optional (B,) bool —
+    slots with active=False keep their cache rows untouched (masked
+    read-modify-write over the T-token window only, NOT a full-cache merge).
+    Returns (out, updated layer slabs) — the caller splices the slabs back
+    with `lax.dynamic_update_index_in_dim`, which XLA aliases in place
+    (donated buffers / scan carries); a `jnp.stack` rebuild would copy the
+    whole cache every decode step instead.
+
+    The HBM-critical reads stay int8: QK^T runs as a grouped-GQA einsum
+    directly against the int8 K cache (per-(token,head) scales applied to
+    the (T, S) logits afterwards — associativity moves the scale out of the
+    contraction), and the V readout folds its scales into the probabilities
+    before an int8 einsum. Nothing materializes a dequantized or
+    head-repeated copy of the cache.
     """
     B, T, D = x.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rep = H // KV
 
     q = qmatmul(x, layer['wq']).reshape(B, T, H, Dh)
     k = qmatmul(x, layer['wk']).reshape(B, T, KV, Dh)
@@ -215,34 +248,28 @@ def attention(x, layer, cache_k, cache_v, cache_ks, cache_vs,
         k_q, v_q, k_s, v_s = (k.astype(jnp.bfloat16),
                               v.astype(jnp.bfloat16), None, None)
 
-    def write(cache, new):
-        # per-batch dynamic slice write at write_pos
-        def upd(c, n, p):
-            return jax.lax.dynamic_update_slice(
-                c, n.astype(c.dtype), (p,) + (0,) * (c.ndim - 1))
-        return jax.vmap(upd)(cache, new, write_pos)
-
-    cache_k = write(cache_k, k_q)
-    cache_v = write(cache_v, v_q)
+    cache_k = _window_write(cache_k, k_q, write_pos, active)
+    cache_v = _window_write(cache_v, v_q, write_pos, active)
     if cfg.kv_cache_bits == 8:
-        cache_ks = write(cache_ks, k_s)
-        cache_vs = write(cache_vs, v_s)
-        k_all = _kv_dequant(cache_k, cache_ks)      # (B, S, KV, Dh) fp32
-        v_all = _kv_dequant(cache_v, cache_vs)
-    else:
-        k_all = cache_k.astype(jnp.float32)
-        v_all = cache_v.astype(jnp.float32)
+        cache_ks = _window_write(cache_ks, k_s, write_pos, active)
+        cache_vs = _window_write(cache_vs, v_s, write_pos, active)
 
-    # ---- GQA attention ---------------------------------------------------
-    S = k_all.shape[1]
-    rep = H // KV
-    k_all = jnp.repeat(k_all, rep, axis=2)          # (B, S, H, Dh)
-    v_all = jnp.repeat(v_all, rep, axis=2)
-    logits = jnp.einsum('bthd,bshd->bhts', q.astype(jnp.float32), k_all)
+    # ---- GQA attention: grouped einsum straight off the (int8) cache -----
+    # q heads regroup as (KV, rep): head h = k*rep + r
+    q_g = q.reshape(B, T, KV, rep, Dh).astype(jnp.bfloat16)
+    logits = jnp.einsum('btkrd,bskd->bkrts', q_g,
+                        cache_k.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    if cfg.kv_cache_bits == 8:
+        logits = logits * cache_ks.transpose(0, 2, 1)[:, :, None, None, :]
     logits = logits / np.sqrt(Dh)
-    logits = jnp.where(causal_mask, logits, -1e30)
+    logits = jnp.where(causal_mask, logits, -1e30)   # mask: (B,1,1,T,S)
     probs = jax.nn.softmax(logits, axis=-1)
-    ctx = jnp.einsum('bhts,bshd->bthd', probs, v_all)
+    if cfg.kv_cache_bits == 8:
+        probs = probs * cache_vs.transpose(0, 2, 1)[:, :, None, None, :]
+    ctx = jnp.einsum('bkrts,bskd->btkrd', probs.astype(jnp.bfloat16),
+                     cache_v.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
     ctx = ctx.reshape(B, T, H * Dh).astype(x.dtype)
     out = qmatmul(ctx, layer['wo'])
     return out, cache_k, cache_v, cache_ks, cache_vs
@@ -262,44 +289,50 @@ def mlp(x, layer, cfg=None):
 def forward(params: Params, cache: Dict[str, jnp.ndarray],
             tokens: jnp.ndarray, positions: jnp.ndarray,
             write_pos: jnp.ndarray, seq_lens: jnp.ndarray,
-            cfg: LlamaConfig) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """tokens: (B, T) int32; positions: (B, T); write_pos/seq_lens: (B,).
+            cfg: LlamaConfig, active: Optional[jnp.ndarray] = None,
+            ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """tokens: (B, T) int32; positions: (B, T); write_pos/seq_lens: (B,);
+    active: optional (B,) bool — False slots leave their cache untouched.
     Returns (logits (B, T, vocab), updated cache)."""
     B, T = tokens.shape
     S = cache['k'].shape[2]
     x = params['embed'][tokens]
 
     # causal mask over cache slots: token t (absolute pos positions[b,t])
-    # attends to cache slots [0, positions[b,t]]
-    slot_ids = jnp.arange(S)[None, None, None, :]            # (1,1,1,S)
-    tok_pos = positions[:, None, :, None]                    # (B,1,T,1)
-    causal = slot_ids <= tok_pos                             # (B,1,T,S)
+    # attends to cache slots [0, positions[b,t]]; shape broadcasts against
+    # grouped-GQA logits (B, KV, rep, T, S)
+    slot_ids = jnp.arange(S)[None, None, None, None, :]      # (1,1,1,1,S)
+    tok_pos = positions[:, None, None, :, None]              # (B,1,1,T,1)
+    causal = slot_ids <= tok_pos                             # (B,1,1,T,S)
 
-    new_cache = dict(cache)
-    ks = new_cache.get('k_scale')
-    vs = new_cache.get('v_scale')
-    k_list, v_list, ks_list, vs_list = [], [], [], []
+    # per-layer slab updates spliced back with dynamic_update_index_in_dim:
+    # XLA aliases these in place on donated buffers AND inside lax.scan
+    # carries — a jnp.stack rebuild would copy the entire cache every
+    # decode step (the round-1 burst was 16x slower per step than single
+    # decode precisely because of that copy).
+    ck_all, cv_all = cache['k'], cache['v']
+    ks_all = cache.get('k_scale')
+    vs_all = cache.get('v_scale')
     for li, layer in enumerate(params['layers']):
         h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
         attn_out, ck, cv, cks, cvs = attention(
-            h, layer, cache['k'][li], cache['v'][li],
-            ks[li] if ks is not None else None,
-            vs[li] if vs is not None else None,
-            positions, write_pos, cfg, causal)
-        k_list.append(ck)
-        v_list.append(cv)
+            h, layer, ck_all[li], cv_all[li],
+            ks_all[li] if ks_all is not None else None,
+            vs_all[li] if vs_all is not None else None,
+            positions, write_pos, cfg, causal, active=active)
+        ck_all = jax.lax.dynamic_update_index_in_dim(ck_all, ck, li, 0)
+        cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, cv, li, 0)
         if cks is not None:
-            ks_list.append(cks)
-            vs_list.append(cvs)
+            ks_all = jax.lax.dynamic_update_index_in_dim(ks_all, cks, li, 0)
+            vs_all = jax.lax.dynamic_update_index_in_dim(vs_all, cvs, li, 0)
         x = x + attn_out
         h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
         x = x + mlp(h, layer, cfg)
 
-    new_cache['k'] = jnp.stack(k_list)
-    new_cache['v'] = jnp.stack(v_list)
-    if ks_list:
-        new_cache['k_scale'] = jnp.stack(ks_list)
-        new_cache['v_scale'] = jnp.stack(vs_list)
+    new_cache = {'k': ck_all, 'v': cv_all}
+    if ks_all is not None:
+        new_cache['k_scale'] = ks_all
+        new_cache['v_scale'] = vs_all
 
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'])
