@@ -319,7 +319,8 @@ class CompiledGraph:
 
     def _collect_stat(self, stats: dict, var_name: str,
                       cfg: TensorQuantizationConfig, value,
-                      stat_spec, hist_scales: Optional[dict]):
+                      stat_spec, hist_scales: Optional[dict],
+                      ranges: Optional[dict] = None):
         if isinstance(value, np.ndarray) and \
                 not np.issubdtype(value.dtype, np.floating):
             return
@@ -355,18 +356,31 @@ class CompiledGraph:
         elif kind == 'absmax':
             stats[var_name] = jnp.max(jnp.abs(v))
         elif kind == 'hist':
-            scale = hist_scales[var_name]
+            # range arrives as a TRACED argument (ranges dict) so the
+            # compiled program is independent of the calibration data —
+            # the persistent XLA cache then hits across runs and models
+            # of the same architecture; a baked constant would force a
+            # fresh compile for every new range
+            if ranges is not None and var_name in ranges:
+                scale = ranges[var_name]
+            else:
+                scale = hist_scales[var_name]
             bins = (entry.get('bins', OBSERVER_KL_HIST_BINS)
                     if isinstance(entry, dict) else OBSERVER_KL_HIST_BINS)
             idx = jnp.clip((jnp.abs(v).reshape(-1) / scale).astype(jnp.int32),
                            0, bins - 1)
             stats[var_name] = _device_histogram(idx, bins)
         elif kind == 'hist_signed':
-            # signed histogram over a precomputed [lo, hi) range — used by
-            # the compiled percentile calibrator (an XLA sort/quantile over
-            # big activations compiles pathologically slowly on TPU; a
-            # histogram CDF is one fused scatter-free pass)
-            lo, width = entry['lo'], entry['width']
+            # signed histogram over a [lo, hi) range — used by the compiled
+            # percentile calibrator (an XLA sort/quantile over big
+            # activations compiles pathologically slowly on TPU; a
+            # histogram CDF is one fused scatter-free pass). lo/width come
+            # from the traced ranges dict when present (same cache
+            # rationale as 'hist').
+            if ranges is not None and var_name in ranges:
+                lo, width = ranges[var_name]
+            else:
+                lo, width = entry['lo'], entry['width']
             bins = entry.get('bins', OBSERVER_KL_HIST_BINS)
             idx = jnp.clip(((v.reshape(-1) - lo) / width).astype(jnp.int32),
                            0, bins - 1)
@@ -374,7 +388,8 @@ class CompiledGraph:
 
     def _trace(self, params: dict, qparams: Optional[dict], inputs: dict,
                stat_kind: Optional[str] = None,
-               hist_scales: Optional[dict] = None):
+               hist_scales: Optional[dict] = None,
+               ranges: Optional[dict] = None):
         values: Dict[str, Any] = {}
         stats: Dict[str, Any] = {}
         for name in self._input_names:
@@ -398,7 +413,8 @@ class CompiledGraph:
                         if (not var.is_parameter and cfg.is_root and
                                 cfg.state == QuantizationStates.INITIAL):
                             self._collect_stat(stats, var.name, cfg, v,
-                                               stat_kind, hist_scales)
+                                               stat_kind, hist_scales,
+                                               ranges)
                 in_vals = [self._apply_quant(v, c, qparams)
                            for v, c in zip(in_vals, cfgs)]
             from ..core import TargetPlatform as _TP
@@ -418,7 +434,8 @@ class CompiledGraph:
                         if cfg.is_root and \
                                 cfg.state == QuantizationStates.INITIAL:
                             self._collect_stat(stats, var.name, cfg, v,
-                                               stat_kind, hist_scales)
+                                               stat_kind, hist_scales,
+                                               ranges)
                 outs = [self._apply_quant(v, c, qparams)
                         for v, c in zip(outs, cfgs)]
             for var, v in zip(op.outputs, outs):
@@ -454,15 +471,19 @@ class CompiledGraph:
     def build_calibration_forward(self, stat_kind: str = 'minmax',
                                   hist_scales: Optional[Dict[str, float]] = None
                                   ) -> Callable:
-        """fn(params, inputs_dict) -> ([outputs], stats) — the functional
-        observer transform. stats fold across batches on host (tiny)."""
+        """fn(params, inputs_dict, ranges=None) -> ([outputs], stats) — the
+        functional observer transform. stats fold across batches on host
+        (tiny). `ranges` carries histogram lo/width (or scale) values as
+        TRACED inputs, so the compiled program hashes identically across
+        calibration runs — data-derived constants would defeat the
+        persistent compilation cache."""
         hs = None
         if hist_scales is not None:
             hs = {k: float(v) for k, v in hist_scales.items()}
 
-        def fn(params, inputs):
+        def fn(params, inputs, ranges=None):
             return self._trace(params, None, inputs, stat_kind=stat_kind,
-                               hist_scales=hs)
+                               hist_scales=hs, ranges=ranges)
         return jax.jit(fn)
 
     # ---------------------------------------------------------- conveniences

@@ -119,13 +119,101 @@ class QDQHelper:
         var.dest_ops[:] = [d for d in var.dest_ops if d not in old_dests]
 
 
+def remove_fused_activations(g: BaseGraph) -> Dict[str, 'TensorQuantizationConfig']:
+    """Drop Relu/Clip ops whose clamp is already expressed by an ASYMMETRIC
+    quant range (reference onnxruntime_exporter.py:213 remove_activation_ops)
+    — in the QDQ dialect the Q/DQ pair clips to [qmin, qmax], so exporting
+    the activation op would double-clamp and break backend conv-act fusion.
+
+    Returns {surviving_var_name: activation_output_cfg} so the caller plans
+    the Q/DQ insertion with the activation's calibrated range."""
+    forced: Dict[str, TensorQuantizationConfig] = {}
+    removable = []
+    for op in g.topological_sort():
+        if not isinstance(op, QuantableOperation):
+            continue
+        if op.type not in ('Relu', 'Clip'):
+            continue
+        cfg = op.config.output_quantization_config[0].dominated_by
+        if cfg.policy.symmetric or not cfg.has_scale:
+            continue
+        scale = np.asarray(cfg.scale, np.float32)
+        offset = np.asarray(cfg.offset, np.float32)
+        range_min = float((scale * (cfg.quant_min - offset)).min())
+        range_max = float((scale * (cfg.quant_max - offset)).max())
+        ok = False
+        if op.type == 'Relu':
+            ok = range_min >= 0.0
+        else:                                   # Clip
+            lo, hi = -np.inf, np.inf
+            if len(op.inputs) >= 2 and op.inputs[1].has_value:
+                lo = float(np.asarray(op.inputs[1].value).reshape(-1)[0])
+            if len(op.inputs) >= 3 and op.inputs[2].has_value:
+                hi = float(np.asarray(op.inputs[2].value).reshape(-1)[0])
+            ok = range_min >= lo and range_max <= hi
+        ups = g.get_upstream_operations(op)
+        if not ok or len(ups) != 1:
+            continue
+        if len(g.get_downstream_operations(ups[0])) != 1:
+            continue
+        removable.append((op, cfg))
+    for op, cfg in removable:
+        in_var = next(v for v in op.inputs if not v.is_parameter)
+        g.remove_operation(op, keep_coherence=True)
+        forced[in_var.name] = cfg
+    return forced
+
+
+def dedup_qdq(g: BaseGraph):
+    """Collapse Quant→Dequant→Quant→Dequant chains with matching qparams to
+    a single pair (reference onnxruntime_exporter.py:307)."""
+    for op in list(g.operations.values()):
+        if op.name not in g.operations or op.type != 'QuantizeLinear':
+            continue
+        src = op.inputs[0].source_op
+        if src is None or src.type != 'DequantizeLinear':
+            continue
+        s1, z1 = src.inputs[1].value, src.inputs[2].value
+        s2, z2 = op.inputs[1].value, op.inputs[2].value
+        if s1 is None or s2 is None or np.shape(s1) != np.shape(s2):
+            continue
+        if float(np.max(np.abs(np.asarray(s1) - np.asarray(s2)))) > 1e-5:
+            continue
+        if float(np.max(np.abs(np.asarray(z1, np.float32) -
+                               np.asarray(z2, np.float32)))) > 0.5:
+            continue
+        downs = g.get_downstream_operations(op)
+        if len(downs) != 1 or downs[0].type != 'DequantizeLinear':
+            continue
+        dq2 = downs[0]
+        g.remove_operation(op, keep_coherence=True)
+        g.remove_operation(dq2, keep_coherence=True)
+
+
+def convert_to_opset13(g: BaseGraph):
+    """Move attribute-style axes/split to inputs as opset 13 requires
+    (reference onnxruntime_exporter.py:366)."""
+    from ..ir.morph import format_axes_to_input
+    format_axes_to_input(g)
+    for op in g.operations.values():
+        if op.type == 'ReduceSum' and 'axes' in op.attributes:
+            axes = np.asarray(op.attributes.pop('axes'), np.int64)
+            g.create_variable(value=axes, is_parameter=True, dest_ops=[op])
+
+
 class ONNXRuntimeExporter(GraphExporter):
-    """(reference: parser/onnxruntime_exporter.py ONNXRUNTIMExporter)"""
+    """(reference: parser/onnxruntime_exporter.py ONNXRUNTIMExporter)
+
+    Export pipeline: copy graph → remove fused activations → opset-13
+    normalization → plan one Q/DQ site per variable → insert → dedup
+    back-to-back Q/DQ pairs → serialize."""
 
     def export(self, file_path: str, graph: BaseGraph,
                config_path: Optional[str] = None, **kwargs):
         g = graph.copy(copy_value=True)
         helper = QDQHelper(g)
+        forced = remove_fused_activations(g)
+        convert_to_opset13(g)
 
         # choose one exportable cfg per variable (producer output preferred,
         # reference dedupe logic onnxruntime_exporter.py:307)
@@ -138,6 +226,11 @@ class ONNXRuntimeExporter(GraphExporter):
                 continue
             for var, cfg in op.config_pairs():
                 if var.name in done:
+                    continue
+                if var.name in forced and not var.is_parameter:
+                    # the removed activation's calibrated range wins
+                    plan_act[var.name] = forced[var.name]
+                    done.add(var.name)
                     continue
                 root = cfg.dominated_by
                 state = cfg.state
@@ -167,6 +260,7 @@ class ONNXRuntimeExporter(GraphExporter):
             helper.insert_dq_on_parameter(g.variables[name], cfg)
         for name, cfg in plan_act.items():
             helper.insert_qdq_on_activation(g.variables[name], cfg)
+        dedup_qdq(g)
 
         model = graph_to_model_proto(g, opset_version=13)
         with open(file_path, 'wb') as f:

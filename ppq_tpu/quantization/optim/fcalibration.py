@@ -193,19 +193,22 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
         # -------- phase 2a: percentile via signed-histogram CDF ------------
         if pct_phase:
             bins = OBSERVER_KL_HIST_BINS
-            spec_p = {}
+            spec_p, ranges_arg, widths = {}, {}, {}
             for n in pct_phase:
                 if n not in ranges:
                     continue
                 lo, hi = ranges[n]
                 width = max((hi - lo) / bins, OBSERVER_MIN_SCALE)
-                spec_p[n] = {'kind': 'hist_signed', 'lo': lo,
-                             'width': width, 'bins': bins}
+                widths[n] = width
+                # lo/width travel as traced args → the phase-2 program is
+                # data-independent and persists in the compilation cache
+                spec_p[n] = {'kind': 'hist_signed', 'bins': bins}
+                ranges_arg[n] = (np.float32(lo), np.float32(width))
             _dbg('phase2a spec built')
             fn_p = cg.build_calibration_forward(spec_p)
             hists_p: Dict[str, np.ndarray] = {}
             for bi, batch in enumerate(self._batches(dataloader, collate_fn)):
-                _, stats = fn_p(params, self._feed(cg, batch))
+                _, stats = fn_p(params, self._feed(cg, batch), ranges_arg)
                 _dbg(f'phase2a batch {bi} dispatched')
                 for name, h in stats.items():
                     hists_p[name] = hists_p.get(name, 0) + \
@@ -216,7 +219,7 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                 pct = float(cfg.detail.get(OBSERVER_PERCENTILE_MANUL_OVERRIDE,
                                            OBSERVER_PERCENTILE))
                 lo0, hi0 = ranges[name]
-                width = spec_p[name]['width']
+                width = widths[name]
                 cdf = np.cumsum(h) / max(h.sum(), 1.0)
                 hi_bin = int(np.searchsorted(cdf, pct))
                 lo_bin = int(np.searchsorted(cdf, 1.0 - pct))
@@ -231,17 +234,18 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
         if twophase:
             absmax = {n: float(np.max(folds[n])) for n in twophase
                       if n in folds}
-            hist_scales, spec2 = {}, {}
+            hist_scales, spec2, ranges2 = {}, {}, {}
             for n in twophase:
                 bins = (OBSERVER_KL_HIST_BINS if algo_of[n] == 'kl'
                         else OBSERVER_MSE_HIST_BINS)
                 hist_scales[n] = max(absmax.get(n, 0.0),
                                      OBSERVER_MIN_SCALE) / bins
                 spec2[n] = {'kind': 'hist', 'bins': bins}
-            fn2 = cg.build_calibration_forward(spec2, hist_scales=hist_scales)
+                ranges2[n] = np.float32(hist_scales[n])
+            fn2 = cg.build_calibration_forward(spec2)
             hists: Dict[str, np.ndarray] = {}
             for batch in self._batches(dataloader, collate_fn):
-                _, stats = fn2(params, self._feed(cg, batch))
+                _, stats = fn2(params, self._feed(cg, batch), ranges2)
                 for name, h in stats.items():
                     h = np.asarray(h, np.float64)
                     hists[name] = hists.get(name, 0) + h

@@ -1,7 +1,7 @@
 from .base import GraphDispatcher, soi_generators, soi_receivers
 from .dispatchers import (AggressiveDispatcher, AllinDispatcher,
                           ConservativeDispatcher, PerseusDispatcher,
-                          PointDispatcher)
+                          PointDispatcher, PPLNNDispatcher)
 
 # reference: ppq/scheduler/__init__.py:8-15 DISPATCHER_TABLE
 DISPATCHER_TABLE = {
@@ -11,10 +11,7 @@ DISPATCHER_TABLE = {
     'pointwise':    PointDispatcher,
     'allin':        AllinDispatcher,
     'perseus':      PerseusDispatcher,
-    # the reference's PPLNN dispatcher (dispatchers.py:278) refines the
-    # conservative region with backend fusion knowledge; the conservative
-    # solver covers its behavior on the socket model here.
-    'pplnn':        ConservativeDispatcher,
+    'pplnn':        PPLNNDispatcher,
 }
 
 
@@ -25,5 +22,6 @@ def register_dispatcher(name: str, dispatcher_cls):
 __all__ = [
     'GraphDispatcher', 'DISPATCHER_TABLE', 'ConservativeDispatcher',
     'AggressiveDispatcher', 'AllinDispatcher', 'PointDispatcher',
-    'PerseusDispatcher', 'soi_generators', 'soi_receivers',
+    'PerseusDispatcher', 'PPLNNDispatcher', 'soi_generators',
+    'soi_receivers',
 ]

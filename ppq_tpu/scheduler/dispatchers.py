@@ -149,6 +149,83 @@ class PointDispatcher(GraphDispatcher):
         return table
 
 
+class PPLNNDispatcher(GraphDispatcher):
+    """Fusion-aware dispatcher for PPLNN-style backends
+    (ppq/scheduler/dispatchers.py:278).
+
+    Distinct from Conservative in three ways:
+      * the quantized region grows only from **Conv** seeds (the backend's
+        INT8 kernels are conv-fusion clusters), not from every computing op;
+      * growth relays only through the backend's fusable op set
+        (`quant_types`) — an op outside it breaks the INT8 region even if a
+        value link exists;
+      * Shape/TopK/NonMaxSuppression and linear activations (Relu/Clip)
+      inherit their producer's platform so fusion clusters stay whole.
+    This reproduces the detection-model dispatch recipe (BASELINE.md uses
+    dispatcher=pplnn for the COCO rows).
+    """
+
+    def dispatch(self, quant_types: Optional[Set[str]] = None,
+                 quant_platform: TargetPlatform = TargetPlatform.UNSPECIFIED,
+                 fp32_platform: TargetPlatform = TargetPlatform.FP32,
+                 soi_platform: TargetPlatform = TargetPlatform.SOI,
+                 ) -> Dict[str, TargetPlatform]:
+        graph = self.graph
+        soi_ops = solve_soi_region(graph)
+        quant_region: Set[str] = set()
+
+        frontier = deque(op for op in graph.operations.values()
+                         if op.type == 'Conv' and op.name not in soi_ops)
+        quant_region.update(op.name for op in frontier)
+        seen = set(quant_region)
+        while frontier:
+            op = frontier.popleft()
+            for out_var in op.outputs:
+                for dest in out_var.dest_ops:
+                    if dest.name in seen or dest.name in soi_ops:
+                        continue
+                    if dest.type != 'Conv' and (
+                            quant_types is not None and
+                            dest.type not in quant_types):
+                        continue          # not fusable by the backend
+                    in_idx = dest.inputs.index(out_var)
+                    sck = socket_of(dest)
+                    plat = sck.in_plat[min(in_idx, len(sck.in_plat) - 1)]
+                    if plat != TargetPlatform.UNSPECIFIED:
+                        continue          # SOI/FP32-typed input slot
+                    if not _value_link_out_indices(dest, in_idx) \
+                            and dest.outputs:
+                        continue          # value does not flow onward
+                    seen.add(dest.name)
+                    quant_region.add(dest.name)
+                    frontier.append(dest)
+
+        table: Dict[str, TargetPlatform] = {}
+        for name, op in graph.operations.items():
+            if name in soi_ops:
+                table[name] = soi_platform
+            elif name in quant_region and (
+                    quant_types is None or op.type in quant_types
+                    or op.type == 'Conv'):
+                table[name] = quant_platform
+            else:
+                table[name] = fp32_platform
+
+        # fusion-cluster repair: SOI generators and linear activations
+        # follow their producing op's platform (dispatchers.py:402-416)
+        from ..core.common import LINEAR_ACTIVATIONS
+        for name, op in graph.operations.items():
+            if op.type in {'Shape', 'TopK', 'NonMaxSuppression'}:
+                src = op.inputs[0].source_op if op.inputs else None
+                table[name] = (table[src.name] if src is not None
+                               else fp32_platform)
+            elif op.type in LINEAR_ACTIVATIONS and op.inputs:
+                src = op.inputs[0].source_op
+                if src is not None:
+                    table[name] = table[src.name]
+        return table
+
+
 class PerseusDispatcher(GraphDispatcher):
     """Transitive-closure dispatcher (ppq/scheduler/perseus.py:9).
 

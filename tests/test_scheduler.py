@@ -101,3 +101,53 @@ def test_perseus_matches_conservative_on_trunk():
             assert pers[name] == QUANT
         if op.type in ('Gather', 'Unsqueeze', 'Concat'):
             assert pers[name] == TargetPlatform.SOI
+
+
+def test_pplnn_dispatcher_fusion_regions():
+    """PPLNN quant region grows from Conv seeds through fusable types only;
+    a non-fusable op breaks the INT8 region (reference dispatchers.py:278),
+    and linear activations / NMS-like ops follow their producer."""
+    from ppq_tpu.scheduler import PPLNNDispatcher
+    b = NetBuilder('det_head')
+    x = b.input('x', [1, 8, 16, 16])
+    t = b.relu(b.conv(x, 8, 16, k=3))          # conv → relu: fused INT8
+    t2 = b.conv(t, 16, 16, k=3)
+    sig = b.op('Sigmoid', [t2])                # NOT in quant_types → breaks
+    t3 = b.conv(t, 16, 16, k=3)                # second branch stays INT8
+    s = b.add(t2, t3)                          # conv+conv add: fusable
+    b.output(b.op('Mul', [sig, s]))
+    g = b.g
+    table = PPLNNDispatcher(g).dispatch(
+        quant_types={'Conv', 'Relu', 'Add', 'MaxPool'},
+        quant_platform=QUANT)
+    by_name = {op.name: (op.type, table[name])
+               for name, op in g.operations.items()}
+    types = {op.type: table[name] for name, op in g.operations.items()}
+    assert types['Conv'] == QUANT
+    assert types['Relu'] == QUANT              # follows its conv producer
+    assert types['Add'] == QUANT               # conv-conv add fusion region
+    assert types['Sigmoid'] == TargetPlatform.FP32
+    assert types['Mul'] == TargetPlatform.FP32  # not reachable via fusables
+
+
+def test_pplnn_differs_from_conservative_on_matmul():
+    """Conservative quantizes MatMul-seeded regions; PPLNN only grows from
+    Conv seeds — a pure-MatMul head stays fp32 under pplnn."""
+    from ppq_tpu.scheduler import PPLNNDispatcher
+    b = NetBuilder('mm_head')
+    x = b.input('x', [4, 16])
+    y = b.matmul(x, b.param(b.rng.randn(16, 8)))
+    b.output(b.relu(y))
+    g = b.g
+    cons = ConservativeDispatcher(g).dispatch(
+        quant_types={'MatMul', 'Relu'}, quant_platform=QUANT)
+    ppl = PPLNNDispatcher(g).dispatch(
+        quant_types={'MatMul', 'Relu'}, quant_platform=QUANT)
+    mm = next(n for n, op in g.operations.items() if op.type == 'MatMul')
+    assert cons[mm] == QUANT
+    assert ppl[mm] == TargetPlatform.FP32
+
+
+def test_pplnn_registered_in_table():
+    from ppq_tpu.scheduler import PPLNNDispatcher
+    assert DISPATCHER_TABLE['pplnn'] is PPLNNDispatcher

@@ -151,3 +151,53 @@ def test_finetune_after_baking_preserves_export_guarantee():
     deployed = np.asarray(TPUExecutor(load_onnx_graph(path)).forward(
         loader[0])[0])
     np.testing.assert_allclose(deployed, sim, atol=1e-6)
+
+
+class TestSESEBlocks:
+    def test_residual_joins_never_sliced(self):
+        """Block boundaries must not cross a residual add: every block is
+        single-entry/single-exit, so its outputs all come from its end op
+        (reference training.py:191-316 block definition)."""
+        from ppq_tpu.zoo.vision import resnet18
+        g = resnet18(input_shape=[1, 3, 64, 64])
+        blocks = BlockBuilder(g).build(block_size=4, only_quantable=False)
+        covered = [op.name for b in blocks for op in b.rps]
+        assert sorted(covered) == sorted(g.operations.keys())
+        for b in blocks:
+            ep_outs = {v.name for v in b.ep.outputs}
+            for n in b.output_names:
+                assert n in ep_outs or n in g.outputs, \
+                    f'{b}: interior value {n} leaks out of the block'
+
+    def test_multi_entry_interior_forbidden(self):
+        """No non-start member may read a value produced outside the
+        block (single-entry property)."""
+        from ppq_tpu.zoo.vision import resnet18
+        g = resnet18(input_shape=[1, 3, 64, 64])
+        for b in BlockBuilder(g).build(block_size=4, only_quantable=False):
+            inside = {op.name for op in b.rps}
+            for op in b.rps:
+                if op is b.sp:
+                    continue
+                for v in op.inputs:
+                    if v.is_parameter or v.source_op is None:
+                        continue
+                    assert v.source_op.name in inside, \
+                        f'{b}: {op.name} reads {v.name} from outside'
+
+    def test_residual_block_groups_whole_branch(self):
+        """A conv-conv residual bundle fits in one block when the budget
+        allows — the join lands inside, not on a boundary."""
+        from ppq_tpu.zoo.builder import NetBuilder
+        b = NetBuilder('res', 0)
+        x = b.input('x', [1, 8, 8, 8])
+        t = b.relu(b.conv(x, 8, 8, 3))
+        u = b.relu(b.conv(b.relu(b.conv(t, 8, 8, 3)), 8, 8, 3))
+        s = b.add(u, t)                       # residual join
+        b.output(b.conv(s, 8, 8, 3))
+        blocks = BlockBuilder(b.g).build(block_size=4, only_quantable=False)
+        add_block = next(bl for bl in blocks
+                         if any(op.type == 'Add' for op in bl.rps))
+        types = [op.type for op in add_block.rps]
+        assert types.count('Conv') >= 2, \
+            f'residual branch split away from its join: {add_block}'
