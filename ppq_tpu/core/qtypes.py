@@ -61,6 +61,8 @@ class TargetPlatform(enum.IntEnum):
     ACADEMIC_INT8 = 35
     EXTENSION = 36
     ONNX = 37              # plain onnx (fp32 export)
+    PPL_DSP_TI_INT8 = 38   # DSP-TI: per-channel filter ranges in prototxt
+    CAFFE = 39             # plain caffe (fp32 export)
 
     @classmethod
     def is_quantable(cls, platform: 'TargetPlatform') -> bool:

@@ -573,6 +573,14 @@ def Expand_forward(op, values, ctx=None):
 def Tile_forward(op, values, ctx=None):
     x = jnp.asarray(values[0])
     reps = [int(v) for v in _np(values[1]).reshape(-1)]
+    # ONNX requires len(reps) == rank; the caffe frontend can emit reps for
+    # leading axes only (Tile layer's axis/tiles) — treat reps as
+    # LEFT-aligned and pad/truncate with 1s (numpy's own promotion is
+    # right-aligned, which would tile the wrong axis)
+    if len(reps) < x.ndim:
+        reps = reps + [1] * (x.ndim - len(reps))
+    elif len(reps) > x.ndim:
+        reps = reps[:x.ndim]
     return jnp.tile(x, reps)
 
 

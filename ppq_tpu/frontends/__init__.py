@@ -14,9 +14,17 @@ PARSER_COLLECTION = {
 
 
 def _register_caffe():
-    from .caffe import CaffeExporter, CaffeParser
+    from .caffe import (CaffeExporter, CaffeParser, PPLDSPCaffeExporter,
+                        PPLDSPTICaffeExporter, SNPECaffeExporter)
     PARSER_COLLECTION['caffe'] = CaffeParser
-    EXPORTER_COLLECTION.setdefault(TargetPlatform.SNPE_INT8, CaffeExporter)
+    # reference bindings (caffe_exporter.py flavors): DSP embeds quant
+    # ranges in the prototxt, TI adds per-channel filter ranges, SNPE ships
+    # caffe files + activation-encodings JSON
+    EXPORTER_COLLECTION[TargetPlatform.TPU_DSP_INT8] = PPLDSPCaffeExporter
+    EXPORTER_COLLECTION[TargetPlatform.PPL_DSP_TI_INT8] = \
+        PPLDSPTICaffeExporter
+    EXPORTER_COLLECTION[TargetPlatform.SNPE_INT8] = SNPECaffeExporter
+    EXPORTER_COLLECTION.setdefault(TargetPlatform.CAFFE, CaffeExporter)
 
 
 

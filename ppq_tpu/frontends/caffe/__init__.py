@@ -7,6 +7,9 @@ if _here not in _sys.path:
 
 from . import caffe_pb2  # noqa: E402
 from .parser import CaffeParser, load_caffe_graph  # noqa: E402
-from .exporter import CaffeExporter  # noqa: E402
+from .exporter import (CaffeExporter, PPLDSPCaffeExporter,  # noqa: E402
+                       PPLDSPTICaffeExporter, SNPECaffeExporter)
 
-__all__ = ['caffe_pb2', 'CaffeParser', 'CaffeExporter', 'load_caffe_graph']
+__all__ = ['caffe_pb2', 'CaffeParser', 'CaffeExporter', 'load_caffe_graph',
+           'PPLDSPCaffeExporter', 'PPLDSPTICaffeExporter',
+           'SNPECaffeExporter']

@@ -30,27 +30,31 @@ def _set_blob(blob: 'pb.BlobProto', value: np.ndarray):
 class CaffeExporter(GraphExporter):
     def export(self, file_path: str, graph: BaseGraph,
                config_path: Optional[str] = None, **kwargs):
-        base, ext = os.path.splitext(file_path)
-        proto_path = file_path if ext == '.prototxt' else base + '.prototxt'
-        model_path = base + '.caffemodel'
+        net = self._build_net(graph)
+        self._write(net, file_path)
+        if config_path:
+            from ..onnx.exporter import dump_quant_config_json
+            dump_quant_config_json(graph, config_path)
 
+    def _build_net(self, graph: BaseGraph) -> 'pb.NetParameter':
         net = pb.NetParameter()
         net.name = graph.name
         for name, var in graph.inputs.items():
             net.input.append(name)
             shp = net.input_shape.add()
             shp.dim.extend(int(d) for d in (var.shape or [1]))
-
         for op in graph.topological_sort():
             self._export_op(net, op)
+        return net
 
+    def _write(self, net: 'pb.NetParameter', file_path: str):
+        base, ext = os.path.splitext(file_path)
+        proto_path = file_path if ext == '.prototxt' else base + '.prototxt'
+        model_path = base + '.caffemodel'
         with open(proto_path, 'w') as f:
             f.write(text_format.MessageToString(net))
         with open(model_path, 'wb') as f:
             f.write(net.SerializeToString())
-        if config_path:
-            from ..onnx.exporter import dump_quant_config_json
-            dump_quant_config_json(graph, config_path)
 
     # ------------------------------------------------------------------ ops
     def _export_op(self, net, op: Operation):
@@ -183,3 +187,111 @@ class CaffeExporter(GraphExporter):
         layer.type = t
         for pv in params:
             _set_blob(layer.blobs.add(), pv.value)
+
+
+# ===================================================== quantized variants ===
+
+def _range_of(cfg):
+    """(range_min, range_max) arrays from a TQC (reference
+    caffe_exporter.py convert_value usage)."""
+    scale = np.asarray(cfg.scale, np.float64).reshape(-1)
+    offset = np.asarray(cfg.offset, np.float64).reshape(-1)
+    return (scale * (cfg.quant_min - offset),
+            scale * (cfg.quant_max - offset))
+
+
+class PPLDSPCaffeExporter(CaffeExporter):
+    """PPL-DSP flavor (reference caffe_exporter.py:248 PPLDSPCaffeExporter):
+    quantization ranges are embedded directly in the prototxt — per-layer
+    bottom/top `quantize_param` entries plus filter ranges on
+    Convolution/InnerProduct — no JSON sidecar."""
+
+    per_channel_filter = False
+
+    def export(self, file_path: str, graph: BaseGraph,
+               config_path: Optional[str] = None, **kwargs):
+        net = self._build_net(graph)
+        for layer in net.layer:
+            op = graph.operations.get(layer.name)
+            if op is None or not isinstance(op, QuantableOperation):
+                continue
+            # bottom/top activation ranges
+            for var, cfg in op.config_pairs():
+                root = cfg.dominated_by
+                if var.is_parameter or not root.has_scale:
+                    continue
+                if root.num_of_bits > 8:
+                    continue
+                lo, hi = _range_of(root)
+                kind = ('bottom' if var.name in {v.name for v in op.inputs}
+                        else 'top')
+                layer.quantize_param.add(type=kind,
+                                         range_min=float(lo.min()),
+                                         range_max=float(hi.max()))
+            # filter ranges
+            if layer.type in ('Convolution', 'Deconvolution',
+                              'InnerProduct'):
+                holder = (layer.convolution_param
+                          if layer.type != 'InnerProduct'
+                          else layer.inner_product_param)
+                for var, cfg in op.config_pairs():
+                    root = cfg.dominated_by
+                    if not var.is_parameter or not root.has_scale:
+                        continue
+                    if root.num_of_bits > 8:
+                        continue          # skip bias configs
+                    lo, hi = _range_of(root)
+                    if self.per_channel_filter and lo.size > 1:
+                        for lo_c, hi_c in zip(lo, hi):
+                            p = holder.perchannel_quantize_param.add()
+                            p.type = 'filter'
+                            p.range_min = float(lo_c)
+                            p.range_max = float(hi_c)
+                    else:
+                        p = holder.quantize_param
+                        p.type = 'filter'
+                        p.range_min = float(lo.min())
+                        p.range_max = float(hi.max())
+                    break
+        self._write(net, file_path)
+
+
+class PPLDSPTICaffeExporter(PPLDSPCaffeExporter):
+    """DSP-TI flavor (reference caffe_exporter.py:403): identical layout but
+    computing-op filters carry PER-CHANNEL range entries."""
+
+    per_channel_filter = True
+
+
+class SNPECaffeExporter(CaffeExporter):
+    """SNPE flavor (reference caffe_exporter.py:179): caffe model files plus
+    an activation-encodings JSON in SNPE's layout."""
+
+    def export(self, file_path: str, graph: BaseGraph,
+               config_path: Optional[str] = None, **kwargs):
+        net = self._build_net(graph)
+        self._write(net, file_path)
+        if not config_path:
+            base, _ = os.path.splitext(file_path)
+            config_path = base + '_encodings.json'
+        acts = {}
+        for op in graph.operations.values():
+            if not isinstance(op, QuantableOperation):
+                continue
+            for var, cfg in op.config_pairs():
+                root = cfg.dominated_by
+                if var.is_parameter or not root.has_scale:
+                    continue
+                if root.state in (QuantizationStates.FP32,):
+                    continue
+                lo, hi = _range_of(root)
+                acts[var.name] = [{
+                    'bitwidth': int(root.num_of_bits),
+                    'min': float(lo.min()), 'max': float(hi.max()),
+                    'scale': float(np.asarray(root.scale).reshape(-1)[0]),
+                    'offset': int(np.asarray(
+                        root.offset, np.float64).reshape(-1)[0]),
+                }]
+        with open(config_path, 'w') as f:
+            json.dump({'activation_encodings': acts,
+                       'param_encodings': {}}, f, indent=2)

@@ -347,6 +347,198 @@ class CaffeParser(GraphBuilder):
                                inputs=inputs, outputs=make_tops(n_out))
             return
 
+        if t == 'PReLU':
+            slope = (w[0] if w else np.full((1,), 0.25, np.float32))
+            slope = np.asarray(slope, np.float32).reshape(1, -1, 1, 1)
+            g.create_operation('PRelu', name=name,
+                               inputs=[bottoms[0],
+                                       self._param(g, f'{name}_slope',
+                                                   slope)],
+                               outputs=make_tops(1))
+            return
+
+        if t == 'ReLU6':
+            g.create_operation(
+                'Clip', name=name,
+                inputs=[bottoms[0],
+                        self._param(g, f'{name}_min',
+                                    np.asarray(0.0, np.float32)),
+                        self._param(g, f'{name}_max',
+                                    np.asarray(6.0, np.float32))],
+                outputs=make_tops(1))
+            return
+
+        if t == 'Clip':
+            p = layer.clip_param
+            g.create_operation(
+                'Clip', name=name,
+                inputs=[bottoms[0],
+                        self._param(g, f'{name}_min',
+                                    np.asarray(p.min, np.float32)),
+                        self._param(g, f'{name}_max',
+                                    np.asarray(p.max, np.float32))],
+                outputs=make_tops(1))
+            return
+
+        if t in ('Add', 'Sub', 'Mul', 'Div', 'Max'):
+            g.create_operation(t, name=name, inputs=bottoms[:2],
+                               outputs=make_tops(1))
+            return
+
+        if t in ('HSwish', 'HSigmoid'):
+            op_type = 'HardSwish' if t == 'HSwish' else 'HardSigmoid'
+            attrs = ({'alpha': 1.0 / 6.0, 'beta': 0.5}
+                     if op_type == 'HardSigmoid' else {})
+            g.create_operation(op_type, name=name, attributes=attrs,
+                               inputs=[bottoms[0]], outputs=make_tops(1))
+            return
+
+        if t == 'Tile':
+            p = layer.tile_param
+            axis, tiles = int(p.axis), int(p.tiles)
+            # ONNX Tile takes a full repeats vector; rank from bottom shape
+            rank = len(bottoms[0].shape) if bottoms[0].shape else 4
+            reps = np.ones(rank, np.int64)
+            reps[axis] = tiles
+            g.create_operation('Tile', name=name,
+                               inputs=[bottoms[0],
+                                       self._param(g, f'{name}_reps', reps)],
+                               outputs=make_tops(1))
+            return
+
+        if t == 'ChannelShuffle':
+            p = layer.channel_shuffle_param
+            g.create_operation('ChannelShuffle', name=name,
+                               attributes={'group': int(p.group)},
+                               inputs=[bottoms[0]], outputs=make_tops(1))
+            return
+
+        if t == 'InstanceNorm':
+            p = layer.instance_norm_param
+            c = int(p.num_features) if p.num_features else \
+                (bottoms[0].shape[1] if bottoms[0].shape else 1)
+            scale = (w[0] if (p.affine and w) else np.ones(c, np.float32))
+            bias = (w[1] if (p.affine and len(w) > 1)
+                    else np.zeros(c, np.float32))
+            g.create_operation(
+                'InstanceNormalization', name=name,
+                attributes={'epsilon': float(p.eps)},
+                inputs=[bottoms[0],
+                        self._param(g, f'{name}_scale',
+                                    np.asarray(scale, np.float32).reshape(-1)),
+                        self._param(g, f'{name}_bias',
+                                    np.asarray(bias, np.float32).reshape(-1))],
+                outputs=make_tops(1))
+            return
+
+        if t == 'ArgMax':
+            p = layer.argmax_param
+            if p.out_max_val or int(p.top_k) != 1:
+                ppq_warning(f'ArgMax {name}: out_max_val/top_k>1 not '
+                            f'supported, emitting plain ArgMax')
+            axis = int(p.axis) if p.HasField('axis') else 1
+            g.create_operation('ArgMax', name=name,
+                               attributes={'axis': axis, 'keepdims': 1},
+                               inputs=[bottoms[0]], outputs=make_tops(1))
+            return
+
+        if t == 'MatMul':
+            g.create_operation('MatMul', name=name, inputs=bottoms[:2],
+                               outputs=make_tops(1))
+            return
+
+        if t in ('Reduce', 'ReduceL2'):
+            if t == 'ReduceL2':
+                op_type, axis = 'ReduceL2', 1
+            else:
+                op_type = 'ReduceMean'
+                axis = int(layer.reduce_param.axis)
+            g.create_operation(op_type, name=name,
+                               attributes={'axes': [axis], 'keepdims': 0},
+                               inputs=[bottoms[0]], outputs=make_tops(1))
+            return
+
+        if t == 'NNUpsample':
+            zoom = int(layer.nn_upsample_param.resize)
+            g.create_operation(
+                'Resize', name=name,
+                attributes={'mode': 'nearest',
+                            'coordinate_transformation_mode': 'asymmetric'},
+                inputs=[bottoms[0],
+                        self._param(g, f'{name}_roi',
+                                    np.zeros(0, np.float32)),
+                        self._param(g, f'{name}_scales',
+                                    np.asarray([1, 1, zoom, zoom],
+                                               np.float32))],
+                outputs=make_tops(1))
+            return
+
+        if t in ('SubpixelDown', 'SubpixelUp'):
+            if t == 'SubpixelDown':
+                op_type = 'SpaceToDepth'
+                block = int(layer.subpixel_down_param.downsample)
+            else:
+                op_type = 'DepthToSpace'
+                block = int(layer.subpixel_up_param.upsample)
+            g.create_operation(op_type, name=name,
+                               attributes={'blocksize': block},
+                               inputs=[bottoms[0]], outputs=make_tops(1))
+            return
+
+        if t == 'ReflectionPad' or t == 'Pad':
+            p = layer.pad_param
+            pad = int(p.pad)
+            ph = int(p.pad_h) or pad
+            pw = int(p.pad_w) or pad
+            pads = np.asarray([0, 0, ph, pw, 0, 0, ph, pw], np.int64)
+            mode = 'reflect' if (t == 'ReflectionPad' or
+                                 int(p.mode) == 1) else 'constant'
+            g.create_operation('Pad', name=name,
+                               attributes={'mode': mode},
+                               inputs=[bottoms[0],
+                                       self._param(g, f'{name}_pads', pads)],
+                               outputs=make_tops(1))
+            return
+
+        if t == 'Parameter':
+            p = layer.parameter_param
+            dims = [int(v) for v in (p.batch, p.channel, p.height, p.width)
+                    if int(v) > 0] or [int(p.m), int(p.n)]
+            value = (w[0] if w else np.zeros(dims, np.float32))
+            out = make_tops(1)[0]
+            out.value = np.asarray(value, np.float32)
+            out.is_parameter = True
+            return
+
+        if t == 'Transpose':
+            perm = [int(v) for v in layer.permute_param.order]
+            g.create_operation('Transpose', name=name,
+                               attributes={'perm': perm},
+                               inputs=[bottoms[0]], outputs=make_tops(1))
+            return
+
+        if t == 'BN':
+            # ppl-caffe BN layer: y = scale * (x - mean)/sqrt(var + eps) +
+            # shift, blobs = [scale, shift, mean, var]
+            c = w[0].size if w else 1
+            scale = w[0].reshape(-1) if w else np.ones(c, np.float32)
+            shift = (w[1].reshape(-1) if len(w) > 1
+                     else np.zeros(c, np.float32))
+            mean = (w[2].reshape(-1) if len(w) > 2
+                    else np.zeros(c, np.float32))
+            var = (w[3].reshape(-1) if len(w) > 3
+                   else np.ones(c, np.float32))
+            g.create_operation(
+                'BatchNormalization', name=name,
+                attributes={'epsilon': 1e-5},
+                inputs=[bottoms[0],
+                        self._param(g, f'{name}_scale', scale),
+                        self._param(g, f'{name}_shift', shift),
+                        self._param(g, f'{name}_mean', mean),
+                        self._param(g, f'{name}_var', var)],
+                outputs=make_tops(1))
+            return
+
         ppq_warning(f'Caffe layer type {t!r} ({name}) unsupported — '
                     f'inserted as opaque op.')
         g.create_operation(t, name=name, inputs=bottoms,

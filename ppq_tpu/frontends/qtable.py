@@ -71,35 +71,81 @@ class _TableExporter(GraphExporter):
 
 
 class NCNNExporter(_TableExporter):
-    """ncnn int8 table: `<key> <scale...>` lines; weights keyed
-    `<op>_param_0`, activations keyed by op name
-    (reference: ppq/parser/ncnn_exporter.py)."""
+    """ncnn int8 table (reference ppq/parser/ncnn_exporter.py format,
+    byte-compatible): FIRST one `<op>_param_0` line per computing op with
+    the inverse per-channel weight scales (depthwise convs collapse to one
+    scale per group — ncnn's layout), THEN one `<op>` line per computing op
+    with the inverse per-tensor INPUT scale. '%f' formatting with trailing
+    space, like the reference's `fd.write('%f '% s)` loop."""
 
     def write_table(self, graph: BaseGraph, path: str):
+        topo = [op for op in graph.topological_sort()
+                if op.is_computing_op and isinstance(op, QuantableOperation)]
         lines = []
-        for name, is_param, op, cfg in collect_exportable(graph):
+        for op in topo:
+            if len(op.config.input_quantization_config) < 2:
+                continue
+            cfg = op.config.input_quantization_config[1].dominated_by
+            if not cfg.has_scale:
+                continue
             scale = np.atleast_1d(np.asarray(cfg.scale, np.float64))
+            group = int(op.attributes.get('group', 1))
+            if op.type == 'Conv' and group > 1:
+                scale = scale.reshape(group, -1).max(axis=1)
             inv = 1.0 / np.maximum(scale, 1e-30)
-            key = f'{op.name}_param_0' if is_param else op.name
-            lines.append(key + ' ' + ' '.join(f'{v:.8f}' for v in inv))
+            lines.append(f'{op.name}_param_0 ' +
+                         ''.join('%f ' % v for v in inv))
+        for op in topo:
+            cfg = op.config.input_quantization_config[0].dominated_by
+            if not cfg.has_scale:
+                continue
+            inv = 1.0 / max(float(np.asarray(cfg.scale).reshape(-1)[0]),
+                            1e-30)
+            lines.append(f'{op.name} ' + '%f ' % inv)
         with open(path, 'w') as f:
             f.write('\n'.join(lines) + '\n')
 
 
-class TengineExporter(NCNNExporter):
-    """Tengine scale table (reference: ppq/parser/tengine_exporter.py);
-    same `<key> <scale>` text shape, direct scales."""
+class TengineExporter(_TableExporter):
+    """Tengine quant config (reference ppq/parser/tengine_exporter.py:91):
+    a JSON render buffer {configs, dispatchings, values} — per-op per-var
+    TQC descriptors with hash/dominator links, root scales under `values`.
+    Per-channel configs are rejected (Tengine limitation, reference
+    line 113)."""
+
+    table_suffix = '.json'
 
     def write_table(self, graph: BaseGraph, path: str):
-        lines = []
-        for name, is_param, op, cfg in collect_exportable(graph):
-            scale = np.atleast_1d(np.asarray(cfg.scale, np.float64))
-            offset = np.atleast_1d(np.asarray(cfg.offset, np.float64))
-            lines.append(f'{name} ' +
-                         ' '.join(f'{s:.8f} {int(o)}' for s, o in
-                                  zip(scale, offset)))
+        buf = {'configs': {}, 'dispatchings': {}, 'values': {}}
+        for op in graph.operations.values():
+            if not isinstance(op, QuantableOperation):
+                continue
+            op_dict = {}
+            for var, cfg in op.config_pairs():
+                if cfg.policy.per_channel:
+                    raise PermissionError(
+                        'Tengine does not support per-channel quantization.')
+                op_dict[var.name] = {
+                    'bit_width': cfg.num_of_bits,
+                    'policy': cfg.policy.to_dict(),
+                    'state': cfg.state.name,
+                    'quant_min': cfg.quant_min,
+                    'quant_max': cfg.quant_max,
+                    'hash': hash(cfg),
+                    'dominator': hash(cfg.dominated_by),
+                }
+                root = cfg.dominated_by
+                if root is cfg and root.has_scale:
+                    buf['values'][hash(cfg)] = {
+                        'scale': float(np.asarray(root.scale)
+                                       .reshape(-1)[0]),
+                        'zero_point': float(np.asarray(root.offset)
+                                            .reshape(-1)[0]),
+                    }
+            buf['configs'][op.name] = op_dict
+            buf['dispatchings'][op.name] = op.platform.name
         with open(path, 'w') as f:
-            f.write('\n'.join(lines) + '\n')
+            json.dump(buf, f, indent=4)
 
 
 class SNPEExporter(_TableExporter):

@@ -122,16 +122,28 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
         algo_of = {name: cfg.observer_algorithm
                    for name, cfg in targets.items()}
         onepass = {n for n, a in algo_of.items() if a == 'minmax'}
-        # percentile runs two-phase via a signed histogram CDF: exact
+        # percentile runs two-phase via a signed histogram CDF on TPU: exact
         # jnp.quantile would emit an XLA sort per tensor, which compiles
-        # pathologically slowly for large activations on TPU
-        pct_phase = {n for n, a in algo_of.items() if a == 'percentile'}
+        # pathologically slowly there. On the CPU backend the trade flips —
+        # sorts are cheap and the O(N*bins) histogram reduction is brutal —
+        # so percentile collapses into phase 1 as a direct quantile.
+        import jax as _jax
+        cpu_backend = _jax.default_backend() == 'cpu'
+        pct_all = {n for n, a in algo_of.items() if a == 'percentile'}
+        pct_direct = pct_all if cpu_backend else set()
+        pct_phase = set() if cpu_backend else pct_all
         twophase = {n for n, a in algo_of.items() if a in ('kl', 'mse')}
+
+        def _pct_of(name):
+            return float(targets[name].detail.get(
+                OBSERVER_PERCENTILE_MANUL_OVERRIDE, OBSERVER_PERCENTILE))
 
         # ---------------- phase 1: minmax (+range probes for histograms) --
         spec = {}
         for n in onepass | pct_phase:
             spec[n] = {'kind': 'minmax'}
+        for n in pct_direct:
+            spec[n] = {'kind': 'percentile', 'percentile': _pct_of(n)}
         for n in twophase:
             spec[n] = {'kind': 'absmax'}
 
@@ -189,6 +201,16 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                 self._activate(cfg, scale, offset)
             else:
                 ranges[name] = (float(np.min(lo)), float(np.max(hi)))
+        for name in pct_direct:
+            if name not in folds:
+                continue
+            # eager-observer semantics: per-batch quantiles, averaged
+            lo = np.mean([s[0] for s in folds[name]], axis=0)
+            hi = np.mean([s[1] for s in folds[name]], axis=0)
+            cfg = targets[name]
+            scale, offset = minmax_to_scale_offset(
+                np.asarray(lo), np.asarray(hi), cfg)
+            self._activate(cfg, scale, offset)
 
         # -------- phase 2a: percentile via signed-histogram CDF ------------
         if pct_phase:

@@ -103,11 +103,17 @@ class BaseQuantizer:
 
     def build_bias_config(self, channel_axis: int = 0) -> TensorQuantizationConfig:
         qmin, qmax = self.int_range(self.bias_bits, True)
+        # bias granularity follows the weight policy (scale = in_s * w_s):
+        # per-tensor-weight backends (Tengine et al.) reject any
+        # per-channel config, including bias
+        w_per_channel = QuantizationPolicy(self.w_policy_bits).per_channel
+        gran = QP.PER_CHANNEL if w_per_channel else QP.PER_TENSOR
         return TensorQuantizationConfig(
-            policy=QuantizationPolicy(QP.PER_CHANNEL | QP.LINEAR | QP.SYMMETRICAL),
+            policy=QuantizationPolicy(gran | QP.LINEAR | QP.SYMMETRICAL),
             rounding=self.rounding_policy, num_of_bits=self.bias_bits,
             quant_min=qmin, quant_max=qmax, observer_algorithm='minmax',
-            state=QuantizationStates.PASSIVE_INIT, channel_axis=channel_axis,
+            state=QuantizationStates.PASSIVE_INIT,
+            channel_axis=channel_axis if w_per_channel else None,
             visibility=QuantizationVisibility.INTERNAL)
 
     def build_fp32_config(self) -> TensorQuantizationConfig:

@@ -80,6 +80,15 @@ class TPUDSPInt8Quantizer(BaseQuantizer):
     w_observer = 'minmax'
 
 
+class PPLDSPTIQuantizer(TPUDSPInt8Quantizer):
+    """DSP-TI semantics: per-channel symmetric computing-op weights on top
+    of the asymmetric per-tensor DSP activations (reference:
+    DSPQuantizer.py PPL_DSP_TI_Quantizer)."""
+
+    target_platform = TargetPlatform.PPL_DSP_TI_INT8
+    w_policy_bits = QP.PER_CHANNEL | QP.LINEAR | QP.SYMMETRICAL
+
+
 class TPUPowerOf2Quantizer(BaseQuantizer):
     """Power-of-2 scale symmetric INT8 (reference: NXP_Quantizer,
     FPGAQuantizer) — shift-only dequant."""
@@ -151,8 +160,12 @@ class RKNNPerChannelQuantizer(BaseQuantizer):
     act_policy_bits = QP.PER_TENSOR | QP.LINEAR | QP.ASYMMETRICAL
 
 
-class TengineQuantizer(TPUInt8Quantizer):
+class TengineQuantizer(BaseQuantizer):
+    """Tengine: strictly PER-TENSOR symmetric (reference
+    TengineQuantizer.py:48,90 — the backend rejects per-channel)."""
     target_platform = TargetPlatform.TENGINE_INT8
+    act_policy_bits = QP.PER_TENSOR | QP.LINEAR | QP.SYMMETRICAL
+    w_policy_bits = QP.PER_TENSOR | QP.LINEAR | QP.SYMMETRICAL
     act_observer = 'minmax'
 
 
@@ -202,6 +215,7 @@ class ExtQuantizer(TPUInt8Quantizer):
 # --------------------------------------------------------------- registry --
 # reference: ppq/lib/common.py:22-44 __QUANTIZER_COLLECTION__
 QUANTIZER_COLLECTION = {
+    TargetPlatform.PPL_DSP_TI_INT8: PPLDSPTIQuantizer,
     TargetPlatform.TPU_INT8: TPUInt8Quantizer,
     TargetPlatform.TPU_FP8: TPUFP8Quantizer,
     TargetPlatform.TPU_INT4_WEIGHT_ONLY: TPUInt4WeightOnlyQuantizer,

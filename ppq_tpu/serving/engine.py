@@ -83,14 +83,26 @@ def param_shardings(cfg: LlamaConfig, mesh: Mesh) -> Dict[str, Any]:
 
 
 def cache_shardings(cfg: LlamaConfig, mesh: Mesh) -> Dict[str, NamedSharding]:
-    """KV cache: shard the kv-head axis over tp (replicate when GQA head
-    count doesn't divide — tp should normally be ≤ n_kv_heads)."""
-    if cfg.n_kv_heads % mesh.shape['tp'] == 0:
-        kv = NamedSharding(mesh, P(None, None, None, 'tp', None))
-        sc = NamedSharding(mesh, P(None, None, None, 'tp'))
-    else:
-        kv = NamedSharding(mesh, P())
-        sc = NamedSharding(mesh, P())
+    """KV cache placement over the mesh, cache arrays (L, B, S, KV, Dh):
+      * 'tp'  → shard the kv-head axis (column-parallel attention keeps each
+        head's K/V local; replicate when GQA head count doesn't divide)
+      * 'sp'  → shard the SEQUENCE axis: per-chip cache memory is S/n_sp, so
+        max_seq_len can exceed one chip's HBM; XLA partitions the attention
+        einsums over S and inserts the softmax all-reduces (long-context
+        serving, SURVEY §5)
+      * 'pp'  → shard the LAYER axis (each pipeline stage holds its layers'
+        slabs; used with forward_staged)
+    """
+    axes = [None, None, None, None, None]     # (L, B, S, KV, Dh)
+    if 'pp' in mesh.shape and mesh.shape['pp'] > 1:
+        axes[0] = 'pp'
+    if 'sp' in mesh.shape and mesh.shape['sp'] > 1 and \
+            cfg.max_seq_len % mesh.shape['sp'] == 0:
+        axes[2] = 'sp'
+    if 'tp' in mesh.shape and cfg.n_kv_heads % mesh.shape.get('tp', 1) == 0:
+        axes[3] = 'tp'
+    kv = NamedSharding(mesh, P(*axes))
+    sc = NamedSharding(mesh, P(*axes[:4]))
     out = {'k': kv, 'v': kv}
     if cfg.kv_cache_bits == 8:
         out['k_scale'] = sc
@@ -134,9 +146,36 @@ class ServingEngine:
         self.mesh = mesh
         self.sampling = sampling or SamplingParams()
         self._rng_key = jax.random.PRNGKey(self.sampling.seed)
+        self._pp = mesh is not None and dict(mesh.shape).get('pp', 1) > 1
         if mesh is not None:
-            spec = param_shardings(cfg, mesh)(params)
-            params = jax.tree.map(jax.device_put, params, spec)
+            if self._pp:
+                # pipeline parallelism: stack layers on a leading L axis,
+                # shard layers+cache over 'pp' (forward_staged streams
+                # microbatches through the stage ring)
+                from .pipeline import stack_layer_params
+                if any('moe' in l for l in params['layers']):
+                    raise NotImplementedError('pp + MoE not supported')
+                if cfg.max_batch % dict(mesh.shape)['pp'] != 0:
+                    raise ValueError('max_batch must divide by pp stages')
+                stacked = stack_layer_params(params['layers'])
+                params = dict(params)
+                params['layers'] = stacked
+                rep = NamedSharding(mesh, P())
+                spec = {
+                    'embed': rep, 'final_norm': rep,
+                    'lm_head': jax.tree.map(lambda _: rep,
+                                            params['lm_head']),
+                    'layers': jax.tree.map(
+                        lambda _: NamedSharding(mesh, P('pp')), stacked),
+                }
+                params = jax.tree.map(jax.device_put, params, spec)
+            elif dict(mesh.shape).get('tp', 1) > 1:
+                spec = param_shardings(cfg, mesh)(params)
+                params = jax.tree.map(jax.device_put, params, spec)
+            else:
+                params = jax.tree.map(
+                    lambda a: jax.device_put(a, NamedSharding(mesh, P())),
+                    params)
             self._cache_sharding = cache_shardings(cfg, mesh)
         else:
             self._cache_sharding = None
@@ -158,6 +197,17 @@ class ServingEngine:
         return cache
 
     # ------------------------------------------------------------ compiled
+    def _forward(self, params, cache, tokens, positions, write_pos,
+                 seq_lens, active=None):
+        """model.forward, or the pipeline-staged variant on a 'pp' mesh."""
+        if self._pp:
+            from .pipeline import forward_staged
+            return forward_staged(params, cache, tokens, positions,
+                                  write_pos, seq_lens, self.cfg, self.mesh,
+                                  'pp', None, active)
+        return forward(params, cache, tokens, positions, write_pos,
+                       seq_lens, self.cfg, active=active)
+
     def _select(self, logits, key):
         """Greedy or (top-k) temperature sampling over (B, vocab) logits."""
         sp = self.sampling
@@ -186,8 +236,8 @@ class ServingEngine:
         def decode_step(params, cache, tokens, seq_lens, key):
             # tokens: (B,) current token per slot; seq_lens: (B,) cache fill
             positions = seq_lens[:, None]                    # (B, 1)
-            logits, cache = forward(params, cache, tokens[:, None],
-                                    positions, seq_lens, seq_lens + 1, cfg)
+            logits, cache = self._forward(params, cache, tokens[:, None],
+                                          positions, seq_lens, seq_lens + 1)
             next_tok = self._select(logits[:, -1, :], key)
             return next_tok, cache
         return decode_step
@@ -201,21 +251,32 @@ class ServingEngine:
             return self._decode_burst[n_steps]
         cfg = self.cfg
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def decode_burst(params, cache, tokens, seq_lens, key):
-            def body(carry, step_key):
-                cache, tokens, seq_lens = carry
-                positions = seq_lens[:, None]
-                logits, cache = forward(params, cache, tokens[:, None],
-                                        positions, seq_lens, seq_lens + 1,
-                                        cfg)
-                nxt = self._select(logits[:, -1, :], step_key)
-                return (cache, nxt, seq_lens + 1), nxt
+        if not self._pp:
+            from .model import burst_forward
 
-            keys = jax.random.split(key, n_steps)
-            (cache, _, seq_lens), toks = jax.lax.scan(
-                body, (cache, tokens, seq_lens), keys)
-            return toks, cache                      # toks: (n_steps, B)
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def decode_burst(params, cache, tokens, seq_lens, key):
+                keys = jax.random.split(key, n_steps)
+                return burst_forward(params, cache, tokens, seq_lens,
+                                     keys, cfg, self._select)
+        else:
+            # pp path: scan the staged forward (cache stays the carry —
+            # per-stage slabs are smaller so the copy cost is bounded)
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def decode_burst(params, cache, tokens, seq_lens, key):
+                def body(carry, step_key):
+                    cache, tokens, seq_lens = carry
+                    positions = seq_lens[:, None]
+                    logits, cache = self._forward(
+                        params, cache, tokens[:, None], positions,
+                        seq_lens, seq_lens + 1)
+                    nxt = self._select(logits[:, -1, :], step_key)
+                    return (cache, nxt, seq_lens + 1), nxt
+
+                keys = jax.random.split(key, n_steps)
+                (cache, _, seq_lens), toks = jax.lax.scan(
+                    body, (cache, tokens, seq_lens), keys)
+                return toks, cache                  # toks: (n_steps, B)
         self._decode_burst[n_steps] = decode_burst
         return decode_burst
 
@@ -237,10 +298,10 @@ class ServingEngine:
             positions = jnp.broadcast_to(
                 jnp.arange(bucket, dtype=jnp.int32)[None, :], (B, bucket))
             write_pos = jnp.zeros((B,), jnp.int32)
-            logits, cache = forward(params, cache, tokens, positions,
-                                    write_pos,
-                                    jnp.full((B,), bucket, jnp.int32),
-                                    cfg, active=active)
+            logits, cache = self._forward(params, cache, tokens, positions,
+                                          write_pos,
+                                          jnp.full((B,), bucket, jnp.int32),
+                                          active=active)
             last = jnp.take_along_axis(
                 jnp.argmax(logits, axis=-1).astype(jnp.int32),
                 jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
@@ -263,9 +324,9 @@ class ServingEngine:
         def prefill_chunk(params, cache, tokens, write_pos, active):
             positions = write_pos[:, None] + jnp.arange(chunk,
                                                         dtype=jnp.int32)
-            logits, cache = forward(params, cache, tokens, positions,
-                                    write_pos, write_pos + chunk, cfg,
-                                    active=active)
+            logits, cache = self._forward(params, cache, tokens, positions,
+                                          write_pos, write_pos + chunk,
+                                          active=active)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
         self._prefill[key] = prefill_chunk
         return prefill_chunk

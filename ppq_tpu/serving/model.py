@@ -286,6 +286,160 @@ def mlp(x, layer, cfg=None):
                    layer['w_down'])
 
 
+def decoder_layer(layer, ck, cv, cks, cvs, x, positions, write_pos, cfg,
+                  causal, active=None):
+    """One decoder layer over its cache slabs: pre-norm attention + MLP.
+    x: (B, T, D); slabs: (B, S, KV, Dh) / (B, S, KV). Returns
+    (x, ck, cv, cks, cvs). Shared by the flat forward below and the
+    pipeline-parallel staged forward (pipeline.py)."""
+    h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
+    attn_out, ck, cv, cks, cvs = attention(
+        h, layer, ck, cv, cks, cvs, positions, write_pos, cfg, causal,
+        active=active)
+    x = x + attn_out
+    h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
+    x = x + mlp(h, layer, cfg)
+    return x, ck, cv, cks, cvs
+
+
+def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
+                  tokens: jnp.ndarray, seq_lens: jnp.ndarray,
+                  keys: jnp.ndarray, cfg: LlamaConfig, select_fn):
+    """n consecutive decode steps in one lax.scan with the big KV cache
+    FROZEN: in-burst K/V live in a small (L, B, n, KV, Dh) bf16 buffer
+    carried through the scan; the cache is written ONCE at the end
+    (quantize + per-slot window write).
+
+    Why: a scan whose carry includes the full cache double-buffers
+    hundreds of MB every iteration — XLA cannot prove in-place aliasing
+    through the slab-update chain, so each burst step paid ~2 cache copies
+    (~16x slower than a single decode dispatch). With the cache as a
+    closed-over constant and only the tiny buffer as carry, a burst step
+    costs the same HBM traffic as a plain decode step (weights + one
+    frozen-cache read), and the whole burst is still one host dispatch.
+
+    tokens: (B,) current token per slot; seq_lens: (B,) cache fill;
+    keys: (n, 2) PRNG keys per step; select_fn(logits, key) -> (B,) int32.
+    Returns (toks (n, B), updated cache).
+    """
+    L = len(params['layers'])
+    B = tokens.shape[0]
+    n = keys.shape[0]
+    KV, Dh, H = cfg.n_kv_heads, cfg.head_dim, cfg.n_heads
+    rep = H // KV
+    S = cache['k'].shape[2]
+    int8_cache = cfg.kv_cache_bits == 8
+
+    buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
+    kbuf0 = jnp.zeros((L, B, n, KV, Dh), buf_dtype)
+    vbuf0 = jnp.zeros((L, B, n, KV, Dh), buf_dtype)
+    ksb0 = jnp.zeros((L, B, n, KV), jnp.float32)
+    vsb0 = jnp.zeros((L, B, n, KV), jnp.float32)
+    slot_ids = jnp.arange(S)[None, None, None, :]            # (1,1,1,S)
+    buf_ids = jnp.arange(n)[None, None, None, :]             # (1,1,1,n)
+
+    frozen_mask = slot_ids < seq_lens[:, None, None, None]   # (B,1,1,S)
+
+    def step(carry, inp):
+        cur_tok, kbuf, vbuf, ksb, vsb, i = carry
+        key = inp
+        pos = seq_lens + i                                   # (B,)
+        x = params['embed'][cur_tok][:, None, :]             # (B,1,D)
+        for li, layer in enumerate(params['layers']):
+            h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
+            q = qmatmul(h, layer['wq']).reshape(B, 1, H, Dh)
+            k = qmatmul(h, layer['wk']).reshape(B, 1, KV, Dh)
+            v = qmatmul(h, layer['wv']).reshape(B, 1, KV, Dh)
+            q = rope(q, pos[:, None], cfg.rope_theta)
+            k = rope(k, pos[:, None], cfg.rope_theta)
+            # bank this step's K/V at buffer column i (write before read),
+            # quantized exactly like the cache so burst == step-by-step
+            if int8_cache:
+                k_q, k_s = _kv_quant(k)
+                v_q, v_s = _kv_quant(v)
+                ksb = jax.lax.dynamic_update_slice(
+                    ksb, k_s[None], (li, 0, i, 0))
+                vsb = jax.lax.dynamic_update_slice(
+                    vsb, v_s[None], (li, 0, i, 0))
+            else:
+                k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
+            kbuf = jax.lax.dynamic_update_slice(
+                kbuf, k_q[None], (li, 0, i, 0, 0))
+            vbuf = jax.lax.dynamic_update_slice(
+                vbuf, v_q[None], (li, 0, i, 0, 0))
+
+            q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
+            # frozen-cache logits (int8 read, scales folded post-dot)
+            lf = jnp.einsum('btkrd,bskd->bkrts', q_g,
+                            cache['k'][li].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            lf = lf[:, :, :, 0, :]                           # (B,KV,rep,S)
+            if int8_cache:
+                lf = lf * cache['k_scale'][li].transpose(0, 2, 1)[:, :,
+                                                                  None, :]
+            lf = jnp.where(frozen_mask, lf / np.sqrt(Dh), -1e30)
+            # in-burst buffer logits (causal over steps ≤ i)
+            lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
+                            kbuf[li].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            lb = lb[:, :, :, 0, :]                           # (B,KV,rep,n)
+            if int8_cache:
+                lb = lb * ksb[li].transpose(0, 2, 1)[:, :, None, :]
+            lb = jnp.where(buf_ids <= i, lb / np.sqrt(Dh), -1e30)
+
+            joint = jnp.concatenate([lf, lb], axis=-1)
+            probs = jax.nn.softmax(joint, axis=-1)
+            pf, pb = probs[..., :S], probs[..., S:]
+            if int8_cache:
+                pf = pf * cache['v_scale'][li].transpose(0, 2, 1)[:, :,
+                                                                  None, :]
+                pb = pb * vsb[li].transpose(0, 2, 1)[:, :, None, :]
+            ctx = jnp.einsum('bkrs,bskd->bkrd', pf.astype(jnp.bfloat16),
+                             cache['v'][li].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            ctx = ctx + jnp.einsum('bkrj,bjkd->bkrd',
+                                   pb.astype(jnp.bfloat16),
+                                   vbuf[li].astype(jnp.bfloat16),
+                                   preferred_element_type=jnp.float32)
+            ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
+            x = x + qmatmul(ctx, layer['wo'])
+            h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
+            x = x + mlp(h, layer, cfg)
+        x = rms_norm(x, params['final_norm'], cfg.rms_eps)
+        logits = qmatmul(x, params['lm_head']).astype(jnp.float32)
+        nxt = select_fn(logits[:, 0, :], key)
+        return (nxt, kbuf, vbuf, ksb, vsb, i + 1), nxt
+
+    (_, kbuf, vbuf, ksb, vsb, _), toks = jax.lax.scan(
+        step, (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0)), keys)
+
+    # merge the burst buffer into the cache: one window write per layer
+    new_cache = dict(cache)
+    ck_all, cv_all = cache['k'], cache['v']
+    ks_all = cache.get('k_scale')
+    vs_all = cache.get('v_scale')
+    for li in range(L):
+        ck_all = jax.lax.dynamic_update_index_in_dim(
+            ck_all, _window_write(ck_all[li], kbuf[li], seq_lens, None),
+            li, 0)
+        cv_all = jax.lax.dynamic_update_index_in_dim(
+            cv_all, _window_write(cv_all[li], vbuf[li], seq_lens, None),
+            li, 0)
+        if int8_cache:
+            ks_all = jax.lax.dynamic_update_index_in_dim(
+                ks_all, _window_write(ks_all[li], ksb[li], seq_lens, None),
+                li, 0)
+            vs_all = jax.lax.dynamic_update_index_in_dim(
+                vs_all, _window_write(vs_all[li], vsb[li], seq_lens, None),
+                li, 0)
+    new_cache['k'] = ck_all
+    new_cache['v'] = cv_all
+    if ks_all is not None:
+        new_cache['k_scale'] = ks_all
+        new_cache['v_scale'] = vs_all
+    return toks, new_cache
+
+
 def forward(params: Params, cache: Dict[str, jnp.ndarray],
             tokens: jnp.ndarray, positions: jnp.ndarray,
             write_pos: jnp.ndarray, seq_lens: jnp.ndarray,
@@ -314,20 +468,16 @@ def forward(params: Params, cache: Dict[str, jnp.ndarray],
     ks_all = cache.get('k_scale')
     vs_all = cache.get('v_scale')
     for li, layer in enumerate(params['layers']):
-        h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
-        attn_out, ck, cv, cks, cvs = attention(
-            h, layer, ck_all[li], cv_all[li],
+        x, ck, cv, cks, cvs = decoder_layer(
+            layer, ck_all[li], cv_all[li],
             ks_all[li] if ks_all is not None else None,
             vs_all[li] if vs_all is not None else None,
-            positions, write_pos, cfg, causal, active=active)
+            x, positions, write_pos, cfg, causal, active=active)
         ck_all = jax.lax.dynamic_update_index_in_dim(ck_all, ck, li, 0)
         cv_all = jax.lax.dynamic_update_index_in_dim(cv_all, cv, li, 0)
         if cks is not None:
             ks_all = jax.lax.dynamic_update_index_in_dim(ks_all, cks, li, 0)
             vs_all = jax.lax.dynamic_update_index_in_dim(vs_all, cvs, li, 0)
-        x = x + attn_out
-        h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
-        x = x + mlp(h, layer, cfg)
 
     new_cache = {'k': ck_all, 'v': cv_all}
     if ks_all is not None:

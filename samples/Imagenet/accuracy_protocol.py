@@ -1,0 +1,221 @@
+"""Accuracy-parity protocol: Δ(top-1) of INT8 simulation vs FP32 on REAL
+trained models and REAL data, end-to-end through the product pipeline
+(torch train → torch.onnx export → parse → dispatch → calibrate → INT8
+simulate → evaluate).
+
+Reference anchor: /root/reference/README.md:175-200 — ResNet-18 ImageNet
+Δ = 0.38pt, MobileNetV2 Δ = 0.89pt, produced by
+ppq/samples/Imagenet/evaluation_with_imagenet.py with 512 calibration
+images and the conservative dispatcher.
+
+This environment has zero egress: no torchvision checkpoints and no
+ImageNet. The protocol therefore trains the same *architectures*
+(ResNet-18 BasicBlock layout, MobileNetV2 inverted residuals — 32x32-input
+adaptations, the standard CIFAR stems) from scratch on the only real image
+dataset available offline (scikit-learn's bundled handwritten digits,
+1797 8x8 grayscale images, upsampled to 3x32x32), holding out a test
+split. Everything downstream of training — export, calibration protocol
+(512 images), quantization, evaluation — matches the reference recipe.
+
+Usage: python accuracy_protocol.py [--quick] [--cpu]
+  --quick  1-epoch smoke run
+  --cpu    run the quantization/eval on the JAX CPU backend (avoids TPU
+           tunnel contention; INT8 sim math is identical)
+Writes accuracy_results.json next to this script.
+"""
+
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__)))))
+
+if '--cpu' in _sys.argv:
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+
+# ------------------------------------------------------------------ data ---
+def load_digits_32x32(seed=0):
+    """Real data: sklearn digits → (N, 3, 32, 32) float32, train/test split."""
+    from sklearn.datasets import load_digits
+    d = load_digits()
+    x = d.images.astype(np.float32) / 16.0                  # (N, 8, 8)
+    x = np.kron(x, np.ones((4, 4), np.float32))             # (N, 32, 32)
+    x = (x - 0.5) / 0.5
+    x = np.repeat(x[:, None, :, :], 3, axis=1)              # (N, 3, 32, 32)
+    y = d.target.astype(np.int64)
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(x))
+    n_test = 360
+    test, train = idx[:n_test], idx[n_test:]
+    return (x[train], y[train]), (x[test], y[test])
+
+
+# ----------------------------------------------------------- architectures -
+class BasicBlock(nn.Module):
+    """torchvision-layout ResNet BasicBlock."""
+
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.down = None
+        if stride != 1 or cin != cout:
+            self.down = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+        self.relu = nn.ReLU(inplace=True)
+
+    def forward(self, x):
+        idn = x if self.down is None else self.down(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return self.relu(out + idn)
+
+
+def resnet18_t(num_classes=10):
+    """ResNet-18: [2,2,2,2] BasicBlocks, 64→512 channels; 3x3 stride-1 stem
+    (the standard 32x32-input adaptation of the ImageNet model)."""
+    layers = [nn.Conv2d(3, 64, 3, 1, 1, bias=False), nn.BatchNorm2d(64),
+              nn.ReLU(inplace=True)]
+    cin = 64
+    for cout, blocks, stride in ((64, 2, 1), (128, 2, 2),
+                                 (256, 2, 2), (512, 2, 2)):
+        for b in range(blocks):
+            layers.append(BasicBlock(cin, cout, stride if b == 0 else 1))
+            cin = cout
+    layers += [nn.AdaptiveAvgPool2d(1), nn.Flatten(),
+               nn.Linear(512, num_classes)]
+    return nn.Sequential(*layers)
+
+
+class InvertedResidual(nn.Module):
+    """MobileNetV2 inverted residual (expand → depthwise → project)."""
+
+    def __init__(self, cin, cout, stride, expand):
+        super().__init__()
+        hidden = cin * expand
+        self.use_res = stride == 1 and cin == cout
+        ops = []
+        if expand != 1:
+            ops += [nn.Conv2d(cin, hidden, 1, bias=False),
+                    nn.BatchNorm2d(hidden), nn.ReLU6(inplace=True)]
+        ops += [nn.Conv2d(hidden, hidden, 3, stride, 1, groups=hidden,
+                          bias=False),
+                nn.BatchNorm2d(hidden), nn.ReLU6(inplace=True),
+                nn.Conv2d(hidden, cout, 1, bias=False),
+                nn.BatchNorm2d(cout)]
+        self.conv = nn.Sequential(*ops)
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res else self.conv(x)
+
+
+def mobilenet_v2_t(num_classes=10):
+    """MobileNetV2 inverted-residual stack (t,c,n,s table of the paper),
+    32x32-input strides."""
+    cfg = [(1, 16, 1, 1), (6, 24, 2, 1), (6, 32, 3, 2), (6, 64, 4, 2),
+           (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+    layers = [nn.Conv2d(3, 32, 3, 1, 1, bias=False), nn.BatchNorm2d(32),
+              nn.ReLU6(inplace=True)]
+    cin = 32
+    for t, c, n, s in cfg:
+        for i in range(n):
+            layers.append(InvertedResidual(cin, c, s if i == 0 else 1, t))
+            cin = c
+    layers += [nn.Conv2d(cin, 1280, 1, bias=False), nn.BatchNorm2d(1280),
+               nn.ReLU6(inplace=True), nn.AdaptiveAvgPool2d(1),
+               nn.Flatten(), nn.Linear(1280, num_classes)]
+    return nn.Sequential(*layers)
+
+
+# ------------------------------------------------------------- protocol ----
+def train(model, xtr, ytr, epochs=8, batch=64, lr=1e-3, seed=0):
+    torch.manual_seed(seed)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    lossf = nn.CrossEntropyLoss()
+    n = len(xtr)
+    model.train()
+    for ep in range(epochs):
+        perm = np.random.RandomState(seed + ep).permutation(n)
+        tot = 0.0
+        for i in range(0, n, batch):
+            idx = perm[i:i + batch]
+            opt.zero_grad()
+            out = model(torch.from_numpy(xtr[idx]))
+            loss = lossf(out, torch.from_numpy(ytr[idx]))
+            loss.backward()
+            opt.step()
+            tot += float(loss) * len(idx)
+        print(f'  epoch {ep + 1}/{epochs} loss {tot / n:.4f}', flush=True)
+    model.eval()
+    return model
+
+
+def top1(executor, x, y, batch=64):
+    correct = 0
+    for i in range(0, len(x), batch):
+        out = np.asarray(executor.forward(x[i:i + batch])[0])
+        correct += int((out.argmax(-1) == y[i:i + batch]).sum())
+    return 100.0 * correct / len(x)
+
+
+def run_model(name, model_fn, epochs, quick=False):
+    from ppq_tpu import TargetPlatform, TPUExecutor
+    from ppq_tpu.api import quantize_torch_model
+    from ppq_tpu.api.setting import QuantizationSettingFactory
+
+    (xtr, ytr), (xte, yte) = load_digits_32x32()
+    if quick:
+        xtr, ytr = xtr[:256], ytr[:256]
+        epochs = 1
+    print(f'[{name}] training on {len(xtr)} real images…', flush=True)
+    model = train(model_fn(), xtr, ytr, epochs=epochs)
+
+    # reference protocol: 512 calibration images, conservative dispatcher
+    calib = xtr[:512]
+    loader = [calib[i:i + 32] for i in range(0, len(calib), 32)]
+    setting = QuantizationSettingFactory.default_setting()
+    setting.dispatcher = 'conservative'
+    graph = quantize_torch_model(
+        model, loader, sample_input=torch.from_numpy(xtr[:32]),
+        calib_steps=len(loader), platform=TargetPlatform.TPU_INT8,
+        setting=setting, verbose=False)
+
+    # FP32 reference: the same exported graph, dequantized
+    from ppq_tpu.ir.quantize import dequantize_graph
+    fp_graph = graph.copy(copy_value=True)
+    dequantize_graph(fp_graph)
+
+    int8 = top1(TPUExecutor(graph), xte, yte)
+    fp32 = top1(TPUExecutor(fp_graph), xte, yte)
+    delta = fp32 - int8
+    print(f'[{name}] FP32 {fp32:.2f}%  INT8-sim {int8:.2f}%  '
+          f'Δ {delta:+.2f}pt  (test n={len(xte)})', flush=True)
+    return {'model': name, 'fp32': fp32, 'int8': int8, 'delta': delta,
+            'n_test': len(xte), 'n_calib': len(calib)}
+
+
+def main():
+    quick = '--quick' in _sys.argv
+    rows = [run_model('ResNet-18 (32x32 stem)', resnet18_t,
+                      epochs=6, quick=quick),
+            run_model('MobileNetV2 (32x32 stem)', mobilenet_v2_t,
+                      epochs=10, quick=quick)]
+    out = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                        'accuracy_results.json')
+    import json
+    with open(out, 'w') as f:
+        json.dump(rows, f, indent=2)
+    print(f'rows written to {out}')
+    return rows
+
+
+if __name__ == '__main__':
+    main()

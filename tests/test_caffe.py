@@ -124,3 +124,115 @@ def test_caffe_export_roundtrip(caffe_files):
     re = load_caffe_graph(out_proto, str(tmp / 'exported.caffemodel'))
     out = np.asarray(TPUExecutor(re).forward(x)[0])
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+EXTENDED_PROTOTXT = """
+name: "extended_layers"
+input: "data"
+input_shape { dim: 1 dim: 4 dim: 8 dim: 8 }
+layer {
+  name: "conv1" type: "Convolution" bottom: "data" top: "conv1"
+  convolution_param { num_output: 8 kernel_size: 3 pad: 1 }
+}
+layer { name: "prelu1" type: "PReLU" bottom: "conv1" top: "prelu1" }
+layer { name: "r6" type: "ReLU6" bottom: "prelu1" top: "r6" }
+layer { name: "hsw" type: "HSwish" bottom: "r6" top: "hsw" }
+layer { name: "hsg" type: "HSigmoid" bottom: "r6" top: "hsg" }
+layer { name: "mix" type: "Mul" bottom: "hsw" bottom: "hsg" top: "mix" }
+layer {
+  name: "shuf" type: "ChannelShuffle" bottom: "mix" top: "shuf"
+  channel_shuffle_param { group: 2 }
+}
+layer {
+  name: "inorm" type: "InstanceNorm" bottom: "shuf" top: "inorm"
+  instance_norm_param { num_features: 8 eps: 1e-5 }
+}
+layer {
+  name: "down" type: "SubpixelDown" bottom: "inorm" top: "down"
+  subpixel_down_param { downsample: 2 }
+}
+layer {
+  name: "up" type: "SubpixelUp" bottom: "down" top: "up"
+  subpixel_up_param { upsample: 2 }
+}
+layer {
+  name: "clip" type: "Clip" bottom: "up" top: "clip"
+  clip_param { min: -1.0 max: 1.0 }
+}
+layer {
+  name: "tanh" type: "TanH" bottom: "clip" top: "tanh"
+}
+layer {
+  name: "pad" type: "ReflectionPad" bottom: "tanh" top: "pad"
+  pad_param { pad: 1 }
+}
+layer {
+  name: "nnu" type: "NNUpsample" bottom: "pad" top: "nnu"
+  nn_upsample_param { resize: 2 }
+}
+layer {
+  name: "red" type: "Reduce" bottom: "nnu" top: "red"
+  reduce_param { axis: 3 }
+}
+layer {
+  name: "amax" type: "ArgMax" bottom: "red" top: "amax"
+  argmax_param { axis: 1 }
+}
+"""
+
+
+def test_extended_caffe_layers_parse_and_run(tmp_path):
+    """Every extended layer type parses and executes (reference
+    caffe_import_utils.py layer registry breadth)."""
+    proto = tmp_path / 'ext.prototxt'
+    proto.write_text(EXTENDED_PROTOTXT)
+    # weights for conv1 + prelu1
+    from ppq_tpu.frontends.caffe import caffe_pb2 as pb
+    from google.protobuf import text_format
+    net = pb.NetParameter()
+    text_format.Merge(EXTENDED_PROTOTXT, net)
+    rng = np.random.RandomState(0)
+    for layer in net.layer:
+        if layer.type == 'Convolution':
+            w = layer.blobs.add()
+            val = rng.randn(8, 4, 3, 3).astype(np.float32) * 0.3
+            w.shape.dim.extend(val.shape)
+            w.data.extend(val.reshape(-1))
+        elif layer.type == 'PReLU':
+            w = layer.blobs.add()
+            val = np.full((8,), 0.1, np.float32)
+            w.shape.dim.extend(val.shape)
+            w.data.extend(val)
+    model = tmp_path / 'ext.caffemodel'
+    model.write_bytes(net.SerializeToString())
+    g = load_caffe_graph(str(proto), str(model))
+    types = {op.type for op in g.operations.values()}
+    for expect in ('PRelu', 'Clip', 'HardSwish', 'HardSigmoid', 'Mul',
+                   'ChannelShuffle', 'InstanceNormalization',
+                   'SpaceToDepth', 'DepthToSpace', 'Tanh', 'Pad',
+                   'Resize', 'ReduceMean', 'ArgMax'):
+        assert expect in types, f'{expect} missing from parse: {types}'
+    x = np.random.RandomState(0).randn(1, 4, 8, 8).astype(np.float32)
+    out = np.asarray(TPUExecutor(g).forward(x)[0])
+    assert np.isfinite(np.asarray(out, np.float64)).all()
+
+
+def test_extended_caffe_tile_matmul(tmp_path):
+    proto = tmp_path / 'tile.prototxt'
+    proto.write_text("""
+name: "tm"
+input: "a"
+input_shape { dim: 2 dim: 4 }
+input: "b"
+input_shape { dim: 4 dim: 3 }
+layer { name: "mm" type: "MatMul" bottom: "a" bottom: "b" top: "mm" }
+layer {
+  name: "tile" type: "Tile" bottom: "mm" top: "tile"
+  tile_param { axis: 0 tiles: 2 }
+}
+""")
+    g = load_caffe_graph(str(proto))
+    a = np.random.RandomState(1).randn(2, 4).astype(np.float32)
+    b = np.random.RandomState(2).randn(4, 3).astype(np.float32)
+    out = np.asarray(TPUExecutor(g).forward({'a': a, 'b': b})[0])
+    np.testing.assert_allclose(out, np.tile(a @ b, (2, 1)), rtol=1e-5)
