@@ -562,12 +562,14 @@ def Pad_forward(op, values, ctx=None):
 def Expand_forward(op, values, ctx=None):
     x = jnp.asarray(values[0])
     shape = [int(v) for v in _np(values[1]).reshape(-1)]
-    # onnx expand: broadcast with -1/1 semantics
-    if len(shape) > x.ndim:
-        x = x.reshape((1,) * (len(shape) - x.ndim) + x.shape)
-    target = [x.shape[i] if shape[i] in (1, -1) and x.shape[i] != 1 else max(shape[i], x.shape[i])
-              for i in range(len(shape))]
-    return jnp.broadcast_to(x, target)
+    # ONNX Expand = numpy broadcast of input against `shape`: dimensions
+    # right-aligned, a shape entry of 1 keeps the input dim (the spec has
+    # no -1; tolerate it as 1 for models that use the torch convention)
+    ndim = max(len(shape), x.ndim)
+    in_shape = (1,) * (ndim - x.ndim) + tuple(x.shape)
+    sh = [1] * (ndim - len(shape)) + [1 if s == -1 else s for s in shape]
+    target = [max(a, b) for a, b in zip(in_shape, sh)]
+    return jnp.broadcast_to(x.reshape(in_shape), target)
 
 
 def Tile_forward(op, values, ctx=None):
@@ -601,9 +603,22 @@ def GatherElements_forward(op, values, ctx=None):
 def GatherND_forward(op, values, ctx=None):
     x = jnp.asarray(values[0])
     idx = _np(values[1]).astype(np.int64)
-    batch_dims = int(attr(op, 'batch_dims', 0))
-    if batch_dims != 0:
-        raise NotImplementedError('GatherND batch_dims != 0')
+    b = int(attr(op, 'batch_dims', 0))
+    if b:
+        # flatten batch dims and prepend a batch-index column, then gather
+        # with batch_dims=0 semantics (ONNX GatherND batch_dims spec)
+        batch_shape = x.shape[:b]
+        nb = int(np.prod(batch_shape))
+        xf = x.reshape((nb,) + x.shape[b:])
+        idxf = idx.reshape((nb,) + idx.shape[b:])
+        rows = np.arange(nb).reshape((nb,) + (1,) * (idxf.ndim - 2))
+        rows = np.broadcast_to(rows, idxf.shape[:-1])[..., None]
+        idx2 = np.concatenate([rows, idxf], axis=-1)
+        k = idxf.shape[-1]
+        flat = idx2.reshape(-1, k + 1)
+        out = xf[tuple(flat[:, i] for i in range(k + 1))]
+        return out.reshape(tuple(batch_shape) + idxf.shape[1:-1]
+                           + xf.shape[1 + k:])
     last = idx.shape[-1]
     flat_idx = idx.reshape(-1, last)
     out = x[tuple(flat_idx[:, i] for i in range(last))]
@@ -947,10 +962,21 @@ def Einsum_forward(op, values, ctx=None):
 # ========================================================= recurrent (base) ===
 
 
+_LSTM_ACTS = {
+    'sigmoid': jax.nn.sigmoid, 'tanh': jnp.tanh, 'relu': jax.nn.relu,
+    'softsign': jax.nn.soft_sign, 'softplus': jax.nn.softplus,
+    'hardsigmoid': lambda v: jnp.clip(0.2 * v + 0.5, 0.0, 1.0),
+    'elu': jax.nn.elu, 'leakyrelu': lambda v: jnp.where(v > 0, v, 0.01 * v),
+}
+
+
 def LSTM_forward(op, values, ctx=None):
     """ONNX LSTM (reference default.py:2951). Supports forward/bidirectional,
-    iofc gate order, optional bias/initial states. Scan-based (lax.scan) so
-    it compiles to one fused XLA loop."""
+    iofc gate order, optional bias/initial states, `sequence_lens` (per-
+    sample masking: states freeze and outputs zero past each length; the
+    reverse direction reverses only the valid prefix), the `activations`
+    attribute (per-direction [f, g, h] names) and `clip`. Scan-based
+    (lax.scan) so it compiles to one fused XLA loop."""
     x = jnp.asarray(values[0])                       # [T, N, I]
     w = jnp.asarray(values[1])                       # [D, 4H, I]
     r = jnp.asarray(values[2])                       # [D, 4H, H]
@@ -959,33 +985,65 @@ def LSTM_forward(op, values, ctx=None):
     T, N = x.shape[0], x.shape[1]
     b = (jnp.asarray(values[3]) if _present(values, 3)
          else jnp.zeros((num_dir, 8 * hidden)))
+    seq_lens = (jnp.asarray(_np(values[4]).astype(np.int32))
+                if _present(values, 4) else None)
     h0 = (jnp.asarray(values[5]) if _present(values, 5)
           else jnp.zeros((num_dir, N, hidden)))
     c0 = (jnp.asarray(values[6]) if _present(values, 6)
           else jnp.zeros((num_dir, N, hidden)))
+    clip = attr(op, 'clip')
+    act_names = [str(a).lower() for a in (attr(op, 'activations') or [])]
+    if not act_names:
+        act_names = ['sigmoid', 'tanh', 'tanh'] * num_dir
 
-    def run_dir(xd, wd, rd, bd, h_init, c_init):
+    def acts_of(d):
+        names = act_names[3 * d: 3 * d + 3]
+        return tuple(_LSTM_ACTS[n] for n in names)
+
+    def _reverse_valid(xd):
+        """Reverse each sample's VALID prefix ([seq_len-1 … 0]), leaving
+        padding in place (ONNX reverse-direction semantics)."""
+        if seq_lens is None:
+            return jnp.flip(xd, 0)
+        t_ids = jnp.arange(T)[:, None]                       # (T, 1)
+        src = seq_lens[None, :] - 1 - t_ids                  # (T, N)
+        src = jnp.where(src >= 0, src, t_ids)                # pad keeps slot
+        return jnp.take_along_axis(xd, src[:, :, None], axis=0)
+
+    def run_dir(xd, wd, rd, bd, h_init, c_init, d):
         wb, rb = bd[:4 * hidden], bd[4 * hidden:]
+        f_act, g_act, h_act = acts_of(d)
 
-        def step(carry, xt):
+        def step(carry, inp):
             h, c = carry
+            xt, t = inp
             gates = (xt @ wd.T + wb) + (h @ rd.T + rb)
+            if clip is not None:
+                gates = jnp.clip(gates, -float(clip), float(clip))
             i, o, f, g = jnp.split(gates, 4, axis=-1)
-            i, o, f = jax.nn.sigmoid(i), jax.nn.sigmoid(o), jax.nn.sigmoid(f)
-            g = jnp.tanh(g)
+            i, o, f = f_act(i), f_act(o), f_act(f)
+            g = g_act(g)
             c_new = f * c + i * g
-            h_new = o * jnp.tanh(c_new)
-            return (h_new, c_new), h_new
+            h_new = o * h_act(c_new)
+            if seq_lens is not None:
+                valid = (t < seq_lens)[:, None]              # (N, 1)
+                h_new = jnp.where(valid, h_new, h)
+                c_new = jnp.where(valid, c_new, c)
+                y_t = jnp.where(valid, h_new, 0.0)
+            else:
+                y_t = h_new
+            return (h_new, c_new), y_t
 
-        (hT, cT), hs = jax.lax.scan(step, (h_init, c_init), xd)
+        (hT, cT), hs = jax.lax.scan(
+            step, (h_init, c_init), (xd, jnp.arange(T)))
         return hs, hT, cT
 
     outs, hTs, cTs = [], [], []
     for d in range(num_dir):
-        xd = x if d == 0 else jnp.flip(x, 0)
-        hs, hT, cT = run_dir(xd, w[d], r[d], b[d], h0[d], c0[d])
+        xd = x if d == 0 else _reverse_valid(x)
+        hs, hT, cT = run_dir(xd, w[d], r[d], b[d], h0[d], c0[d], d)
         if d == 1:
-            hs = jnp.flip(hs, 0)
+            hs = _reverse_valid(hs)
         outs.append(hs)
         hTs.append(hT)
         cTs.append(cT)

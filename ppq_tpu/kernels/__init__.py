@@ -6,6 +6,7 @@
 | linear.cu QuantizeTensor_LT/LC  | quant.pallas_linear_quant             |
 | train.cu QuantizeTensor_*_B     | quant.pallas_linear_quant_bwd         |
 | linear.cu Histogram_T/Asym      | histogram.pallas_histogram            |
+| floating.cu QuantizeTensor_FT/FC| floating.pallas_floating_quant(_bwd)  |
 | sort.cu Quantile_T              | jnp.quantile (XLA sort, MXU-free)     |
 | isotone.cc / hist_mse.cc        | quantization/solvers.py (+C++ ext)    |
 
@@ -16,6 +17,8 @@ exercises identical code paths on the CPU mesh.
 from .quant import (pallas_available, pallas_linear_quant,
                     pallas_linear_quant_bwd)
 from .histogram import pallas_histogram
+from .floating import pallas_floating_quant, pallas_floating_quant_bwd
 
 __all__ = ['pallas_available', 'pallas_linear_quant',
-           'pallas_linear_quant_bwd', 'pallas_histogram']
+           'pallas_linear_quant_bwd', 'pallas_histogram',
+           'pallas_floating_quant', 'pallas_floating_quant_bwd']

@@ -178,6 +178,10 @@ def floating_fake_quant(x: jnp.ndarray, scale: jnp.ndarray,
     bit pattern (reference: csrc/cuda/floating.cu QuantizeTensor_FT).
     """
     x = jnp.asarray(x, jnp.float32)
+    if _use_pallas():
+        from ..kernels.floating import pallas_floating_quant
+        return pallas_floating_quant(x, scale, exponent_bits, mantissa_bits,
+                                     quant_min, quant_max, channel_axis)
     s = _broadcast_shape(jnp.asarray(scale, jnp.float32), x.ndim, channel_axis)
     scaled = jnp.clip(x / s, quant_min, quant_max)
     key = (exponent_bits, mantissa_bits)

@@ -331,10 +331,13 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
     int8_cache = cfg.kv_cache_bits == 8
 
     buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
-    kbuf0 = jnp.zeros((L, B, n, KV, Dh), buf_dtype)
-    vbuf0 = jnp.zeros((L, B, n, KV, Dh), buf_dtype)
-    ksb0 = jnp.zeros((L, B, n, KV), jnp.float32)
-    vsb0 = jnp.zeros((L, B, n, KV), jnp.float32)
+    # per-layer buffer LEAVES (not one stacked array): inside the scan only
+    # the touched leaf is rewritten per layer — a stacked (L, ...) buffer
+    # makes XLA copy the whole thing on every layer's update
+    kbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
+    vbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
+    ksb0 = tuple(jnp.zeros((B, n, KV), jnp.float32) for _ in range(L))
+    vsb0 = tuple(jnp.zeros((B, n, KV), jnp.float32) for _ in range(L))
     slot_ids = jnp.arange(S)[None, None, None, :]            # (1,1,1,S)
     buf_ids = jnp.arange(n)[None, None, None, :]             # (1,1,1,n)
 
@@ -342,6 +345,8 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
 
     def step(carry, inp):
         cur_tok, kbuf, vbuf, ksb, vsb, i = carry
+        kbuf, vbuf = list(kbuf), list(vbuf)
+        ksb, vsb = list(ksb), list(vsb)
         key = inp
         pos = seq_lens + i                                   # (B,)
         x = params['embed'][cur_tok][:, None, :]             # (B,1,D)
@@ -357,16 +362,16 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
             if int8_cache:
                 k_q, k_s = _kv_quant(k)
                 v_q, v_s = _kv_quant(v)
-                ksb = jax.lax.dynamic_update_slice(
-                    ksb, k_s[None], (li, 0, i, 0))
-                vsb = jax.lax.dynamic_update_slice(
-                    vsb, v_s[None], (li, 0, i, 0))
+                ksb[li] = jax.lax.dynamic_update_slice(
+                    ksb[li], k_s, (0, i, 0))
+                vsb[li] = jax.lax.dynamic_update_slice(
+                    vsb[li], v_s, (0, i, 0))
             else:
                 k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
-            kbuf = jax.lax.dynamic_update_slice(
-                kbuf, k_q[None], (li, 0, i, 0, 0))
-            vbuf = jax.lax.dynamic_update_slice(
-                vbuf, v_q[None], (li, 0, i, 0, 0))
+            kbuf[li] = jax.lax.dynamic_update_slice(
+                kbuf[li], k_q, (0, i, 0, 0))
+            vbuf[li] = jax.lax.dynamic_update_slice(
+                vbuf[li], v_q, (0, i, 0, 0))
 
             q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
             # frozen-cache logits (int8 read, scales folded post-dot)
@@ -408,7 +413,8 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         x = rms_norm(x, params['final_norm'], cfg.rms_eps)
         logits = qmatmul(x, params['lm_head']).astype(jnp.float32)
         nxt = select_fn(logits[:, 0, :], key)
-        return (nxt, kbuf, vbuf, ksb, vsb, i + 1), nxt
+        return (nxt, tuple(kbuf), tuple(vbuf), tuple(ksb), tuple(vsb),
+                i + 1), nxt
 
     (_, kbuf, vbuf, ksb, vsb, _), toks = jax.lax.scan(
         step, (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0)), keys)

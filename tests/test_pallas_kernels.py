@@ -124,3 +124,65 @@ def test_flag_switches_qfunction():
     finally:
         PPQ_TPU_CONFIG.USING_PALLAS_KERNEL = False
     np.testing.assert_array_equal(base, via_pallas)
+
+
+class TestFloatingKernel:
+    """FP8 Pallas kernel parity vs the jnp bit-math reference
+    (reference csrc/cuda/floating.cu QuantizeTensor_FT/FC)."""
+
+    def _ref(self, x, scale, e, m, qmin, qmax, axis=None):
+        from ppq_tpu.quantization.qfunction import (_broadcast_shape,
+                                                    _generic_float_round)
+        import jax.numpy as jnp
+        x = jnp.asarray(x, jnp.float32)
+        s = _broadcast_shape(jnp.asarray(scale, jnp.float32), x.ndim, axis)
+        scaled = jnp.clip(x / s, qmin, qmax)
+        return np.asarray(_generic_float_round(scaled, e, m) * s)
+
+    @pytest.mark.parametrize('e,m,qmin,qmax', [(4, 3, -448.0, 448.0),
+                                               (5, 2, -57344.0, 57344.0),
+                                               (3, 4, -15.5, 15.5)])
+    def test_tensorwise_parity(self, e, m, qmin, qmax):
+        from ppq_tpu.kernels import pallas_floating_quant
+        rng = np.random.RandomState(e * 10 + m)
+        x = (rng.randn(1000) * 30).astype(np.float32)
+        got = np.asarray(pallas_floating_quant(x, 0.5, e, m, qmin, qmax))
+        ref = self._ref(x, 0.5, e, m, qmin, qmax)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_channelwise_parity(self):
+        from ppq_tpu.kernels import pallas_floating_quant
+        rng = np.random.RandomState(0)
+        x = (rng.randn(6, 50) * 20).astype(np.float32)
+        scale = (rng.rand(6) + 0.2).astype(np.float32)
+        got = np.asarray(pallas_floating_quant(
+            x, scale, 4, 3, -448.0, 448.0, channel_axis=0))
+        ref = self._ref(x, scale, 4, 3, -448.0, 448.0, axis=0)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_subnormals_snap_to_grid(self):
+        from ppq_tpu.kernels import pallas_floating_quant
+        # e4m3: min normal 2^-6, min subnormal 2^-9
+        xs = np.asarray([2.0**-9, 1.4 * 2.0**-9, 2.0**-10, 2.0**-20, 0.0],
+                        np.float32)
+        got = np.asarray(pallas_floating_quant(xs, 1.0, 4, 3, -448., 448.))
+        grid = 2.0**-9
+        np.testing.assert_allclose(got, np.round(xs / grid) * grid,
+                                   atol=1e-12)
+
+    def test_bwd_ste_clip_mask(self):
+        from ppq_tpu.kernels import pallas_floating_quant_bwd
+        x = np.asarray([-1000.0, -10.0, 0.0, 10.0, 1000.0], np.float32)
+        g = np.ones_like(x)
+        dx = np.asarray(pallas_floating_quant_bwd(x, g, 1.0, -448., 448.))
+        np.testing.assert_array_equal(dx, [0.0, 1.0, 1.0, 1.0, 0.0])
+
+    def test_qfunction_routes_through_pallas_flag(self):
+        from ppq_tpu.api import ENABLE_PALLAS_KERNEL
+        from ppq_tpu.quantization.qfunction import floating_fake_quant
+        rng = np.random.RandomState(3)
+        x = (rng.randn(64) * 10).astype(np.float32)
+        base = np.asarray(floating_fake_quant(x, 1.0, 3, 4, -15.5, 15.5))
+        with ENABLE_PALLAS_KERNEL():
+            pk = np.asarray(floating_fake_quant(x, 1.0, 3, 4, -15.5, 15.5))
+        np.testing.assert_array_equal(base, pk)
