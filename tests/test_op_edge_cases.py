@@ -163,3 +163,26 @@ def test_lstm_no_seq_lens_unchanged():
     seq = np.full(3, 5, np.int32)
     y2, _, _ = run_op('LSTM', [x, w, r, b, seq], n_out=3, hidden_size=3)
     np.testing.assert_allclose(y1, y2, rtol=1e-6)
+
+
+def test_nxp_platform_resize_forced_nearest():
+    """NXP platform table overrides Resize to nearest regardless of the
+    onnx mode (reference op/torch/nxp.py)."""
+    from ppq_tpu.core import TargetPlatform
+    from ppq_tpu.executor.base import resolve_forward
+    from ppq_tpu.executor.ops.default import Resize_forward
+    fn = resolve_forward(TargetPlatform.NXP_INT8, 'Resize')
+    assert fn is not Resize_forward
+
+    b = NetBuilder('nxpresize', 0)
+    x = b.input('x', [1, 1, 2, 2])
+    y = b.op('Resize', [x, b.param(np.zeros(0, np.float32)),
+                        b.param(np.asarray([1, 1, 2, 2], np.float32))],
+             mode='linear')
+    b.output(y)
+    for op in b.g.operations.values():
+        op.platform = TargetPlatform.NXP_INT8
+    xin = np.asarray([[[[0.0, 1.0], [2.0, 3.0]]]], np.float32)
+    out = np.asarray(TPUExecutor(b.g).forward(xin)[0])
+    # nearest upsample duplicates values — no interpolated fractions
+    assert set(np.unique(out)) <= {0.0, 1.0, 2.0, 3.0}, out
