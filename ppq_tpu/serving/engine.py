@@ -242,13 +242,26 @@ class ServingEngine:
             return next_tok, cache
         return decode_step
 
-    def _build_decode_burst(self, n_steps: int):
+    def _decode_bucket(self, s_need: int) -> Optional[int]:
+        """Smallest frozen-read bucket covering s_need cache slots (decode is
+        HBM-bound; reading all max_seq_len slots at short fills is pure
+        waste). None = no bucketing (full read) — e.g. on a 'sp' mesh where
+        the cache's sequence axis is sharded and must not be sliced."""
+        if self.mesh is not None and \
+                dict(self.mesh.shape).get('sp', 1) > 1:
+            return None
+        b = 256
+        while b < min(s_need, self.cfg.max_seq_len):
+            b *= 2
+        return min(b, self.cfg.max_seq_len)
+
+    def _build_decode_burst(self, n_steps: int, s_limit: Optional[int] = None):
         """n greedy decode steps in ONE jitted lax.scan — a single host
         round-trip per burst. On a tunneled/remote accelerator the per-step
         sync dominates serving latency; bursting amortizes it (and trims
         dispatch overhead on local chips too)."""
-        if n_steps in self._decode_burst:
-            return self._decode_burst[n_steps]
+        if (n_steps, s_limit) in self._decode_burst:
+            return self._decode_burst[(n_steps, s_limit)]
         cfg = self.cfg
 
         if not self._pp:
@@ -258,7 +271,8 @@ class ServingEngine:
             def decode_burst(params, cache, tokens, seq_lens, key):
                 keys = jax.random.split(key, n_steps)
                 return burst_forward(params, cache, tokens, seq_lens,
-                                     keys, cfg, self._select)
+                                     keys, cfg, self._select,
+                                     s_limit=s_limit)
         else:
             # pp path: scan the staged forward (cache stays the carry —
             # per-stage slabs are smaller so the copy cost is bounded)
@@ -277,7 +291,7 @@ class ServingEngine:
                 (cache, _, seq_lens), toks = jax.lax.scan(
                     body, (cache, tokens, seq_lens), keys)
                 return toks, cache                  # toks: (n_steps, B)
-        self._decode_burst[n_steps] = decode_burst
+        self._decode_burst[(n_steps, s_limit)] = decode_burst
         return decode_burst
 
     def _prefill_fn(self, bucket: int):
@@ -451,7 +465,8 @@ class ServingEngine:
                     step_key)
                 toks_np = np.asarray(next_tok)[None, :]       # (1, B)
             else:
-                fn = self._build_decode_burst(n)
+                s_need = int(max(self.slot_len[s] for s in active)) + n
+                fn = self._build_decode_burst(n, self._decode_bucket(s_need))
                 toks, self.cache = fn(self.params, self.cache,
                                       jnp.asarray(cur_tok), seq_lens,
                                       step_key)
@@ -534,7 +549,10 @@ class ServingEngine:
             n = max(1, min(sync_every, cache_room))
             seq_lens = jnp.asarray(self.slot_len, jnp.int32)
             self._rng_key, step_key = jax.random.split(self._rng_key)
-            fn = (self._decode if n == 1 else self._build_decode_burst(n))
+            s_need = int(max(self.slot_len[s] for s in active)) + n
+            fn = (self._decode if n == 1
+                  else self._build_decode_burst(
+                      n, self._decode_bucket(s_need)))
             if n == 1:
                 nxt, self.cache = fn(self.params, self.cache, cur_tok,
                                      seq_lens, step_key)
@@ -626,7 +644,8 @@ class ServingEngine:
         seq_lens = jnp.full((B,), 16, jnp.int32)
         key = jax.random.PRNGKey(0)
         if burst and burst > 1:
-            fn = self._build_decode_burst(burst)
+            fn = self._build_decode_burst(
+                burst, self._decode_bucket(16 + burst))
             n_bursts = max(1, steps // burst)
             toks, cache = fn(self.params, cache, tokens, seq_lens, key)
             np.asarray(toks)                      # warm + full sync

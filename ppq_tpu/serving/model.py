@@ -304,11 +304,19 @@ def decoder_layer(layer, ck, cv, cks, cvs, x, positions, write_pos, cfg,
 
 def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                   tokens: jnp.ndarray, seq_lens: jnp.ndarray,
-                  keys: jnp.ndarray, cfg: LlamaConfig, select_fn):
+                  keys: jnp.ndarray, cfg: LlamaConfig, select_fn,
+                  s_limit: Optional[int] = None):
     """n consecutive decode steps in one lax.scan with the big KV cache
     FROZEN: in-burst K/V live in a small (L, B, n, KV, Dh) bf16 buffer
     carried through the scan; the cache is written ONCE at the end
     (quantize + per-slot window write).
+
+    s_limit bounds the frozen-cache READ to the first s_limit slots (a
+    static bucket the engine picks as the smallest power of two covering
+    max(seq_lens) + n): decode is HBM-bound and the dense attention read
+    otherwise touches all max_seq_len slots even when sequences are short —
+    at seq 16 of 1024 that is 64x wasted cache traffic. Writes still land
+    in the full cache.
 
     Why: a scan whose carry includes the full cache double-buffers
     hundreds of MB every iteration — XLA cannot prove in-place aliasing
@@ -328,6 +336,8 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
     KV, Dh, H = cfg.n_kv_heads, cfg.head_dim, cfg.n_heads
     rep = H // KV
     S = cache['k'].shape[2]
+    if s_limit is not None:
+        S = min(s_limit, S)
     int8_cache = cfg.kv_cache_bits == 8
 
     buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
@@ -376,11 +386,11 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
             q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
             # frozen-cache logits (int8 read, scales folded post-dot)
             lf = jnp.einsum('btkrd,bskd->bkrts', q_g,
-                            cache['k'][li].astype(jnp.bfloat16),
+                            cache['k'][li][:, :S].astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
             lf = lf[:, :, :, 0, :]                           # (B,KV,rep,S)
             if int8_cache:
-                lf = lf * cache['k_scale'][li].transpose(0, 2, 1)[:, :,
+                lf = lf * cache['k_scale'][li][:, :S].transpose(0, 2, 1)[:, :,
                                                                   None, :]
             lf = jnp.where(frozen_mask, lf / np.sqrt(Dh), -1e30)
             # in-burst buffer logits (causal over steps ≤ i)
@@ -396,11 +406,11 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
             probs = jax.nn.softmax(joint, axis=-1)
             pf, pb = probs[..., :S], probs[..., S:]
             if int8_cache:
-                pf = pf * cache['v_scale'][li].transpose(0, 2, 1)[:, :,
+                pf = pf * cache['v_scale'][li][:, :S].transpose(0, 2, 1)[:, :,
                                                                   None, :]
                 pb = pb * vsb[li].transpose(0, 2, 1)[:, :, None, :]
             ctx = jnp.einsum('bkrs,bskd->bkrd', pf.astype(jnp.bfloat16),
-                             cache['v'][li].astype(jnp.bfloat16),
+                             cache['v'][li][:, :S].astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
             ctx = ctx + jnp.einsum('bkrj,bjkd->bkrd',
                                    pb.astype(jnp.bfloat16),

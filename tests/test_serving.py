@@ -258,3 +258,43 @@ def test_top_p_sampling_restricts_support():
     rn = Request(0, [7, 3], max_new_tokens=8)
     nucleus_eng.run([rn])
     assert rn.generated == rg.generated
+
+
+class TestBucketedFrozenRead:
+    def test_burst_s_limit_parity(self):
+        """Bucketing the frozen-cache read must not change burst decode:
+        same tokens AND same cache as the full-read burst."""
+        from ppq_tpu.serving.model import burst_forward
+        cfg = LlamaConfig(vocab_size=256, d_model=128, n_layers=2, n_heads=4,
+                          n_kv_heads=2, d_ff=256, max_seq_len=512,
+                          max_batch=4, prefill_buckets=(16,))
+        params = init_llama_params(cfg, seed=21)
+        cache = init_kv_cache(cfg, cfg.max_batch)
+        # put some tokens in the cache first (prefill via forward)
+        toks = jnp.asarray(np.arange(4 * 8).reshape(4, 8) % 250 + 1)
+        pos = jnp.broadcast_to(jnp.arange(8)[None], (4, 8)).astype(jnp.int32)
+        _, cache = forward(params, cache, toks, pos,
+                           jnp.zeros(4, jnp.int32), jnp.full(4, 8, jnp.int32),
+                           cfg)
+        seq_lens = jnp.full(4, 8, jnp.int32)
+        cur = jnp.asarray([3, 5, 7, 9], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(0), 6)
+        select = lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32)
+        t_full, c_full = burst_forward(params, cache, cur, seq_lens, keys,
+                                       cfg, select, s_limit=None)
+        t_lim, c_lim = burst_forward(params, cache, cur, seq_lens, keys,
+                                     cfg, select, s_limit=64)
+        np.testing.assert_array_equal(np.asarray(t_full), np.asarray(t_lim))
+        for k in cache:
+            np.testing.assert_array_equal(np.asarray(c_full[k]),
+                                          np.asarray(c_lim[k]))
+
+    def test_decode_bucket_selection(self):
+        cfg = LlamaConfig(vocab_size=256, d_model=128, n_layers=1, n_heads=4,
+                          n_kv_heads=2, d_ff=256, max_seq_len=2048,
+                          max_batch=2, prefill_buckets=(16,))
+        eng = ServingEngine(cfg, init_llama_params(cfg, seed=3))
+        assert eng._decode_bucket(17) == 256
+        assert eng._decode_bucket(256) == 256
+        assert eng._decode_bucket(257) == 512
+        assert eng._decode_bucket(5000) == 2048
