@@ -1,0 +1,159 @@
+"""Fused dequant-matmul Pallas kernels for weight-only-quantized serving.
+
+Reference counterpart: none — PPQ simulates quantization but delegates
+deployed matmuls to vendor runtimes (ppl/trt, ppq/core/ffi.py). On TPU the
+deployed runtime is ours, so the dequant must fuse into the matmul *here*:
+decode is HBM bandwidth-bound and every byte of the weight read is
+throughput.
+
+Why not let XLA fuse `w_int.astype(bf16) * scale` into the dot itself?
+Measured on v5e: inside a decode burst (lax.scan) the dequant is
+loop-invariant, so XLA hoists it and materializes a bf16 weight copy —
+per-step HBM traffic becomes 2x the int8 bytes, erasing the point of
+int8 weights; the int4 shift/mask unpack isn't dot-fusable at all. These
+kernels read the integer bytes and dequantize in VMEM, so the HBM cost is
+exactly the quantized tensor.
+
+Design (per pallas_guide.md):
+  * the activation is tiny during decode (B <= 32 rows) — it rides fully
+    resident in VMEM; the weight streams through in (D, TF) column panels
+    (full contraction depth per panel: one dot per panel, no accumulator
+    scratch, grid = F/TF steps so per-step pipeline overhead stays small).
+  * per-output-channel scales are applied to the panel's f32 dot result.
+  * int4 packing is SPLIT-HALF along the contraction dim: packed row r
+    holds w[r] in the low nibble and w[r + D/2] in the high nibble, so a
+    panel unpacks with two arithmetic shifts and contracts each nibble
+    plane against its own half of x — no sublane interleave (a [::2]
+    stack/reshape would de-tile the block), and no i8 left-shift (Mosaic
+    cannot legalize shli on i8 vectors — nibbles sign-extend via i32 ops).
+
+The wrapper falls back to the caller's XLA path when shapes don't tile
+(serving dims are multiples of 128).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# target VMEM bytes for one weight panel (double-buffered by the pipeline)
+_PANEL_BYTES = 2 * 1024 * 1024
+
+
+def _pick_tf(d_bytes_per_col: int, f: int) -> int:
+    """Largest lane-aligned panel width TF dividing f with
+    d_bytes_per_col * TF <= _PANEL_BYTES (0 if f doesn't tile)."""
+    best = 0
+    tf = 128
+    while tf <= f:
+        if f % tf == 0 and d_bytes_per_col * tf <= _PANEL_BYTES:
+            best = tf
+        tf *= 2
+    if best == 0 and f % 128 == 0 and d_bytes_per_col * 128 <= _PANEL_BYTES:
+        best = 128
+    return best
+
+
+def supports(d: int, f: int) -> bool:
+    return d % 256 == 0 and _pick_tf(d, f) > 0
+
+
+# ------------------------------------------------------------- int8 ------
+
+def _qmm8_kernel(x_ref, w_ref, s_ref, o_ref):
+    acc = jnp.dot(x_ref[:], w_ref[:].astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('out_dtype', 'interpret'))
+def qmm_int8(x: jnp.ndarray, w_int: jnp.ndarray, scale: jnp.ndarray,
+             out_dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
+    """x: (B, D); w_int: (D, F) int8; scale: (F,) f32 → (B, F)."""
+    B, D = x.shape
+    F = w_int.shape[1]
+    TF = _pick_tf(D, F)
+    assert TF, (D, F)
+    return pl.pallas_call(
+        _qmm8_kernel,
+        grid=(F // TF,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, TF), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, TF), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, F), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * F, bytes_accessed=D * F + 2 * B * (D + F),
+            transcendentals=0),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), w_int, scale.reshape(1, F))
+
+
+# ------------------------------------------------------------- int4 ------
+
+def pack_int4_splithalf(q: np.ndarray) -> np.ndarray:
+    """(D, F) int8 in [-8, 7] → (D//2, F) packed: row r = (q[r] & 0xF) |
+    (q[r + D//2] << 4)."""
+    D = q.shape[0]
+    assert D % 2 == 0
+    lo = q[: D // 2] & 0x0F
+    hi = (q[D // 2:] & 0x0F) << 4
+    return (lo | hi).astype(np.int8)
+
+
+def unpack_int4_splithalf(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_int4_splithalf (jnp, for the XLA fallback path)."""
+    p32 = packed.astype(jnp.int32)
+    lo = ((p32 & 15) ^ 8) - 8
+    hi = p32 >> 4
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+
+
+def _qmm4_kernel(x_ref, w_ref, s_ref, o_ref):
+    # w_ref panel: (Dp, TF) packed; low nibbles are w rows [0, Dp), high
+    # nibbles rows [Dp, 2*Dp). x_ref: (B, 2, Dp) — [:, 0] multiplies the
+    # lo plane, [:, 1] the hi plane.
+    p32 = w_ref[:].astype(jnp.int32)
+    lo = (((p32 & 15) ^ 8) - 8).astype(jnp.bfloat16)
+    hi = (p32 >> 4).astype(jnp.bfloat16)
+    acc = jnp.dot(x_ref[:, 0], lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_ref[:, 1], hi, preferred_element_type=jnp.float32)
+    o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('out_dtype', 'interpret'))
+def qmm_int4(x: jnp.ndarray, w_packed: jnp.ndarray, scale: jnp.ndarray,
+             out_dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
+    """x: (B, D); w_packed: (D//2, F) split-half int4; scale: (F,)."""
+    B, D = x.shape
+    Dp, F = w_packed.shape
+    assert Dp * 2 == D, (D, Dp)
+    TF = _pick_tf(Dp, F)
+    assert TF, (Dp, F)
+    x2 = x.astype(jnp.bfloat16).reshape(B, 2, Dp)
+    return pl.pallas_call(
+        _qmm4_kernel,
+        grid=(F // TF,),
+        in_specs=[
+            pl.BlockSpec((B, 2, Dp), lambda j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, TF), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TF), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, TF), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, F), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * F, bytes_accessed=Dp * F + 2 * B * (D + F),
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, w_packed, scale.reshape(1, F))

@@ -1,8 +1,9 @@
 from .config import LlamaConfig
 from .engine import ServingEngine
 from .model import init_llama_params, quantize_llama_params
+from .paged import BlockAllocator, init_paged_pools
 from .ring_attention import reference_attention, sequence_parallel_attention
 
 __all__ = ['LlamaConfig', 'ServingEngine', 'init_llama_params',
            'quantize_llama_params', 'sequence_parallel_attention',
-           'reference_attention']
+           'reference_attention', 'BlockAllocator', 'init_paged_pools']

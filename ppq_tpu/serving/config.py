@@ -39,6 +39,23 @@ class LlamaConfig:
     max_batch: int = 8
     prefill_buckets: tuple = (128, 512, 2048)
 
+    # Pallas fast paths (None = auto-resolve at engine build: TPU backend,
+    # unsharded single-device mesh, supported shapes). use_pallas_matmul
+    # streams int8/int4 weight bytes through the fused dequant-matmul
+    # kernels; use_ragged_attention reads only filled KV-cache blocks in
+    # burst decode via the paged-attention kernel.
+    use_pallas_matmul: Optional[bool] = None
+    use_ragged_attention: Optional[bool] = None
+    ragged_interpret: bool = False          # test-only: interpreted kernel
+
+    # Paged KV cache (serving/paged.py): sequences draw 128-token blocks
+    # from a shared pool instead of reserving max_batch x max_seq_len up
+    # front. kv_pool_blocks counts pool blocks INCLUDING the reserved
+    # trash block (None = max_batch * max_seq_len / 128 + 1, i.e. the same
+    # worst-case memory as the contiguous cache).
+    paged_kv: bool = False
+    kv_pool_blocks: Optional[int] = None
+
     @property
     def head_dim(self) -> int:
         return self.d_model // self.n_heads

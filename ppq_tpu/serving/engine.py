@@ -145,6 +145,18 @@ class ServingEngine:
         self.cfg = cfg
         self.mesh = mesh
         self.sampling = sampling or SamplingParams()
+        # resolve the Pallas fast-path knobs (None = auto): they need a TPU
+        # backend and an unsharded program — GSPMD cannot partition a
+        # pallas_call over sharded operands, so any multi-device mesh keeps
+        # the XLA paths
+        _unsharded = mesh is None or mesh.size == 1
+        _tpu = jax.default_backend() == 'tpu'
+        if cfg.use_pallas_matmul is None:
+            cfg.use_pallas_matmul = _tpu and _unsharded
+        if cfg.use_ragged_attention is None:
+            cfg.use_ragged_attention = (
+                _tpu and _unsharded and cfg.head_dim % 128 == 0
+                and cfg.max_seq_len % 128 == 0)
         self._rng_key = jax.random.PRNGKey(self.sampling.seed)
         self._pp = mesh is not None and dict(mesh.shape).get('pp', 1) > 1
         if mesh is not None:
@@ -180,6 +192,19 @@ class ServingEngine:
         else:
             self._cache_sharding = None
         self.params = params
+        self._paged = bool(cfg.paged_kv)
+        if self._paged:
+            from .paged import BLK, BlockAllocator
+            if mesh is not None and mesh.size > 1:
+                raise NotImplementedError('paged_kv + multi-device mesh')
+            if cfg.max_seq_len % BLK or cfg.head_dim % 128:
+                raise ValueError('paged_kv needs max_seq_len % 128 == 0 '
+                                 'and head_dim % 128 == 0')
+            mb_per_seq = cfg.max_seq_len // BLK
+            n_blocks = cfg.kv_pool_blocks or \
+                (cfg.max_batch * mb_per_seq + 1)
+            self._alloc = BlockAllocator(n_blocks, cfg.max_batch,
+                                         mb_per_seq)
         self.cache = self._new_cache()
         B = cfg.max_batch
         self.slot_len = np.zeros(B, np.int64)        # tokens in cache per slot
@@ -190,6 +215,12 @@ class ServingEngine:
 
     # --------------------------------------------------------------- state
     def _new_cache(self):
+        if getattr(self, '_paged', False):
+            from .paged import BLK, BlockAllocator, init_paged_pools
+            self._alloc = BlockAllocator(self._alloc.num_blocks,
+                                         self.cfg.max_batch,
+                                         self.cfg.max_seq_len // BLK)
+            return init_paged_pools(self.cfg, self._alloc.num_blocks)
         cache = init_kv_cache(self.cfg, self.cfg.max_batch)
         if self._cache_sharding is not None:
             cache = {k: jax.device_put(v, self._cache_sharding[k])
@@ -260,6 +291,8 @@ class ServingEngine:
         round-trip per burst. On a tunneled/remote accelerator the per-step
         sync dominates serving latency; bursting amortizes it (and trims
         dispatch overhead on local chips too)."""
+        if bool(self.cfg.use_ragged_attention) and not self._pp:
+            s_limit = None      # the ragged kernel is fill-adaptive already
         if (n_steps, s_limit) in self._decode_burst:
             return self._decode_burst[(n_steps, s_limit)]
         cfg = self.cfg
@@ -267,12 +300,16 @@ class ServingEngine:
         if not self._pp:
             from .model import burst_forward
 
+            ragged = bool(cfg.use_ragged_attention)
+
             @functools.partial(jax.jit, donate_argnums=(1,))
             def decode_burst(params, cache, tokens, seq_lens, key):
                 keys = jax.random.split(key, n_steps)
                 return burst_forward(params, cache, tokens, seq_lens,
                                      keys, cfg, self._select,
-                                     s_limit=s_limit)
+                                     s_limit=None if ragged else s_limit,
+                                     ragged=ragged,
+                                     ragged_interpret=cfg.ragged_interpret)
         else:
             # pp path: scan the staged forward (cache stays the carry —
             # per-stage slabs are smaller so the copy cost is bounded)
@@ -345,6 +382,52 @@ class ServingEngine:
         self._prefill[key] = prefill_chunk
         return prefill_chunk
 
+    def _prefill_paged_fn(self, bucket: int):
+        """Paged-mode batched prefill: writes the prompt window into pool
+        blocks via the slot block tables (serving/paged.py)."""
+        key = ('paged', bucket)
+        if key in self._prefill:
+            return self._prefill[key]
+        from .paged import prefill_paged
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill(params, pools, tokens, lengths, tables, active):
+            logits, pools = prefill_paged(params, pools, tokens, lengths,
+                                          tables, active, cfg)
+            last = jnp.take_along_axis(
+                jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
+            return last, pools
+        self._prefill[key] = prefill
+        return prefill
+
+    def _build_decode_burst_paged(self, n_steps: int):
+        key = ('paged', n_steps)
+        if key in self._decode_burst:
+            return self._decode_burst[key]
+        from .paged import burst_forward_paged
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def decode_burst(params, pools, tokens, seq_lens, tables, key):
+            keys = jax.random.split(key, n_steps)
+            return burst_forward_paged(
+                params, pools, tokens, seq_lens, tables, keys, cfg,
+                self._select, ragged_interpret=cfg.ragged_interpret)
+        self._decode_burst[key] = decode_burst
+        return decode_burst
+
+    def _paged_decode(self, n: int, cur_tok, seq_lens, step_key, active):
+        """Dispatch one paged decode burst (n >= 1): grow each active
+        slot's block list to cover the burst, ship the tables, run."""
+        for slot in active:
+            self._alloc.ensure(slot, int(self.slot_len[slot]) + n)
+        tables = jnp.asarray(self._alloc.tables())
+        fn = self._build_decode_burst_paged(n)
+        return fn(self.params, self.cache, cur_tok, seq_lens, tables,
+                  step_key)
+
     # ------------------------------------------------------------- serving
     def _bucket_for(self, n: int) -> int:
         for b in self.cfg.prefill_buckets:
@@ -389,6 +472,31 @@ class ServingEngine:
         """admits: list of (slot, Request) — one masked batched prefill."""
         B = self.cfg.max_batch
         longest = max(len(r.prompt) for _, r in admits)
+        if self._paged:
+            if self._bucket_for(longest) == -1:
+                raise NotImplementedError(
+                    'paged_kv: prompts beyond the largest prefill bucket '
+                    'are not supported yet (chunked paged prefill)')
+            bucket = self._bucket_for(longest)
+            toks = np.zeros((B, bucket), np.int32)
+            lengths = np.zeros(B, np.int32)
+            active = np.zeros(B, bool)
+            for slot, req in admits:
+                toks[slot, :len(req.prompt)] = req.prompt
+                lengths[slot] = len(req.prompt)
+                active[slot] = True
+                self._alloc.ensure(slot, len(req.prompt))
+            fn = self._prefill_paged_fn(bucket)
+            last, self.cache = fn(self.params, self.cache,
+                                  jnp.asarray(toks), jnp.asarray(lengths),
+                                  jnp.asarray(self._alloc.tables()),
+                                  jnp.asarray(active))
+            last = np.asarray(last)
+            for slot, req in admits:
+                self.slot_req[slot] = req
+                self.slot_len[slot] = len(req.prompt)
+                req.generated.append(int(last[slot]))
+            return
         if self._bucket_for(longest) == -1:
             # split: chunked path for over-bucket prompts, batched for rest
             long_admits = [(s, r) for s, r in admits
@@ -459,7 +567,11 @@ class ServingEngine:
 
             seq_lens = jnp.asarray(self.slot_len, jnp.int32)
             self._rng_key, step_key = jax.random.split(self._rng_key)
-            if n == 1:
+            if self._paged:
+                toks, self.cache = self._paged_decode(
+                    n, jnp.asarray(cur_tok), seq_lens, step_key, active)
+                toks_np = np.asarray(toks)                    # (n, B)
+            elif n == 1:
                 next_tok, self.cache = self._decode(
                     self.params, self.cache, jnp.asarray(cur_tok), seq_lens,
                     step_key)
@@ -490,6 +602,8 @@ class ServingEngine:
                     req.done = True
                     self.slot_req[slot] = None
                     self.slot_len[slot] = 0
+                    if self._paged:
+                        self._alloc.release(slot)
         return requests
 
     def _run_planned(self, requests: List[Request],
@@ -515,6 +629,10 @@ class ServingEngine:
                 long_admits = [(s, r) for s, r in admits
                                if self._bucket_for(len(r.prompt)) == -1]
                 short_admits = [a for a in admits if a not in long_admits]
+                if long_admits and self._paged:
+                    raise NotImplementedError(
+                        'paged_kv: prompts beyond the largest prefill '
+                        'bucket are not supported yet')
                 for slot, req in long_admits:
                     tok = self._admit_long_device(req, slot)
                     cur_tok = cur_tok.at[slot].set(tok)
@@ -533,11 +651,21 @@ class ServingEngine:
                         self.slot_req[slot] = req
                         self.slot_len[slot] = len(req.prompt)
                         vcount[id(req)] = 1
-                    fn = self._prefill_fn(bucket)
-                    last, self.cache = fn(self.params, self.cache,
-                                          jnp.asarray(toks),
-                                          jnp.asarray(lengths),
-                                          jnp.asarray(mask))
+                    if self._paged:
+                        for slot, req in short_admits:
+                            self._alloc.ensure(slot, len(req.prompt))
+                        fn = self._prefill_paged_fn(bucket)
+                        last, self.cache = fn(
+                            self.params, self.cache, jnp.asarray(toks),
+                            jnp.asarray(lengths),
+                            jnp.asarray(self._alloc.tables()),
+                            jnp.asarray(mask))
+                    else:
+                        fn = self._prefill_fn(bucket)
+                        last, self.cache = fn(self.params, self.cache,
+                                              jnp.asarray(toks),
+                                              jnp.asarray(lengths),
+                                              jnp.asarray(mask))
                     cur_tok = jnp.where(jnp.asarray(mask), last, cur_tok)
                     downloads.append(('prefill', last, list(short_admits)))
             active = [i for i, r in enumerate(self.slot_req)
@@ -549,15 +677,17 @@ class ServingEngine:
             n = max(1, min(sync_every, cache_room))
             seq_lens = jnp.asarray(self.slot_len, jnp.int32)
             self._rng_key, step_key = jax.random.split(self._rng_key)
-            s_need = int(max(self.slot_len[s] for s in active)) + n
-            fn = (self._decode if n == 1
-                  else self._build_decode_burst(
-                      n, self._decode_bucket(s_need)))
-            if n == 1:
-                nxt, self.cache = fn(self.params, self.cache, cur_tok,
-                                     seq_lens, step_key)
+            if self._paged:
+                toks, self.cache = self._paged_decode(
+                    n, cur_tok, seq_lens, step_key, active)
+            elif n == 1:
+                nxt, self.cache = self._decode(self.params, self.cache,
+                                               cur_tok, seq_lens, step_key)
                 toks = nxt[None, :]
             else:
+                s_need = int(max(self.slot_len[s] for s in active)) + n
+                fn = self._build_decode_burst(
+                    n, self._decode_bucket(s_need))
                 toks, self.cache = fn(self.params, self.cache, cur_tok,
                                       seq_lens, step_key)
             cur_tok = toks[-1]
@@ -577,6 +707,8 @@ class ServingEngine:
                     req.done = True
                     self.slot_req[slot] = None
                     self.slot_len[slot] = 0
+                    if self._paged:
+                        self._alloc.release(slot)
             downloads.append(('burst', toks, takes))
         # single sync: distribute everything
         for entry in downloads:
@@ -643,6 +775,25 @@ class ServingEngine:
         tokens = jnp.zeros((B,), jnp.int32)
         seq_lens = jnp.full((B,), 16, jnp.int32)
         key = jax.random.PRNGKey(0)
+        if self._paged:
+            n = burst if burst and burst > 1 else 1
+            for slot in range(B):
+                self._alloc.ensure(slot, 16 + n)
+            tables = jnp.asarray(self._alloc.tables())
+            fn = self._build_decode_burst_paged(n)
+            n_bursts = max(1, steps // n)
+            toks, cache = fn(self.params, cache, tokens, seq_lens, tables,
+                             key)
+            np.asarray(toks)
+            t0 = time.perf_counter()
+            for _ in range(n_bursts):
+                toks, cache = fn(self.params, cache, tokens, seq_lens,
+                                 tables, key)
+            np.asarray(toks)
+            dt = time.perf_counter() - t0
+            return {'tokens_per_sec': B * n_bursts * n / dt,
+                    'ms_per_step': dt / (n_bursts * n) * 1e3,
+                    'batch': B}
         if burst and burst > 1:
             fn = self._build_decode_burst(
                 burst, self._decode_bucket(16 + burst))

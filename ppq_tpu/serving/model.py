@@ -45,25 +45,56 @@ def quantize_weight(w: np.ndarray, bits: int) -> Dict[str, np.ndarray]:
     scale = (absmax / qmax).astype(np.float32)
     q = np.clip(np.round(w / scale), -qmax - 1, qmax).astype(np.int8)
     if bits == 4:
-        # pack two int4 per byte along the input dim
-        assert q.shape[0] % 2 == 0
-        lo = q[0::2] & 0x0F
-        hi = (q[1::2] & 0x0F) << 4
-        packed = (lo | hi).astype(np.int8)
-        return {'w_packed': jnp.asarray(packed),
+        # split-half packing (kernels/qmm.py): byte row r holds w[r] in the
+        # low nibble and w[r + in/2] in the high nibble — unpacks with two
+        # shifts and no sublane interleave, in both XLA and Pallas paths
+        from ..kernels.qmm import pack_int4_splithalf
+        return {'w_packed': jnp.asarray(pack_int4_splithalf(q)),
                 'scale': jnp.asarray(scale)}
     return {'w_int': jnp.asarray(q), 'scale': jnp.asarray(scale)}
 
 
 def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """(in//2, out) int8 → (in, out) int8 in [-8, 7]."""
-    lo = (packed << 4) >> 4                    # sign-extend low nibble
-    hi = packed >> 4
-    return jnp.stack([lo, hi], axis=1).reshape(-1, packed.shape[-1])
+    """(in//2, out) int8 → (in, out) int8 in [-8, 7] (split-half layout)."""
+    from ..kernels.qmm import unpack_int4_splithalf
+    return unpack_int4_splithalf(packed)
 
 
-def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """x @ dequant(w); dequant fuses into the matmul operand read."""
+# x-rows cap for the fused kernels: the activation block must stay a small
+# VMEM resident (decode / small-batch serving); prefill matmuls are
+# compute-bound and keep the XLA path
+_PALLAS_QMM_MAX_X_BYTES = 2 * 1024 * 1024
+
+
+def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray],
+            pallas: bool = False) -> jnp.ndarray:
+    """x @ dequant(w).
+
+    pallas=True routes supported shapes through the fused dequant-matmul
+    kernels (kernels/qmm.py): the integer weight bytes stream HBM→VMEM and
+    dequantize on-chip. The XLA fallback writes the dequant next to the
+    dot — but inside a decode burst XLA hoists it out of the scan and
+    re-reads a materialized bf16 copy every step (2x the weight traffic;
+    measured ~2x slower per matmul on v5e at decode batch sizes).
+    """
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    R = int(np.prod(lead)) if lead else 1
+    if pallas and 'w' not in wq and R * D * 2 <= _PALLAS_QMM_MAX_X_BYTES:
+        from ..kernels import qmm
+        x2 = x.reshape(R, D)
+        if 'w_int' in wq:
+            F = wq['w_int'].shape[1]
+            if qmm.supports(D, F):
+                out = qmm.qmm_int8(x2, wq['w_int'], wq['scale'],
+                                   out_dtype=jnp.float32)
+                return out.reshape(*lead, F).astype(x.dtype)
+        else:
+            F = wq['w_packed'].shape[1]
+            if D % 2 == 0 and qmm.supports(D // 2, F):
+                out = qmm.qmm_int4(x2, wq['w_packed'], wq['scale'],
+                                   out_dtype=jnp.float32)
+                return out.reshape(*lead, F).astype(x.dtype)
     if 'w' in wq:
         w = wq['w']
     elif 'w_int' in wq:
@@ -233,10 +264,11 @@ def attention(x, layer, cache_k, cache_v, cache_ks, cache_vs,
     B, T, D = x.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     rep = H // KV
+    pall = bool(getattr(cfg, 'use_pallas_matmul', False))
 
-    q = qmatmul(x, layer['wq']).reshape(B, T, H, Dh)
-    k = qmatmul(x, layer['wk']).reshape(B, T, KV, Dh)
-    v = qmatmul(x, layer['wv']).reshape(B, T, KV, Dh)
+    q = qmatmul(x, layer['wq'], pallas=pall).reshape(B, T, H, Dh)
+    k = qmatmul(x, layer['wk'], pallas=pall).reshape(B, T, KV, Dh)
+    v = qmatmul(x, layer['wv'], pallas=pall).reshape(B, T, KV, Dh)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
@@ -271,7 +303,7 @@ def attention(x, layer, cache_k, cache_v, cache_ks, cache_vs,
                      cache_v.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
     ctx = ctx.reshape(B, T, H * Dh).astype(x.dtype)
-    out = qmatmul(ctx, layer['wo'])
+    out = qmatmul(ctx, layer['wo'], pallas=pall)
     return out, cache_k, cache_v, cache_ks, cache_vs
 
 
@@ -280,10 +312,12 @@ def mlp(x, layer, cfg=None):
         from .moe import moe_ffn
         return moe_ffn(x, layer['moe'],
                        top_k=cfg.top_k if cfg is not None else 2)
-    g = qmatmul(x, layer['w_gate'])
-    u = qmatmul(x, layer['w_up'])
+    pall = bool(getattr(cfg, 'use_pallas_matmul', False)) \
+        if cfg is not None else False
+    g = qmatmul(x, layer['w_gate'], pallas=pall)
+    u = qmatmul(x, layer['w_up'], pallas=pall)
     return qmatmul(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
-                   layer['w_down'])
+                   layer['w_down'], pallas=pall)
 
 
 def decoder_layer(layer, ck, cv, cks, cvs, x, positions, write_pos, cfg,
@@ -305,7 +339,8 @@ def decoder_layer(layer, ck, cv, cks, cvs, x, positions, write_pos, cfg,
 def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                   tokens: jnp.ndarray, seq_lens: jnp.ndarray,
                   keys: jnp.ndarray, cfg: LlamaConfig, select_fn,
-                  s_limit: Optional[int] = None):
+                  s_limit: Optional[int] = None, ragged: bool = False,
+                  ragged_interpret: bool = False):
     """n consecutive decode steps in one lax.scan with the big KV cache
     FROZEN: in-burst K/V live in a small (L, B, n, KV, Dh) bf16 buffer
     carried through the scan; the cache is written ONCE at the end
@@ -317,6 +352,14 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
     otherwise touches all max_seq_len slots even when sequences are short —
     at seq 16 of 1024 that is 64x wasted cache traffic. Writes still land
     in the full cache.
+
+    ragged=True goes further: the frozen read runs through the Pallas
+    paged-attention kernel (kernels/paged_attention.py) with an identity
+    block table over the reshaped contiguous cache — per-slot traffic is
+    ceil(seq_len/128) blocks instead of a batch-wide bucket, and the
+    partial-softmax triple merges exactly with the in-burst buffer. The
+    fill lengths ride as device values, so one compiled program serves
+    every fill (no bucket recompiles).
 
     Why: a scan whose carry includes the full cache double-buffers
     hundreds of MB every iteration — XLA cannot prove in-place aliasing
@@ -339,6 +382,7 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
     if s_limit is not None:
         S = min(s_limit, S)
     int8_cache = cfg.kv_cache_bits == 8
+    pall = bool(getattr(cfg, 'use_pallas_matmul', False))
 
     buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
     # per-layer buffer LEAVES (not one stacked array): inside the scan only
@@ -353,6 +397,30 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
 
     frozen_mask = slot_ids < seq_lens[:, None, None, None]   # (B,1,1,S)
 
+    if ragged:
+        # pool views of the frozen cache, computed ONCE per burst (outside
+        # the scan): the reshape is free; the scale transpose to the
+        # kernel's (NB, KV, BLK) layout copies only the small scale arrays
+        from ..kernels.paged_attention import (identity_block_tables,
+                                               merge_attention,
+                                               paged_attention_decode)
+        BLK = 128
+        Sf = cache['k'].shape[2]
+        assert Sf % BLK == 0 and Dh % 128 == 0, (Sf, Dh)
+        NBp = Sf // BLK
+        tbl = identity_block_tables(B, Sf, BLK)
+        k_pools = [cache['k'][li].reshape(B * NBp, BLK, KV * Dh)
+                   for li in range(L)]
+        v_pools = [cache['v'][li].reshape(B * NBp, BLK, KV * Dh)
+                   for li in range(L)]
+        if int8_cache:
+            ks_pools = [cache['k_scale'][li].reshape(B * NBp, BLK, KV)
+                        .transpose(0, 2, 1) for li in range(L)]
+            vs_pools = [cache['v_scale'][li].reshape(B * NBp, BLK, KV)
+                        .transpose(0, 2, 1) for li in range(L)]
+        else:
+            ks_pools = vs_pools = [None] * L
+
     def step(carry, inp):
         cur_tok, kbuf, vbuf, ksb, vsb, i = carry
         kbuf, vbuf = list(kbuf), list(vbuf)
@@ -362,9 +430,9 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         x = params['embed'][cur_tok][:, None, :]             # (B,1,D)
         for li, layer in enumerate(params['layers']):
             h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
-            q = qmatmul(h, layer['wq']).reshape(B, 1, H, Dh)
-            k = qmatmul(h, layer['wk']).reshape(B, 1, KV, Dh)
-            v = qmatmul(h, layer['wv']).reshape(B, 1, KV, Dh)
+            q = qmatmul(h, layer['wq'], pallas=pall).reshape(B, 1, H, Dh)
+            k = qmatmul(h, layer['wk'], pallas=pall).reshape(B, 1, KV, Dh)
+            v = qmatmul(h, layer['wv'], pallas=pall).reshape(B, 1, KV, Dh)
             q = rope(q, pos[:, None], cfg.rope_theta)
             k = rope(k, pos[:, None], cfg.rope_theta)
             # bank this step's K/V at buffer column i (write before read),
@@ -384,15 +452,6 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                 vbuf[li], v_q, (0, i, 0, 0))
 
             q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
-            # frozen-cache logits (int8 read, scales folded post-dot)
-            lf = jnp.einsum('btkrd,bskd->bkrts', q_g,
-                            cache['k'][li][:, :S].astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-            lf = lf[:, :, :, 0, :]                           # (B,KV,rep,S)
-            if int8_cache:
-                lf = lf * cache['k_scale'][li][:, :S].transpose(0, 2, 1)[:, :,
-                                                                  None, :]
-            lf = jnp.where(frozen_mask, lf / np.sqrt(Dh), -1e30)
             # in-burst buffer logits (causal over steps ≤ i)
             lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
                             kbuf[li].astype(jnp.bfloat16),
@@ -402,26 +461,56 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                 lb = lb * ksb[li].transpose(0, 2, 1)[:, :, None, :]
             lb = jnp.where(buf_ids <= i, lb / np.sqrt(Dh), -1e30)
 
-            joint = jnp.concatenate([lf, lb], axis=-1)
-            probs = jax.nn.softmax(joint, axis=-1)
-            pf, pb = probs[..., :S], probs[..., S:]
-            if int8_cache:
-                pf = pf * cache['v_scale'][li][:, :S].transpose(0, 2, 1)[:, :,
-                                                                  None, :]
-                pb = pb * vsb[li].transpose(0, 2, 1)[:, :, None, :]
-            ctx = jnp.einsum('bkrs,bskd->bkrd', pf.astype(jnp.bfloat16),
-                             cache['v'][li][:, :S].astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
-            ctx = ctx + jnp.einsum('bkrj,bjkd->bkrd',
-                                   pb.astype(jnp.bfloat16),
+            if ragged:
+                # frozen part via the paged kernel: only filled blocks are
+                # read; merge the partial softmax with the buffer part
+                acc_f, m_f, l_f = paged_attention_decode(
+                    q_g[:, 0], k_pools[li], v_pools[li],
+                    ks_pools[li], vs_pools[li], tbl, seq_lens,
+                    interpret=ragged_interpret)
+                m_b = jnp.max(lb, axis=-1)                   # (B,KV,rep)
+                p_b = jnp.exp(lb - m_b[..., None])
+                l_b = jnp.sum(p_b, axis=-1)
+                if int8_cache:
+                    p_b = p_b * vsb[li].transpose(0, 2, 1)[:, :, None, :]
+                acc_b = jnp.einsum('bkrj,bjkd->bkrd',
+                                   p_b.astype(jnp.bfloat16),
                                    vbuf[li].astype(jnp.bfloat16),
                                    preferred_element_type=jnp.float32)
+                ctx = merge_attention([(acc_f, m_f, l_f),
+                                       (acc_b, m_b, l_b)])
+            else:
+                # frozen-cache logits (int8 read, scales folded post-dot)
+                lf = jnp.einsum('btkrd,bskd->bkrts', q_g,
+                                cache['k'][li][:, :S].astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+                lf = lf[:, :, :, 0, :]                       # (B,KV,rep,S)
+                if int8_cache:
+                    lf = lf * cache['k_scale'][li][:, :S] \
+                        .transpose(0, 2, 1)[:, :, None, :]
+                lf = jnp.where(frozen_mask, lf / np.sqrt(Dh), -1e30)
+
+                joint = jnp.concatenate([lf, lb], axis=-1)
+                probs = jax.nn.softmax(joint, axis=-1)
+                pf, pb = probs[..., :S], probs[..., S:]
+                if int8_cache:
+                    pf = pf * cache['v_scale'][li][:, :S] \
+                        .transpose(0, 2, 1)[:, :, None, :]
+                    pb = pb * vsb[li].transpose(0, 2, 1)[:, :, None, :]
+                ctx = jnp.einsum('bkrs,bskd->bkrd', pf.astype(jnp.bfloat16),
+                                 cache['v'][li][:, :S].astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+                ctx = ctx + jnp.einsum('bkrj,bjkd->bkrd',
+                                       pb.astype(jnp.bfloat16),
+                                       vbuf[li].astype(jnp.bfloat16),
+                                       preferred_element_type=jnp.float32)
             ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
-            x = x + qmatmul(ctx, layer['wo'])
+            x = x + qmatmul(ctx, layer['wo'], pallas=pall)
             h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
             x = x + mlp(h, layer, cfg)
         x = rms_norm(x, params['final_norm'], cfg.rms_eps)
-        logits = qmatmul(x, params['lm_head']).astype(jnp.float32)
+        logits = qmatmul(x, params['lm_head'],
+                         pallas=pall).astype(jnp.float32)
         nxt = select_fn(logits[:, 0, :], key)
         return (nxt, tuple(kbuf), tuple(vbuf), tuple(ksb), tuple(vsb),
                 i + 1), nxt
@@ -501,5 +590,6 @@ def forward(params: Params, cache: Dict[str, jnp.ndarray],
         new_cache['v_scale'] = vs_all
 
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
-    logits = qmatmul(x, params['lm_head'])
+    logits = qmatmul(x, params['lm_head'],
+                     pallas=bool(getattr(cfg, 'use_pallas_matmul', False)))
     return logits.astype(jnp.float32), new_cache

@@ -1,0 +1,302 @@
+"""Paged KV cache: vLLM-class block-pool memory management for serving.
+
+New TPU-native capability (no reference analogue — PPQ is a quantization
+compiler; SURVEY.md §2.11 north star). The contiguous cache reserves
+max_batch x max_seq_len slots up front; the paged cache backs every
+sequence with 128-token blocks drawn from a shared pool, so HBM holds
+`kv_pool_blocks` blocks total and a slot only consumes what it has
+actually generated. Sequences of wildly different lengths share the pool,
+which is what lets a serving deployment run bigger batches / longer
+contexts on the same chip.
+
+Layouts are kernel-native (kernels/paged_attention.py):
+  k/v pools (L, NB, BLK, KV*Dh) int8|bf16, scales (L, NB, KV, BLK) f32.
+Block 0 is reserved as the TRASH block: writes for inactive slots are
+routed there instead of being masked, which keeps every write a plain
+scatter (no read-modify-write).
+
+Host side, the BlockAllocator hands out pool rows; the device only ever
+sees (B, MB) int32 block tables. Tables travel host->device once per
+prefill/burst (a few hundred bytes) — scheduling state stays on the host,
+cache data never leaves the device.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import LlamaConfig
+from .model import (Params, _kv_quant, mlp, qmatmul, rms_norm, rope)
+
+BLK = 128
+
+
+# ---------------------------------------------------------- pool + tables --
+
+def init_paged_pools(cfg: LlamaConfig, num_blocks: int) -> Dict:
+    """Allocate the shared block pools. num_blocks INCLUDES the reserved
+    trash block 0."""
+    L, KV, Dh = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+    if cfg.kv_cache_bits == 8:
+        return {
+            'k': jnp.zeros((L, num_blocks, BLK, KV * Dh), jnp.int8),
+            'v': jnp.zeros((L, num_blocks, BLK, KV * Dh), jnp.int8),
+            'k_scale': jnp.zeros((L, num_blocks, KV, BLK), jnp.float32),
+            'v_scale': jnp.zeros((L, num_blocks, KV, BLK), jnp.float32),
+        }
+    return {
+        'k': jnp.zeros((L, num_blocks, BLK, KV * Dh), jnp.bfloat16),
+        'v': jnp.zeros((L, num_blocks, BLK, KV * Dh), jnp.bfloat16),
+    }
+
+
+class BlockAllocator:
+    """Host-side free-list over pool rows [1, num_blocks) — row 0 is the
+    trash block. Tracks each slot's logical->physical block list."""
+
+    def __init__(self, num_blocks: int, max_batch: int, max_blocks_per_seq:
+                 int):
+        self.num_blocks = num_blocks
+        self.free: List[int] = list(range(num_blocks - 1, 0, -1))
+        self.slot_blocks: List[List[int]] = [[] for _ in range(max_batch)]
+        self.max_blocks_per_seq = max_blocks_per_seq
+
+    @property
+    def free_blocks(self) -> int:
+        return len(self.free)
+
+    def ensure(self, slot: int, tokens: int) -> None:
+        """Grow slot's block list to cover `tokens` positions."""
+        need = -(-tokens // BLK)
+        if need > self.max_blocks_per_seq:
+            raise ValueError(f'sequence needs {need} blocks > '
+                             f'max {self.max_blocks_per_seq}')
+        have = self.slot_blocks[slot]
+        while len(have) < need:
+            if not self.free:
+                raise MemoryError('KV block pool exhausted')
+            have.append(self.free.pop())
+
+    def release(self, slot: int) -> None:
+        blocks = self.slot_blocks[slot]
+        self.free.extend(reversed(blocks))
+        self.slot_blocks[slot] = []
+
+    def tables(self) -> np.ndarray:
+        """(B, MB) int32 device-ready tables; unallocated entries point at
+        the trash block 0."""
+        B = len(self.slot_blocks)
+        t = np.zeros((B, self.max_blocks_per_seq), np.int32)
+        for s, blocks in enumerate(self.slot_blocks):
+            t[s, :len(blocks)] = blocks
+        return t
+
+
+# ------------------------------------------------------------- writes ------
+
+def _scatter_window(pool_slab, new, tables, write_pos, active):
+    """Scatter a (B, T, KV, Dh) window into (NB, BLK, KV*Dh) pool slabs at
+    per-slot positions write_pos..write_pos+T-1; inactive slots write to
+    the trash block. Returns (pool_slab, scale_slab_updates...) — pure
+    scatters, no read-modify-write.
+
+    new: (B, T, KV, Dh); new_scale: (B, T, KV) | None;
+    tables: (B, MB) int32; write_pos: (B,); active: (B,) bool | None.
+    """
+    B, T, KV, Dh = new.shape
+    pos = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]  # (B,T)
+    blk = pos // BLK                                  # logical block (B,T)
+    off = pos % BLK
+    rows = jnp.take_along_axis(tables, blk, axis=1)   # physical row (B,T)
+    if active is not None:
+        rows = jnp.where(active[:, None], rows, 0)    # trash block
+    slab = pool_slab.at[rows, off].set(
+        new.reshape(B, T, KV * Dh).astype(pool_slab.dtype))
+    return slab, rows, off
+
+
+def scatter_kv(pools, li, k_q, v_q, k_s, v_s, tables, write_pos, active):
+    """Write one layer's quantized window into the pools (functional)."""
+    int8_cache = 'k_scale' in pools
+    kslab, rows, off = _scatter_window(pools['k'][li], k_q, tables,
+                                       write_pos, active)
+    vslab, _, _ = _scatter_window(pools['v'][li], v_q, tables,
+                                  write_pos, active)
+    out = dict(pools)
+    out['k'] = pools['k'].at[li].set(kslab)
+    out['v'] = pools['v'].at[li].set(vslab)
+    if int8_cache:
+        # scale layout (NB, KV, BLK): scatter at (row, :, off)
+        out['k_scale'] = pools['k_scale'].at[li].set(
+            pools['k_scale'][li].at[rows[..., None],
+                                    jnp.arange(k_s.shape[2])[None, None],
+                                    off[..., None]].set(k_s))
+        out['v_scale'] = pools['v_scale'].at[li].set(
+            pools['v_scale'][li].at[rows[..., None],
+                                    jnp.arange(v_s.shape[2])[None, None],
+                                    off[..., None]].set(v_s))
+    return out
+
+
+# ------------------------------------------------------------- prefill -----
+
+def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
+                  active, cfg: LlamaConfig) -> Tuple:
+    """Batched masked prefill into the paged pools. Prompts start at
+    position 0, so attention is causal within the (B, T) window itself —
+    the pool is written, never read. Returns (logits, pools)."""
+    B, T = tokens.shape
+    H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rep = H // KV
+    int8_cache = cfg.kv_cache_bits == 8
+    pall = bool(getattr(cfg, 'use_pallas_matmul', False))
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None],
+                                 (B, T))
+    x = params['embed'][tokens]
+    causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])  # (T, T)
+    write_pos = jnp.zeros((B,), jnp.int32)
+
+    for li, layer in enumerate(params['layers']):
+        h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
+        q = qmatmul(h, layer['wq'], pallas=pall).reshape(B, T, H, Dh)
+        k = qmatmul(h, layer['wk'], pallas=pall).reshape(B, T, KV, Dh)
+        v = qmatmul(h, layer['wv'], pallas=pall).reshape(B, T, KV, Dh)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        if int8_cache:
+            k_q, k_s = _kv_quant(k)
+            v_q, v_s = _kv_quant(v)
+        else:
+            k_q, v_q = (k.astype(pools['k'].dtype),
+                        v.astype(pools['v'].dtype))
+            k_s = v_s = None
+        pools = scatter_kv(pools, li, k_q, v_q, k_s, v_s, tables,
+                           write_pos, active)
+        # attention over the quantized window (same math as the cache read
+        # path, so prefill == decode numerics)
+        q_g = q.reshape(B, T, KV, rep, Dh).astype(jnp.bfloat16)
+        s = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
+                       k_q.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        if int8_cache:
+            s = s * k_s.transpose(0, 2, 1)[:, :, None, None, :]
+        s = jnp.where(causal[None, None, None], s / np.sqrt(Dh), -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        if int8_cache:
+            p = p * v_s.transpose(0, 2, 1)[:, :, None, None, :]
+        ctx = jnp.einsum('bkrtj,bjkd->btkrd', p.astype(jnp.bfloat16),
+                         v_q.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(B, T, H * Dh).astype(x.dtype)
+        x = x + qmatmul(ctx, layer['wo'], pallas=pall)
+        h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
+        x = x + mlp(h, layer, cfg)
+
+    x = rms_norm(x, params['final_norm'], cfg.rms_eps)
+    logits = qmatmul(x, params['lm_head'], pallas=pall)
+    return logits.astype(jnp.float32), pools
+
+
+# ------------------------------------------------------------- decode ------
+
+def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
+                        tables, keys, cfg: LlamaConfig, select_fn,
+                        ragged_interpret: bool = False):
+    """n decode steps over the paged pools: pool frozen during the scan
+    (paged-attention kernel reads only allocated blocks), in-burst K/V in
+    small per-layer buffers, ONE scatter per layer at burst end. Mirrors
+    model.burst_forward's ragged path with real block tables."""
+    from ..kernels.paged_attention import (merge_attention,
+                                           paged_attention_decode)
+    L = len(params['layers'])
+    B = tokens.shape[0]
+    n = keys.shape[0]
+    KV, Dh, H = cfg.n_kv_heads, cfg.head_dim, cfg.n_heads
+    rep = H // KV
+    int8_cache = cfg.kv_cache_bits == 8
+    pall = bool(getattr(cfg, 'use_pallas_matmul', False))
+    buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
+
+    kbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
+    vbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
+    ksb0 = tuple(jnp.zeros((B, n, KV), jnp.float32) for _ in range(L))
+    vsb0 = tuple(jnp.zeros((B, n, KV), jnp.float32) for _ in range(L))
+    buf_ids = jnp.arange(n)[None, None, None, :]             # (1,1,1,n)
+    ks_pools = pools.get('k_scale')
+    vs_pools = pools.get('v_scale')
+
+    def step(carry, key):
+        cur_tok, kbuf, vbuf, ksb, vsb, i = carry
+        kbuf, vbuf = list(kbuf), list(vbuf)
+        ksb, vsb = list(ksb), list(vsb)
+        pos = seq_lens + i
+        x = params['embed'][cur_tok][:, None, :]
+        for li, layer in enumerate(params['layers']):
+            h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
+            q = qmatmul(h, layer['wq'], pallas=pall).reshape(B, 1, H, Dh)
+            k = qmatmul(h, layer['wk'], pallas=pall).reshape(B, 1, KV, Dh)
+            v = qmatmul(h, layer['wv'], pallas=pall).reshape(B, 1, KV, Dh)
+            q = rope(q, pos[:, None], cfg.rope_theta)
+            k = rope(k, pos[:, None], cfg.rope_theta)
+            if int8_cache:
+                k_q, k_s = _kv_quant(k)
+                v_q, v_s = _kv_quant(v)
+                ksb[li] = jax.lax.dynamic_update_slice(ksb[li], k_s,
+                                                       (0, i, 0))
+                vsb[li] = jax.lax.dynamic_update_slice(vsb[li], v_s,
+                                                       (0, i, 0))
+            else:
+                k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
+            kbuf[li] = jax.lax.dynamic_update_slice(kbuf[li], k_q,
+                                                    (0, i, 0, 0))
+            vbuf[li] = jax.lax.dynamic_update_slice(vbuf[li], v_q,
+                                                    (0, i, 0, 0))
+
+            q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
+            acc_f, m_f, l_f = paged_attention_decode(
+                q_g[:, 0], pools['k'][li], pools['v'][li],
+                ks_pools[li] if ks_pools is not None else None,
+                vs_pools[li] if vs_pools is not None else None,
+                tables, seq_lens, interpret=ragged_interpret)
+            lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
+                            kbuf[li].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            lb = lb[:, :, :, 0, :]
+            if int8_cache:
+                lb = lb * ksb[li].transpose(0, 2, 1)[:, :, None, :]
+            lb = jnp.where(buf_ids <= i, lb / np.sqrt(Dh), -1e30)
+            m_b = jnp.max(lb, axis=-1)
+            p_b = jnp.exp(lb - m_b[..., None])
+            l_b = jnp.sum(p_b, axis=-1)
+            if int8_cache:
+                p_b = p_b * vsb[li].transpose(0, 2, 1)[:, :, None, :]
+            acc_b = jnp.einsum('bkrj,bjkd->bkrd', p_b.astype(jnp.bfloat16),
+                               vbuf[li].astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+            ctx = merge_attention([(acc_f, m_f, l_f), (acc_b, m_b, l_b)])
+            ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
+            x = x + qmatmul(ctx, layer['wo'], pallas=pall)
+            h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
+            x = x + mlp(h, layer, cfg)
+        x = rms_norm(x, params['final_norm'], cfg.rms_eps)
+        logits = qmatmul(x, params['lm_head'],
+                         pallas=pall).astype(jnp.float32)
+        nxt = select_fn(logits[:, 0, :], key)
+        return (nxt, tuple(kbuf), tuple(vbuf), tuple(ksb), tuple(vsb),
+                i + 1), nxt
+
+    (_, kbuf, vbuf, ksb, vsb, _), toks = jax.lax.scan(
+        step, (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0)), keys)
+
+    # one scatter per layer: burst K/V land at seq_lens..seq_lens+n-1
+    for li in range(L):
+        pools = scatter_kv(
+            pools, li, kbuf[li], vbuf[li],
+            ksb[li] if int8_cache else None,
+            vsb[li] if int8_cache else None,
+            tables, seq_lens, None)
+    return toks, pools

@@ -1,0 +1,121 @@
+"""Parity tests for the serving-side Pallas kernels (interpret mode on the
+CPU mesh): fused dequant-matmul (kernels/qmm.py) and ragged/paged decode
+attention (kernels/paged_attention.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppq_tpu.kernels.paged_attention import (identity_block_tables,
+                                             merge_attention,
+                                             paged_attention_decode,
+                                             paged_attention_reference)
+from ppq_tpu.kernels.qmm import (pack_int4_splithalf, qmm_int4, qmm_int8,
+                                 supports, unpack_int4_splithalf)
+
+
+class TestQmm:
+    def test_int8_parity(self):
+        rng = np.random.default_rng(0)
+        B, D, F = 8, 512, 640
+        w8 = rng.integers(-127, 128, (D, F)).astype(np.int8)
+        s = ((rng.random(F) + 0.5) * 1e-2).astype(np.float32)
+        x = rng.standard_normal((B, D)).astype(np.float32)
+        ref = x @ (w8.astype(np.float32) * s)
+        out = np.asarray(qmm_int8(jnp.asarray(x), jnp.asarray(w8),
+                                  jnp.asarray(s), out_dtype=jnp.float32,
+                                  interpret=True))
+        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 2e-2, err
+
+    def test_int4_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(1)
+        q = rng.integers(-8, 8, (256, 128)).astype(np.int8)
+        packed = pack_int4_splithalf(q)
+        assert packed.shape == (128, 128)
+        np.testing.assert_array_equal(
+            np.asarray(unpack_int4_splithalf(jnp.asarray(packed))), q)
+
+    def test_int4_parity(self):
+        rng = np.random.default_rng(2)
+        B, D, F = 8, 512, 640
+        q4 = rng.integers(-8, 8, (D, F)).astype(np.int8)
+        s = ((rng.random(F) + 0.5) * 1e-2).astype(np.float32)
+        x = rng.standard_normal((B, D)).astype(np.float32)
+        ref = x @ (q4.astype(np.float32) * s)
+        out = np.asarray(qmm_int4(jnp.asarray(x),
+                                  jnp.asarray(pack_int4_splithalf(q4)),
+                                  jnp.asarray(s), out_dtype=jnp.float32,
+                                  interpret=True))
+        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 2e-2, err
+
+    def test_supports(self):
+        assert supports(2048, 5632)
+        assert supports(2048, 32000)
+        assert not supports(100, 5632)       # contraction not tiled
+        assert not supports(2048, 100)       # width not tiled
+
+
+class TestPagedAttention:
+    def _mk(self, int8=True, lens=(0, 1, 130, 512)):
+        rng = np.random.default_rng(0)
+        B, KV, rep, Dh, BLK, MB = len(lens), 2, 2, 128, 128, 4
+        NB = 2 * B * MB
+        q = rng.standard_normal((B, KV, rep, Dh)).astype(np.float32) * 0.5
+        kp = rng.integers(-127, 128, (NB, BLK, KV * Dh)).astype(np.int8)
+        vp = rng.integers(-127, 128, (NB, BLK, KV * Dh)).astype(np.int8)
+        if int8:
+            ks = ((rng.random((NB, KV, BLK)) + 0.5) * 0.02).astype(
+                np.float32)
+            vs = ((rng.random((NB, KV, BLK)) + 0.5) * 0.02).astype(
+                np.float32)
+        else:
+            kp = (kp.astype(np.float32) * 0.02).astype(jnp.bfloat16)
+            vp = (vp.astype(np.float32) * 0.02).astype(jnp.bfloat16)
+            ks = vs = None
+        tbl = rng.permutation(NB)[:B * MB].reshape(B, MB).astype(np.int32)
+        return tuple(jnp.asarray(a) if a is not None else None
+                     for a in (q, kp, vp, ks, vs, tbl,
+                               np.asarray(lens, np.int32)))
+
+    @pytest.mark.parametrize('int8', [True, False])
+    def test_kernel_matches_reference(self, int8):
+        args = self._mk(int8=int8)
+        got = merge_attention([paged_attention_decode(*args,
+                                                      interpret=True)])
+        want = merge_attention([paged_attention_reference(*args)])
+        got, want = np.asarray(got), np.asarray(want)
+        assert np.allclose(got[0], 0)        # empty slot → zero context
+        err = np.abs(got[1:] - want[1:]).max() / (np.abs(want[1:]).max()
+                                                  + 1e-9)
+        assert err < 2e-2, err
+
+    def test_merge_equals_joint_softmax(self):
+        """Splitting a score set and merging partial triples must equal the
+        joint softmax over the union (flash factorization exactness)."""
+        rng = np.random.default_rng(3)
+        s = rng.standard_normal((2, 3, 16)).astype(np.float32) * 3
+        v = rng.standard_normal((2, 3, 16, 8)).astype(np.float32)
+
+        def triple(scores, values):
+            m = scores.max(-1)
+            p = np.exp(scores - m[..., None])
+            return (jnp.asarray(np.einsum('bks,bksd->bkd', p, values)),
+                    jnp.asarray(m), jnp.asarray(p.sum(-1)))
+
+        whole = np.einsum('bks,bksd->bkd',
+                          np.exp(s - s.max(-1, keepdims=True))
+                          / np.exp(s - s.max(-1, keepdims=True))
+                          .sum(-1, keepdims=True), v)
+        merged = merge_attention([triple(s[..., :5], v[:, :, :5]),
+                                  triple(s[..., 5:], v[:, :, 5:])])
+        np.testing.assert_allclose(np.asarray(merged), whole, rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_identity_tables(self):
+        t = np.asarray(identity_block_tables(2, 512, 128))
+        assert t.shape == (2, 4)
+        assert t[0].tolist() == [0, 1, 2, 3]
+        assert t[1].tolist() == [4, 5, 6, 7]

@@ -298,3 +298,125 @@ class TestBucketedFrozenRead:
         assert eng._decode_bucket(256) == 256
         assert eng._decode_bucket(257) == 512
         assert eng._decode_bucket(5000) == 2048
+
+
+class TestRaggedAttention:
+    def _cfg(self):
+        # head_dim 128 and max_seq_len % 128 == 0: kernel-supported shapes
+        return LlamaConfig(vocab_size=128, d_model=256, n_layers=2,
+                           n_heads=2, n_kv_heads=2, d_ff=256,
+                           max_seq_len=256, max_batch=2,
+                           prefill_buckets=(16,))
+
+    def test_burst_ragged_parity(self):
+        """Ragged (paged-kernel, interpret mode) burst == dense burst."""
+        from ppq_tpu.serving.model import burst_forward, forward
+        cfg = self._cfg()
+        params = init_llama_params(cfg, seed=31)
+        cache = init_kv_cache(cfg, cfg.max_batch)
+        toks = jnp.asarray(np.arange(2 * 6).reshape(2, 6) % 120 + 1)
+        pos = jnp.broadcast_to(jnp.arange(6)[None], (2, 6)).astype(jnp.int32)
+        _, cache = forward(params, cache, toks, pos,
+                           jnp.zeros(2, jnp.int32), jnp.full(2, 6, jnp.int32),
+                           cfg)
+        seq_lens = jnp.full(2, 6, jnp.int32)
+        cur = jnp.asarray([3, 5], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        select = lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32)
+        t_dense, c_dense = burst_forward(params, cache, cur, seq_lens, keys,
+                                         cfg, select)
+        t_rag, c_rag = burst_forward(params, cache, cur, seq_lens, keys,
+                                     cfg, select, ragged=True,
+                                     ragged_interpret=True)
+        np.testing.assert_array_equal(np.asarray(t_dense), np.asarray(t_rag))
+        # cache parity on DEQUANTIZED values (int8 codes may differ by 1 LSB
+        # from bf16/merge-order rounding in the activations)
+        for part in ('k', 'v'):
+            d = np.asarray(c_dense[part], np.float32) * \
+                np.asarray(c_dense[part + '_scale'])[..., None]
+            r = np.asarray(c_rag[part], np.float32) * \
+                np.asarray(c_rag[part + '_scale'])[..., None]
+            denom = np.abs(d).max() + 1e-9
+            assert np.abs(d - r).max() / denom < 0.05
+
+    def test_engine_ragged_generation_matches_dense(self):
+        cfg = self._cfg()
+        cfg.use_ragged_attention = True
+        cfg.ragged_interpret = True
+        params = init_llama_params(cfg, seed=32)
+
+        def gen(cfg):
+            eng = ServingEngine(cfg, params)
+            reqs = [Request(i, [2 + i, 5, 9], max_new_tokens=10)
+                    for i in range(2)]
+            eng.run(reqs, sync_every=5)
+            return [r.generated for r in reqs]
+
+        out_ragged = gen(cfg)
+        cfg2 = self._cfg()
+        cfg2.use_ragged_attention = False
+        assert gen(cfg2) == out_ragged
+
+
+class TestPagedKVCache:
+    def _cfg(self, **kw):
+        cfg = LlamaConfig(vocab_size=128, d_model=256, n_layers=2,
+                          n_heads=2, n_kv_heads=2, d_ff=256,
+                          max_seq_len=256, max_batch=2,
+                          prefill_buckets=(128,))
+        cfg.ragged_interpret = True
+        for k, v in kw.items():
+            setattr(cfg, k, v)
+        return cfg
+
+    def test_paged_generation_matches_dense(self):
+        params = init_llama_params(self._cfg(), seed=41)
+
+        def gen(cfg):
+            eng = ServingEngine(cfg, params)
+            reqs = [Request(i, [2 + i, 5, 9, 11], max_new_tokens=8)
+                    for i in range(3)]                  # > max_batch slots
+            eng.run(reqs, sync_every=4)
+            return [r.generated for r in reqs]
+
+        dense = gen(self._cfg(use_ragged_attention=False))
+        paged = gen(self._cfg(paged_kv=True))
+        assert dense == paged
+
+    def test_paged_planned_run_matches_sync(self):
+        params = init_llama_params(self._cfg(), seed=42)
+
+        def gen(sync_every):
+            eng = ServingEngine(self._cfg(paged_kv=True), params)
+            reqs = [Request(i, [3, 7 + i], max_new_tokens=6)
+                    for i in range(2)]
+            eng.run(reqs, sync_every=sync_every)
+            return [r.generated for r in reqs]
+
+        assert gen(1) == gen(4)
+
+    def test_block_reuse_and_release(self):
+        cfg = self._cfg(paged_kv=True)
+        eng = ServingEngine(cfg, init_llama_params(cfg, seed=43))
+        free0 = eng._alloc.free_blocks
+        reqs = [Request(i, [2, 3, 4], max_new_tokens=4) for i in range(4)]
+        eng.run(reqs, sync_every=2)
+        assert all(r.done for r in reqs)
+        assert eng._alloc.free_blocks == free0     # all blocks returned
+
+    def test_pool_exhaustion_raises(self):
+        # pool of 2 usable blocks but a prompt needing enough decode room
+        cfg = self._cfg(paged_kv=True, kv_pool_blocks=2)
+        eng = ServingEngine(cfg, init_llama_params(cfg, seed=44))
+        with pytest.raises((MemoryError, ValueError)):
+            reqs = [Request(0, list(range(2, 100)), max_new_tokens=200)]
+            eng.run(reqs, sync_every=64)
+
+    def test_small_pool_serves_many_short_requests(self):
+        # pool FAR smaller than max_batch*max_seq_len: 5 usable blocks
+        cfg = self._cfg(paged_kv=True, kv_pool_blocks=6)
+        eng = ServingEngine(cfg, init_llama_params(cfg, seed=45))
+        reqs = [Request(i, [2 + i % 7, 5], max_new_tokens=5)
+                for i in range(6)]
+        eng.run(reqs, sync_every=3)
+        assert all(len(r.generated) == 5 for r in reqs)
