@@ -311,23 +311,18 @@ class ServingEngine:
                                      ragged=ragged,
                                      ragged_interpret=cfg.ragged_interpret)
         else:
-            # pp path: scan the staged forward (cache stays the carry —
-            # per-stage slabs are smaller so the copy cost is bounded)
+            # pp path: frozen-cache staged burst — per-stage slabs stay
+            # frozen through the scan, only the small in-burst buffers are
+            # carried (the cache-carry scan copied every stage's slabs on
+            # every step)
+            from .pipeline import burst_forward_staged
+
             @functools.partial(jax.jit, donate_argnums=(1,))
             def decode_burst(params, cache, tokens, seq_lens, key):
-                def body(carry, step_key):
-                    cache, tokens, seq_lens = carry
-                    positions = seq_lens[:, None]
-                    logits, cache = self._forward(
-                        params, cache, tokens[:, None], positions,
-                        seq_lens, seq_lens + 1)
-                    nxt = self._select(logits[:, -1, :], step_key)
-                    return (cache, nxt, seq_lens + 1), nxt
-
                 keys = jax.random.split(key, n_steps)
-                (cache, _, seq_lens), toks = jax.lax.scan(
-                    body, (cache, tokens, seq_lens), keys)
-                return toks, cache                  # toks: (n_steps, B)
+                return burst_forward_staged(params, cache, tokens,
+                                            seq_lens, keys, cfg, self.mesh,
+                                            'pp', self._select)
         self._decode_burst[(n_steps, s_limit)] = decode_burst
         return decode_burst
 

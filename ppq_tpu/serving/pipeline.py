@@ -207,3 +207,199 @@ def forward_staged(params: Dict, cache: Dict, tokens, positions, write_pos,
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'])
     return logits.astype(jnp.float32), new_cache
+
+
+# ================================================== frozen-cache PP burst ==
+
+def burst_forward_staged(params: Dict, cache: Dict, tokens, seq_lens, keys,
+                         cfg, mesh: Mesh, axis_name: str = 'pp',
+                         select_fn=None,
+                         microbatches: Optional[int] = None):
+    """n decode steps on a 'pp' mesh with each stage's cache slabs FROZEN:
+    the scan carries only per-stage in-burst K/V buffers (B, n, KV, Dh)
+    per local layer, merged into the big slabs once at burst end — the
+    cache-carry variant copies every stage's slabs on every scan step
+    because XLA cannot alias them through the staged-update chain.
+
+    Per scan step each stage runs its microbatch ring exactly like
+    forward_staged (ppermute-carried activations, fill/drain bubbles);
+    attention joins the frozen slab read with the in-burst buffer in one
+    softmax (same joint math as model.burst_forward's dense path, so this
+    is bit-compatible with scanned staged decode up to fp reassociation).
+
+    tokens: (B,); seq_lens: (B,); keys: (n, 2). Returns (toks (n, B),
+    updated cache).
+    """
+    from .model import _kv_quant, mlp, qmatmul, rms_norm, rope
+
+    B = tokens.shape[0]
+    n = keys.shape[0]
+    H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rep = H // KV
+    S_ctx = cache['k'].shape[2]
+    n_stage = mesh.shape[axis_name]
+    M = microbatches or n_stage
+    assert B % M == 0
+    mb = B // M
+    int8_cache = cfg.kv_cache_bits == 8
+    buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
+    pall = False        # pallas kernels are not GSPMD-partitionable
+
+    layers = params['layers']
+    p_spec = jax.tree.map(lambda _: P(axis_name), layers)
+    c_spec = jax.tree.map(lambda _: P(axis_name), cache)
+
+    def stage(local_layers, local_cache, tokens0, seq_lens, keys, embed,
+              final_norm, lm_head):
+        idx = jax.lax.axis_index(axis_name)
+        n_dev = jax.lax.psum(1, axis_name)
+        L_local = jax.tree.leaves(local_layers)[0].shape[0]
+        perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+        slot_ids = jnp.arange(S_ctx)[None, None, None, :]
+        frozen_mask = slot_ids < seq_lens[:, None, None, None]  # (B,1,1,S)
+        buf_ids = jnp.arange(n)[None, None, None, :]
+
+        kbuf0 = jnp.zeros((L_local, B, n, KV, Dh), buf_dtype)
+        vbuf0 = jnp.zeros((L_local, B, n, KV, Dh), buf_dtype)
+        ksb0 = jnp.zeros((L_local, B, n, KV), jnp.float32)
+        vsb0 = jnp.zeros((L_local, B, n, KV), jnp.float32)
+
+        def layer_apply(li, h, bufs, pos, rows, step_i, valid):
+            """One local layer on a (mb, 1, D) microbatch h; bufs updated
+            at buffer column step_i for batch rows rows..rows+mb. `valid`
+            gates the buffer writes: fill/drain ticks run with a CLAMPED
+            microbatch index and must not overwrite real entries."""
+            kbuf, vbuf, ksb, vsb = bufs
+            layer = jax.tree.map(lambda a: a[li], local_layers)
+            hh = rms_norm(h, layer['attn_norm'], cfg.rms_eps)
+            q = qmatmul(hh, layer['wq'], pallas=pall).reshape(mb, 1, H, Dh)
+            k = qmatmul(hh, layer['wk'], pallas=pall).reshape(mb, 1, KV, Dh)
+            v = qmatmul(hh, layer['wv'], pallas=pall).reshape(mb, 1, KV, Dh)
+            q = rope(q, pos[:, None], cfg.rope_theta)
+            k = rope(k, pos[:, None], cfg.rope_theta)
+
+            def masked_dus(buf, val, idx):
+                cur = jax.lax.dynamic_slice(buf, idx, val.shape)
+                return jax.lax.dynamic_update_slice(
+                    buf, jnp.where(valid, val, cur), idx)
+
+            if int8_cache:
+                k_q, k_s = _kv_quant(k)
+                v_q, v_s = _kv_quant(v)
+                ksb = masked_dus(ksb, k_s[None], (li, rows, step_i, 0))
+                vsb = masked_dus(vsb, v_s[None], (li, rows, step_i, 0))
+            else:
+                k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
+            kbuf = masked_dus(kbuf, k_q[None], (li, rows, step_i, 0, 0))
+            vbuf = masked_dus(vbuf, v_q[None], (li, rows, step_i, 0, 0))
+
+            def rows_of(a):
+                return jax.lax.dynamic_slice_in_dim(a, rows, mb, 0)
+
+            ck = rows_of(local_cache['k'][li])
+            cv = rows_of(local_cache['v'][li])
+            kb = rows_of(kbuf[li])
+            vb = rows_of(vbuf[li])
+            q_g = q.reshape(mb, 1, KV, rep, Dh).astype(jnp.bfloat16)
+            lf = jnp.einsum('btkrd,bskd->bkrts', q_g,
+                            ck.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)[:, :, :, 0]
+            lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
+                            kb.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)[:, :, :, 0]
+            if int8_cache:
+                cks = rows_of(local_cache['k_scale'][li])
+                lf = lf * cks.transpose(0, 2, 1)[:, :, None, :]
+                lb = lb * rows_of(ksb[li]).transpose(0, 2, 1)[:, :, None, :]
+            fm = jax.lax.dynamic_slice_in_dim(frozen_mask, rows, mb, 0)
+            lf = jnp.where(fm, lf / np.sqrt(Dh), -1e30)
+            lb = jnp.where(buf_ids <= step_i, lb / np.sqrt(Dh), -1e30)
+            probs = jax.nn.softmax(jnp.concatenate([lf, lb], -1), axis=-1)
+            pf, pb = probs[..., :S_ctx], probs[..., S_ctx:]
+            if int8_cache:
+                cvs = rows_of(local_cache['v_scale'][li])
+                pf = pf * cvs.transpose(0, 2, 1)[:, :, None, :]
+                pb = pb * rows_of(vsb[li]).transpose(0, 2, 1)[:, :, None, :]
+            ctx = jnp.einsum('bkrs,bskd->bkrd', pf.astype(jnp.bfloat16),
+                             cv.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            ctx = ctx + jnp.einsum('bkrj,bjkd->bkrd', pb.astype(jnp.bfloat16),
+                                   vb.astype(jnp.bfloat16),
+                                   preferred_element_type=jnp.float32)
+            ctx = ctx.reshape(mb, 1, H * Dh).astype(h.dtype)
+            h = h + qmatmul(ctx, layer['wo'], pallas=pall)
+            hh = rms_norm(h, layer['mlp_norm'], cfg.rms_eps)
+            h = h + mlp(hh, layer, cfg)
+            return h, (kbuf, vbuf, ksb, vsb)
+
+        def one_step(carry, key):
+            cur_tok, bufs, step_i = carry
+            pos_all = seq_lens + step_i                      # (B,)
+            x_all = embed[cur_tok][:, None, :]               # (B, 1, D)
+            x_mb = x_all.reshape(M, mb, 1, -1)
+            buf = jnp.zeros_like(x_mb[0])
+            out = jnp.zeros_like(x_mb)
+            for t in range(M + n_stage - 1):
+                mb_idx = jnp.clip(t - idx, 0, M - 1)
+                valid = jnp.logical_and(t - idx >= 0, t - idx < M)
+                rows = mb_idx * mb
+                feed = x_mb[t] if t < M else jnp.zeros_like(x_mb[0])
+                h = jnp.where(jnp.equal(idx, 0), feed, buf)
+                pos = jax.lax.dynamic_slice_in_dim(pos_all, rows, mb, 0)
+                for li in range(L_local):
+                    h, bufs = layer_apply(li, h, bufs, pos, rows, step_i,
+                                          valid)
+                done_i = t - n_stage + 1
+                if 0 <= done_i < M:
+                    is_last = jnp.equal(idx, n_dev - 1)
+                    out = out.at[done_i].set(
+                        jnp.where(is_last, h, out[done_i]))
+                buf = jax.lax.ppermute(h, axis_name, perm)
+            is_last = jnp.equal(idx, n_dev - 1)
+            out = jax.lax.psum(
+                jnp.where(is_last, out, jnp.zeros_like(out)), axis_name)
+            x = out.reshape(B, 1, -1)
+            x = rms_norm(x, final_norm, cfg.rms_eps)
+            logits = qmatmul(x, lm_head, pallas=pall).astype(jnp.float32)
+            nxt = select_fn(logits[:, 0, :], key)
+            return (nxt, bufs, step_i + 1), nxt
+
+        (_, bufs, _), toks = jax.lax.scan(
+            one_step, (tokens0, (kbuf0, vbuf0, ksb0, vsb0), jnp.int32(0)),
+            keys)
+        kbuf, vbuf, ksb, vsb = bufs
+
+        # merge: one window write per local layer into the frozen slabs
+        from .model import _window_write
+        new_cache = dict(local_cache)
+        ck_all, cv_all = local_cache['k'], local_cache['v']
+        ks_all = local_cache.get('k_scale')
+        vs_all = local_cache.get('v_scale')
+        for li in range(L_local):
+            ck_all = jax.lax.dynamic_update_index_in_dim(
+                ck_all, _window_write(ck_all[li], kbuf[li], seq_lens, None),
+                li, 0)
+            cv_all = jax.lax.dynamic_update_index_in_dim(
+                cv_all, _window_write(cv_all[li], vbuf[li], seq_lens, None),
+                li, 0)
+            if int8_cache:
+                ks_all = jax.lax.dynamic_update_index_in_dim(
+                    ks_all, _window_write(ks_all[li], ksb[li], seq_lens,
+                                          None), li, 0)
+                vs_all = jax.lax.dynamic_update_index_in_dim(
+                    vs_all, _window_write(vs_all[li], vsb[li], seq_lens,
+                                          None), li, 0)
+        new_cache['k'] = ck_all
+        new_cache['v'] = cv_all
+        if int8_cache:
+            new_cache['k_scale'] = ks_all
+            new_cache['v_scale'] = vs_all
+        return toks, new_cache
+
+    fn = shard_map(stage, mesh=mesh,
+                   in_specs=(p_spec, c_spec, P(), P(), P(), P(), P(),
+                             jax.tree.map(lambda _: P(),
+                                          params['lm_head'])),
+                   out_specs=(P(), c_spec))
+    return fn(layers, cache, tokens, seq_lens, keys, params['embed'],
+              params['final_norm'], params['lm_head'])

@@ -155,3 +155,19 @@ def test_pp_rejects_indivisible_batch():
     with pytest.raises(ValueError):
         ServingEngine(cfg, init_llama_params(cfg, seed=0),
                       mesh=_mesh([('pp', 2)]))
+
+
+def test_pp_burst_matches_stepwise():
+    """The frozen-cache staged burst must reproduce single-step pp decode
+    exactly (greedy)."""
+    cfg = _cfg()
+    params = init_llama_params(cfg, seed=5)
+
+    def gen(sync_every):
+        eng = ServingEngine(cfg, params, mesh=_mesh([('pp', 2)]))
+        reqs = [Request(i, [2 + i, 7, 11], max_new_tokens=7)
+                for i in range(3)]
+        eng.run(reqs, sync_every=sync_every)
+        return [r.generated for r in reqs]
+
+    assert gen(1) == gen(4)
