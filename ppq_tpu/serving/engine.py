@@ -291,8 +291,8 @@ class ServingEngine:
         round-trip per burst. On a tunneled/remote accelerator the per-step
         sync dominates serving latency; bursting amortizes it (and trims
         dispatch overhead on local chips too)."""
-        if bool(self.cfg.use_ragged_attention) and not self._pp:
-            s_limit = None      # the ragged kernel is fill-adaptive already
+        # (with ragged attention s_limit only bounds the kernel's block-
+        # table width — per-slot reads are fill-adaptive regardless)
         if (n_steps, s_limit) in self._decode_burst:
             return self._decode_burst[(n_steps, s_limit)]
         cfg = self.cfg
@@ -416,12 +416,21 @@ class ServingEngine:
     def _paged_decode(self, n: int, cur_tok, seq_lens, step_key, active):
         """Dispatch one paged decode burst (n >= 1): grow each active
         slot's block list to cover the burst, ship the tables, run."""
+        from .paged import BLK
         for slot in active:
             self._alloc.ensure(slot, int(self.slot_len[slot]) + n)
-        tables = jnp.asarray(self._alloc.tables())
+        tables = self._alloc.tables()
+        # bucket the table width (kernel grid's block axis) to the fill:
+        # powers of two bound recompiles, and idle grid steps aren't free
+        mb_need = max(1, -(-int(max(self.slot_len[s] for s in active) + n)
+                           // BLK))
+        mb = 1
+        while mb < mb_need:
+            mb *= 2
+        mb = min(mb, tables.shape[1])
         fn = self._build_decode_burst_paged(n)
-        return fn(self.params, self.cache, cur_tok, seq_lens, tables,
-                  step_key)
+        return fn(self.params, self.cache, cur_tok, seq_lens,
+                  jnp.asarray(tables[:, :mb]), step_key)
 
     # ------------------------------------------------------------- serving
     def _bucket_for(self, n: int) -> int:

@@ -409,6 +409,11 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         assert Sf % BLK == 0 and Dh % 128 == 0, (Sf, Dh)
         NBp = Sf // BLK
         tbl = identity_block_tables(B, Sf, BLK)
+        if s_limit is not None:
+            # cap the grid's block axis to the fill bucket: idle (clamped)
+            # grid steps aren't free, and at fill 16 of 1024 seven of
+            # every eight steps would be idle
+            tbl = tbl[:, :max(1, -(-min(s_limit, Sf) // BLK))]
         k_pools = [cache['k'][li].reshape(B * NBp, BLK, KV * Dh)
                    for li in range(L)]
         v_pools = [cache['v'][li].reshape(B * NBp, BLK, KV * Dh)
