@@ -58,17 +58,26 @@ def main():
     # (eager/XLA residue from the resnet phase perturbs decode latency) ----
     dec = {'tokens_per_sec': 0.0, 'ms_per_step': 0.0}
     dec4 = {'tokens_per_sec': 0.0, 'ms_per_step': 0.0}
+    decp = {'tokens_per_sec': 0.0}
     serve = {'generated_tokens_per_sec': 0.0, 'requests_per_sec': 0.0}
     try:
         from ppq_tpu.serving import (LlamaConfig, ServingEngine,
                                      init_llama_params)
-        # batch 32: decode is weight-read bound, so a fuller batch serves
-        # 4x the tokens for the same HBM traffic per step
-        cfg = LlamaConfig(d_model=2048, n_layers=16, n_heads=16, n_kv_heads=8,
-                          d_ff=5632, vocab_size=32000, max_seq_len=1024,
-                          max_batch=32, weight_bits=8)
-        cfg.prefill_buckets = (128,)
-        eng = ServingEngine(cfg, init_llama_params(cfg, seed=0))
+
+        def _cfg(bits, batch=64, paged=False):
+            # batch 64: decode amortizes the per-step weight read; the
+            # sweep showed B=128 is throughput-flat vs 64 at 2x latency.
+            # On TPU the engine auto-enables the fused dequant-matmul and
+            # ragged-attention Pallas kernels.
+            c = LlamaConfig(d_model=2048, n_layers=16, n_heads=16,
+                            n_kv_heads=8, d_ff=5632, vocab_size=32000,
+                            max_seq_len=1024, max_batch=batch,
+                            weight_bits=bits)
+            c.prefill_buckets = (128,)
+            c.paged_kv = paged
+            return c
+
+        eng = ServingEngine(_cfg(8), init_llama_params(_cfg(8), seed=0))
         _t('llm engine built')
         # burst-mode decode with a terminal host fetch — honest sustained
         # throughput (block_until_ready alone can ack early on the tunnel)
@@ -78,12 +87,14 @@ def main():
                                       max_new_tokens=128, sync_every=128)
         _t('llm serving measured')
         del eng
+        # paged KV cache mode: pool sized to the workload, not B x S
+        engp = ServingEngine(_cfg(8, paged=True),
+                             init_llama_params(_cfg(8), seed=0))
+        decp.update(engp.benchmark_decode(steps=96, burst=32))
+        _t('llm paged decode measured')
+        del engp
         # INT4 weight-only: halves the per-step weight read
-        cfg4 = LlamaConfig(d_model=2048, n_layers=16, n_heads=16,
-                           n_kv_heads=8, d_ff=5632, vocab_size=32000,
-                           max_seq_len=1024, max_batch=32, weight_bits=4)
-        cfg4.prefill_buckets = (128,)
-        eng4 = ServingEngine(cfg4, init_llama_params(cfg4, seed=0))
+        eng4 = ServingEngine(_cfg(4), init_llama_params(_cfg(4), seed=0))
         dec4.update(eng4.benchmark_decode(steps=96, burst=32))
         _t('llm int4 decode measured')
         del eng4
@@ -165,6 +176,8 @@ def main():
             'llm_decode_ms_per_step': round(dec['ms_per_step'], 3),
             'llm_1b_int4_decode_tokens_per_sec_chip':
                 round(dec4['tokens_per_sec'], 1),
+            'llm_1b_paged_kv_decode_tokens_per_sec_chip':
+                round(decp['tokens_per_sec'], 1),
             'llm_serving_generated_tokens_per_sec': round(
                 serve['generated_tokens_per_sec'], 1),
             'llm_serving_requests_per_sec': round(

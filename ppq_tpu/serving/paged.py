@@ -300,3 +300,95 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
             vsb[li] if int8_cache else None,
             tables, seq_lens, None)
     return toks, pools
+
+
+def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
+                        tables, active, prefix_blocks: int,
+                        cfg: LlamaConfig) -> Tuple:
+    """Continuation prefill into the paged pools: write `chunk` tokens at
+    per-slot offsets write_pos, attending over the blocks already written
+    (gathered densely from the pool via the block tables — prefill is
+    compute-bound, so a gather-based prefix read is fine) plus the causal
+    window itself. prefix_blocks bounds the gathered prefix (static; the
+    engine passes ceil(max(write_pos + chunk)/BLK)).
+
+    tokens: (B, chunk); write_pos: (B,); active: (B,) bool.
+    Returns (logits (B, chunk, vocab), pools).
+    """
+    B, T = tokens.shape
+    H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rep = H // KV
+    int8_cache = cfg.kv_cache_bits == 8
+    pall = bool(getattr(cfg, 'use_pallas_matmul', False))
+    Sp = prefix_blocks * BLK
+    positions = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    x = params['embed'][tokens]
+    # within-chunk causal + prefix mask: query t (abs pos positions[b,t])
+    # sees prefix slots [0, positions[b,t]) and chunk cols <= t
+    causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])  # (T, T)
+    slot_ids = jnp.arange(Sp)[None, None, None, None, :]        # prefix ids
+    # every chunk query sees exactly the prefix [0, write_pos) — the
+    # chunk's own tokens are NOT in the pool at gather time and join via
+    # the within-chunk causal term instead
+    pfx_mask = slot_ids < write_pos[:, None, None, None, None]  # (B,1,1,1,Sp)
+    tbl_p = tables[:, :prefix_blocks]                           # (B, P)
+
+    for li, layer in enumerate(params['layers']):
+        h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
+        q = qmatmul(h, layer['wq'], pallas=pall).reshape(B, T, H, Dh)
+        k = qmatmul(h, layer['wk'], pallas=pall).reshape(B, T, KV, Dh)
+        v = qmatmul(h, layer['wv'], pallas=pall).reshape(B, T, KV, Dh)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        if int8_cache:
+            k_q, k_s = _kv_quant(k)
+            v_q, v_s = _kv_quant(v)
+        else:
+            k_q, v_q = (k.astype(pools['k'].dtype),
+                        v.astype(pools['v'].dtype))
+            k_s = v_s = None
+        # gather the written prefix BEFORE scattering this chunk (the
+        # chunk's own K/V join via the dense within-window term)
+        kp = pools['k'][li][tbl_p].reshape(B, Sp, KV, Dh)
+        vp = pools['v'][li][tbl_p].reshape(B, Sp, KV, Dh)
+        if int8_cache:
+            kps = pools['k_scale'][li][tbl_p].transpose(0, 2, 1, 3) \
+                .reshape(B, KV, Sp)                             # (B,KV,Sp)
+            vps = pools['v_scale'][li][tbl_p].transpose(0, 2, 1, 3) \
+                .reshape(B, KV, Sp)
+        pools = scatter_kv(pools, li, k_q, v_q, k_s, v_s, tables,
+                           write_pos, active)
+
+        q_g = q.reshape(B, T, KV, rep, Dh).astype(jnp.bfloat16)
+        # prefix logits
+        lp = jnp.einsum('btkrd,bskd->bkrts', q_g, kp.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        if int8_cache:
+            lp = lp * kps[:, :, None, None, :]
+        lp = jnp.where(pfx_mask, lp / np.sqrt(Dh), -1e30)
+        # within-chunk logits
+        lc = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
+                        k_q.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        if int8_cache:
+            lc = lc * k_s.transpose(0, 2, 1)[:, :, None, None, :]
+        lc = jnp.where(causal[None, None, None], lc / np.sqrt(Dh), -1e30)
+        probs = jax.nn.softmax(jnp.concatenate([lp, lc], axis=-1), axis=-1)
+        pp, pc = probs[..., :Sp], probs[..., Sp:]
+        if int8_cache:
+            pp = pp * vps[:, :, None, None, :]
+            pc = pc * v_s.transpose(0, 2, 1)[:, :, None, None, :]
+        ctx = jnp.einsum('bkrts,bskd->btkrd', pp.astype(jnp.bfloat16),
+                         vp.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        ctx = ctx + jnp.einsum('bkrtj,bjkd->btkrd', pc.astype(jnp.bfloat16),
+                               v_q.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(B, T, H * Dh).astype(x.dtype)
+        x = x + qmatmul(ctx, layer['wo'], pallas=pall)
+        h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
+        x = x + mlp(h, layer, cfg)
+
+    x = rms_norm(x, params['final_norm'], cfg.rms_eps)
+    logits = qmatmul(x, params['lm_head'], pallas=pall)
+    return logits.astype(jnp.float32), pools

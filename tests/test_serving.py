@@ -420,3 +420,26 @@ class TestPagedKVCache:
                 for i in range(6)]
         eng.run(reqs, sync_every=3)
         assert all(len(r.generated) == 5 for r in reqs)
+
+
+class TestPagedChunkedPrefill:
+    def test_long_prompt_paged_matches_dense(self):
+        cfg = LlamaConfig(vocab_size=128, d_model=256, n_layers=2,
+                          n_heads=2, n_kv_heads=2, d_ff=256,
+                          max_seq_len=256, max_batch=2,
+                          prefill_buckets=(16,))
+        cfg.ragged_interpret = True
+        params = init_llama_params(cfg, seed=51)
+        prompt = list(np.random.RandomState(0).randint(1, 120, 40))  # > 16
+
+        def gen(paged):
+            c = LlamaConfig(**{**cfg.__dict__})
+            c.paged_kv = paged
+            c.use_ragged_attention = paged
+            eng = ServingEngine(c, params)
+            reqs = [Request(0, prompt, max_new_tokens=6),
+                    Request(1, [4, 9], max_new_tokens=6)]   # mixed lengths
+            eng.run(reqs, sync_every=3)
+            return [r.generated for r in reqs]
+
+        assert gen(False) == gen(True)
