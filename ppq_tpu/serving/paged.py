@@ -98,47 +98,30 @@ class BlockAllocator:
 
 # ------------------------------------------------------------- writes ------
 
-def _scatter_window(pool_slab, new, tables, write_pos, active):
-    """Scatter a (B, T, KV, Dh) window into (NB, BLK, KV*Dh) pool slabs at
-    per-slot positions write_pos..write_pos+T-1; inactive slots write to
-    the trash block. Returns (pool_slab, scale_slab_updates...) — pure
-    scatters, no read-modify-write.
-
-    new: (B, T, KV, Dh); new_scale: (B, T, KV) | None;
-    tables: (B, MB) int32; write_pos: (B,); active: (B,) bool | None.
-    """
-    B, T, KV, Dh = new.shape
+def scatter_kv_all(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
+                   active):
+    """Write ALL layers' quantized windows in one scatter per pool array:
+    k/v_all (L, B, T, KV, Dh); ks/vs_all (L, B, T, KV) | None. The block
+    rows are layer-independent, so batching layers turns 4L scatters into
+    4 (scatter launch overhead on TPU is per-op, not per-element)."""
+    L, B, T, KV, Dh = k_all.shape
     pos = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]  # (B,T)
-    blk = pos // BLK                                  # logical block (B,T)
+    blk = pos // BLK
     off = pos % BLK
-    rows = jnp.take_along_axis(tables, blk, axis=1)   # physical row (B,T)
+    rows = jnp.take_along_axis(tables, blk, axis=1)
     if active is not None:
-        rows = jnp.where(active[:, None], rows, 0)    # trash block
-    slab = pool_slab.at[rows, off].set(
-        new.reshape(B, T, KV * Dh).astype(pool_slab.dtype))
-    return slab, rows, off
-
-
-def scatter_kv(pools, li, k_q, v_q, k_s, v_s, tables, write_pos, active):
-    """Write one layer's quantized window into the pools (functional)."""
-    int8_cache = 'k_scale' in pools
-    kslab, rows, off = _scatter_window(pools['k'][li], k_q, tables,
-                                       write_pos, active)
-    vslab, _, _ = _scatter_window(pools['v'][li], v_q, tables,
-                                  write_pos, active)
+        rows = jnp.where(active[:, None], rows, 0)
     out = dict(pools)
-    out['k'] = pools['k'].at[li].set(kslab)
-    out['v'] = pools['v'].at[li].set(vslab)
-    if int8_cache:
-        # scale layout (NB, KV, BLK): scatter at (row, :, off)
-        out['k_scale'] = pools['k_scale'].at[li].set(
-            pools['k_scale'][li].at[rows[..., None],
-                                    jnp.arange(k_s.shape[2])[None, None],
-                                    off[..., None]].set(k_s))
-        out['v_scale'] = pools['v_scale'].at[li].set(
-            pools['v_scale'][li].at[rows[..., None],
-                                    jnp.arange(v_s.shape[2])[None, None],
-                                    off[..., None]].set(v_s))
+    out['k'] = pools['k'].at[:, rows, off].set(
+        k_all.reshape(L, B, T, KV * Dh).astype(pools['k'].dtype))
+    out['v'] = pools['v'].at[:, rows, off].set(
+        v_all.reshape(L, B, T, KV * Dh).astype(pools['v'].dtype))
+    if ks_all is not None:
+        kv_idx = jnp.arange(KV)[None, None]
+        out['k_scale'] = pools['k_scale'].at[
+            :, rows[..., None], kv_idx, off[..., None]].set(ks_all)
+        out['v_scale'] = pools['v_scale'].at[
+            :, rows[..., None], kv_idx, off[..., None]].set(vs_all)
     return out
 
 
@@ -159,6 +142,7 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
     x = params['embed'][tokens]
     causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])  # (T, T)
     write_pos = jnp.zeros((B,), jnp.int32)
+    k_layers, v_layers, ks_layers, vs_layers = [], [], [], []
 
     for li, layer in enumerate(params['layers']):
         h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
@@ -170,12 +154,14 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
         if int8_cache:
             k_q, k_s = _kv_quant(k)
             v_q, v_s = _kv_quant(v)
+            ks_layers.append(k_s)
+            vs_layers.append(v_s)
         else:
             k_q, v_q = (k.astype(pools['k'].dtype),
                         v.astype(pools['v'].dtype))
             k_s = v_s = None
-        pools = scatter_kv(pools, li, k_q, v_q, k_s, v_s, tables,
-                           write_pos, active)
+        k_layers.append(k_q)
+        v_layers.append(v_q)
         # attention over the quantized window (same math as the cache read
         # path, so prefill == decode numerics)
         q_g = q.reshape(B, T, KV, rep, Dh).astype(jnp.bfloat16)
@@ -196,6 +182,13 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
         h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
         x = x + mlp(h, layer, cfg)
 
+    # ONE scatter per pool array for all layers (scatter launches are
+    # per-op overhead on TPU; 4 beats 4L)
+    pools = scatter_kv_all(
+        pools, jnp.stack(k_layers), jnp.stack(v_layers),
+        jnp.stack(ks_layers) if int8_cache else None,
+        jnp.stack(vs_layers) if int8_cache else None,
+        tables, write_pos, active)
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'], pallas=pall)
     return logits.astype(jnp.float32), pools
@@ -292,13 +285,12 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     (_, kbuf, vbuf, ksb, vsb, _), toks = jax.lax.scan(
         step, (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0)), keys)
 
-    # one scatter per layer: burst K/V land at seq_lens..seq_lens+n-1
-    for li in range(L):
-        pools = scatter_kv(
-            pools, li, kbuf[li], vbuf[li],
-            ksb[li] if int8_cache else None,
-            vsb[li] if int8_cache else None,
-            tables, seq_lens, None)
+    # ONE scatter per pool array: burst K/V land at seq_lens..seq_lens+n-1
+    pools = scatter_kv_all(
+        pools, jnp.stack(kbuf), jnp.stack(vbuf),
+        jnp.stack(ksb) if int8_cache else None,
+        jnp.stack(vsb) if int8_cache else None,
+        tables, seq_lens, None)
     return toks, pools
 
 
@@ -332,6 +324,7 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
     # the within-chunk causal term instead
     pfx_mask = slot_ids < write_pos[:, None, None, None, None]  # (B,1,1,1,Sp)
     tbl_p = tables[:, :prefix_blocks]                           # (B, P)
+    k_layers, v_layers, ks_layers, vs_layers = [], [], [], []
 
     for li, layer in enumerate(params['layers']):
         h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
@@ -347,8 +340,9 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
             k_q, v_q = (k.astype(pools['k'].dtype),
                         v.astype(pools['v'].dtype))
             k_s = v_s = None
-        # gather the written prefix BEFORE scattering this chunk (the
-        # chunk's own K/V join via the dense within-window term)
+        # gather the written prefix (all scatters defer to the end, so the
+        # gather reads pre-chunk pool state; the chunk's own K/V join via
+        # the dense within-window term)
         kp = pools['k'][li][tbl_p].reshape(B, Sp, KV, Dh)
         vp = pools['v'][li][tbl_p].reshape(B, Sp, KV, Dh)
         if int8_cache:
@@ -356,8 +350,11 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
                 .reshape(B, KV, Sp)                             # (B,KV,Sp)
             vps = pools['v_scale'][li][tbl_p].transpose(0, 2, 1, 3) \
                 .reshape(B, KV, Sp)
-        pools = scatter_kv(pools, li, k_q, v_q, k_s, v_s, tables,
-                           write_pos, active)
+        k_layers.append(k_q)
+        v_layers.append(v_q)
+        if int8_cache:
+            ks_layers.append(k_s)
+            vs_layers.append(v_s)
 
         q_g = q.reshape(B, T, KV, rep, Dh).astype(jnp.bfloat16)
         # prefix logits
@@ -389,6 +386,11 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
         h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
         x = x + mlp(h, layer, cfg)
 
+    pools = scatter_kv_all(
+        pools, jnp.stack(k_layers), jnp.stack(v_layers),
+        jnp.stack(ks_layers) if int8_cache else None,
+        jnp.stack(vs_layers) if int8_cache else None,
+        tables, write_pos, active)
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'], pallas=pall)
     return logits.astype(jnp.float32), pools
