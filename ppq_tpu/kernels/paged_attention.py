@@ -237,3 +237,170 @@ def merge_attention(parts):
     acc = sum(a * jnp.exp(mi - m)[..., None] for a, mi in zip(accs, ms))
     l = sum(li * jnp.exp(mi - m) for li, mi in zip(ls, ms))
     return acc / jnp.maximum(l, 1e-30)[..., None]
+
+
+# ======================================= fused frozen + in-burst variant ==
+
+def _make_buffered_kernel(KV: int, rep: int, Dh: int, BLK: int, MB: int,
+                          nbuf: int, int8_cache: bool):
+    def kernel(tbl_ref, lens_ref, step_ref, q_ref, k_ref, v_ref, ks_ref,
+               vs_ref, kb_ref, vb_ref, ksb_ref, vsb_ref, ctx_o,
+               accs, ms, ls):
+        j = pl.program_id(1)
+        b = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            ms[:] = jnp.full_like(ms, NEG_INF)
+            ls[:] = jnp.zeros_like(ls)
+            accs[:] = jnp.zeros_like(accs)
+
+        n_valid = lens_ref[b] - j * BLK
+        inv_sqrt = np.float32(1.0 / np.sqrt(Dh))
+
+        def online_update(kv, s, vblk):
+            # s: (rep, W) masked+scaled logits; vblk: (W, Dh)
+            m_new = jnp.maximum(ms[kv], jnp.max(s, axis=1))
+            corr = jnp.exp(ms[kv] - m_new)
+            p = jnp.exp(s - m_new[:, None])
+            ls[kv] = ls[kv] * corr + jnp.sum(p, axis=1)
+            pv = jnp.dot(p.astype(jnp.bfloat16), vblk,
+                         preferred_element_type=jnp.float32)
+            accs[kv] = accs[kv] * corr[:, None] + pv
+            ms[kv] = m_new
+
+        @pl.when(n_valid > 0)
+        def _():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rep, BLK), 1)
+            mask = lane < n_valid
+            for kv in range(KV):
+                qh = q_ref[0, kv]
+                s = jax.lax.dot_general(
+                    qh, k_ref[0, :, kv * Dh:(kv + 1) * Dh]
+                    .astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if int8_cache:
+                    s = s * ks_ref[0, kv][None, :]
+                s = jnp.where(mask, s * inv_sqrt, NEG_INF)
+                vblk = v_ref[0, :, kv * Dh:(kv + 1) * Dh].astype(
+                    jnp.bfloat16)
+                if int8_cache:
+                    # per-token v-scales fold into the value rows:
+                    # p @ (vs * v) == (p * vs) @ v
+                    vblk = vblk * vs_ref[0, kv][:, None].astype(
+                        jnp.bfloat16)
+                online_update(kv, s, vblk)
+
+        @pl.when(j == MB - 1)
+        def _():
+            # in-burst buffer columns [0, step] join the same softmax
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rep, nbuf), 1)
+            maskb = lane <= step_ref[0]
+            for kv in range(KV):
+                qh = q_ref[0, kv]
+                s = jax.lax.dot_general(
+                    qh, kb_ref[0, :, kv * Dh:(kv + 1) * Dh]
+                    .astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if int8_cache:
+                    s = s * ksb_ref[0, kv][None, :]
+                s = jnp.where(maskb, s * inv_sqrt, NEG_INF)
+                vb = vb_ref[0, :, kv * Dh:(kv + 1) * Dh].astype(jnp.bfloat16)
+                if int8_cache:
+                    # v-scales fold into p AFTER the exp; do it by scaling
+                    # the bf16 v block columns instead (vsb is per-token):
+                    # p @ (vsb * v) == (p * vsb) @ v
+                    vb = vb * vsb_ref[0, kv][:, None].astype(jnp.bfloat16)
+                online_update(kv, s, vb)
+            ctx_o[0] = accs[:] / jnp.maximum(ls[:], 1e-30)[..., None]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('block_size', 'interpret'))
+def paged_attention_decode_buffered(q, k_pool, v_pool, k_scale, v_scale,
+                                    block_tables, seq_lens, kbuf, vbuf,
+                                    ks_buf, vs_buf, step, *,
+                                    block_size: int = 128,
+                                    interpret: bool = False):
+    """Fused decode attention: frozen paged pool + in-burst buffer in ONE
+    softmax, normalized context out. Removes the per-layer XLA buffer
+    einsums (tiny-rep batched matmuls) and the partial-softmax merge.
+
+    Extra args vs paged_attention_decode:
+      kbuf/vbuf: (B, n, KV*Dh) same dtype as the pool
+      ks_buf/vs_buf: (B, KV, n) f32 (int8 cache) or None
+      step: scalar int32 — buffer columns [0, step] are valid
+    Returns ctx (B, KV, rep, Dh) f32, already normalized.
+    """
+    B, KV, rep, Dh = q.shape
+    NB, BLK, KVDh = k_pool.shape
+    assert KVDh == KV * Dh and BLK == block_size
+    MB = block_tables.shape[1]
+    nbuf = kbuf.shape[1]
+    int8_cache = k_scale is not None
+    if not int8_cache:
+        k_scale = jnp.ones((1, KV, BLK), jnp.float32)
+        v_scale = jnp.ones((1, KV, BLK), jnp.float32)
+        ks_buf = jnp.ones((B, KV, nbuf), jnp.float32)
+        vs_buf = jnp.ones((B, KV, nbuf), jnp.float32)
+
+    def blk_idx(b, j, tbl, lens, step):
+        nb = jax.lax.div(lens[b] + (BLK - 1), BLK)
+        jj = jnp.clip(j, 0, jnp.maximum(nb - 1, 0))
+        return tbl[b, jj]
+
+    def scale_idx(b, j, tbl, lens, step):
+        return blk_idx(b, j, tbl, lens, step) if int8_cache else 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, MB),
+        in_specs=[
+            pl.BlockSpec((1, KV, rep, Dh),
+                         lambda b, j, t, l, s: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK, KVDh),
+                         lambda b, j, t, l, s: (blk_idx(b, j, t, l, s),
+                                                0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLK, KVDh),
+                         lambda b, j, t, l, s: (blk_idx(b, j, t, l, s),
+                                                0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV, BLK),
+                         lambda b, j, t, l, s: (scale_idx(b, j, t, l, s),
+                                                0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV, BLK),
+                         lambda b, j, t, l, s: (scale_idx(b, j, t, l, s),
+                                                0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbuf, KVDh), lambda b, j, t, l, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nbuf, KVDh), lambda b, j, t, l, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV, nbuf), lambda b, j, t, l, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV, nbuf), lambda b, j, t, l, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, KV, rep, Dh),
+                               lambda b, j, t, l, s: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((KV, rep, Dh), jnp.float32),
+            pltpu.VMEM((KV, rep), jnp.float32),
+            pltpu.VMEM((KV, rep), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _make_buffered_kernel(KV, rep, Dh, BLK, MB, nbuf, int8_cache),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KV, rep, Dh), jnp.float32),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
+      jnp.asarray(step, jnp.int32).reshape(1),
+      q.astype(jnp.bfloat16), k_pool, v_pool, k_scale, v_scale,
+      kbuf, vbuf, ks_buf, vs_buf)

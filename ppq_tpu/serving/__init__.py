@@ -1,5 +1,5 @@
 from .config import LlamaConfig
-from .engine import ServingEngine
+from .engine import Request, ServingEngine
 from .model import init_llama_params, quantize_llama_params
 from .paged import BlockAllocator, init_paged_pools
 from .ring_attention import reference_attention, sequence_parallel_attention

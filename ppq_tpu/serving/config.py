@@ -56,6 +56,13 @@ class LlamaConfig:
     paged_kv: bool = False
     kv_pool_blocks: Optional[int] = None
 
+    # longest single decode burst program: the in-burst buffer costs O(n)
+    # per step (reads + carry updates); bursts beyond this chunk into
+    # several programs (the planned scheduler dispatches them back-to-back
+    # without host syncs, so chunking costs little end-to-end). 128 is the
+    # measured sweet spot for the merge-composition decode path on v5e.
+    max_decode_burst: int = 128
+
     @property
     def head_dim(self) -> int:
         return self.d_model // self.n_heads

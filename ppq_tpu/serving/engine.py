@@ -624,7 +624,8 @@ class ServingEngine:
             cache_room = int(self.cfg.max_seq_len - 1 -
                              max(self.slot_len[s] for s in active))
             # (max over active: the fullest slot bounds the burst)
-            n = max(1, min(sync_every, cache_room))
+            n = max(1, min(sync_every, cache_room,
+                           self.cfg.max_decode_burst))
 
             seq_lens = jnp.asarray(self.slot_len, jnp.int32)
             self._rng_key, step_key = jax.random.split(self._rng_key)
@@ -732,7 +733,8 @@ class ServingEngine:
                 break
             cache_room = int(self.cfg.max_seq_len - 1 -
                              max(self.slot_len[s] for s in active))
-            n = max(1, min(sync_every, cache_room))
+            n = max(1, min(sync_every, cache_room,
+                           self.cfg.max_decode_burst))
             seq_lens = jnp.asarray(self.slot_len, jnp.int32)
             self._rng_key, step_key = jax.random.split(self._rng_key)
             if self._paged:

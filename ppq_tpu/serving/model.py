@@ -390,8 +390,10 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
     # makes XLA copy the whole thing on every layer's update
     kbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
     vbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
-    ksb0 = tuple(jnp.zeros((B, n, KV), jnp.float32) for _ in range(L))
-    vsb0 = tuple(jnp.zeros((B, n, KV), jnp.float32) for _ in range(L))
+    # buffer scales live TRANSPOSED (B, KV, n): n on lanes is what both the
+    # fused kernel and the logits broadcast want — no per-step transposes
+    ksb0 = tuple(jnp.zeros((B, KV, n), jnp.float32) for _ in range(L))
+    vsb0 = tuple(jnp.zeros((B, KV, n), jnp.float32) for _ in range(L))
     slot_ids = jnp.arange(S)[None, None, None, :]            # (1,1,1,S)
     buf_ids = jnp.arange(n)[None, None, None, :]             # (1,1,1,n)
 
@@ -446,9 +448,9 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                 k_q, k_s = _kv_quant(k)
                 v_q, v_s = _kv_quant(v)
                 ksb[li] = jax.lax.dynamic_update_slice(
-                    ksb[li], k_s, (0, i, 0))
+                    ksb[li], k_s.transpose(0, 2, 1), (0, 0, i))
                 vsb[li] = jax.lax.dynamic_update_slice(
-                    vsb[li], v_s, (0, i, 0))
+                    vsb[li], v_s.transpose(0, 2, 1), (0, 0, i))
             else:
                 k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
             kbuf[li] = jax.lax.dynamic_update_slice(
@@ -463,12 +465,16 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                             preferred_element_type=jnp.float32)
             lb = lb[:, :, :, 0, :]                           # (B,KV,rep,n)
             if int8_cache:
-                lb = lb * ksb[li].transpose(0, 2, 1)[:, :, None, :]
+                lb = lb * ksb[li][:, :, None, :]
             lb = jnp.where(buf_ids <= i, lb / np.sqrt(Dh), -1e30)
 
             if ragged:
-                # frozen part via the paged kernel: only filled blocks are
-                # read; merge the partial softmax with the buffer part
+                # frozen part via the paged kernel (only filled blocks
+                # read); the in-burst buffer joins via an exact partial-
+                # softmax merge. NOTE: the fully-fused kernel variant
+                # (paged_attention_decode_buffered) measured ~6-10% SLOWER
+                # end-to-end on v5e and degraded O(n) with burst length —
+                # the XLA buffer einsum + merge is the faster composition.
                 acc_f, m_f, l_f = paged_attention_decode(
                     q_g[:, 0], k_pools[li], v_pools[li],
                     ks_pools[li], vs_pools[li], tbl, seq_lens,
@@ -477,7 +483,7 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                 p_b = jnp.exp(lb - m_b[..., None])
                 l_b = jnp.sum(p_b, axis=-1)
                 if int8_cache:
-                    p_b = p_b * vsb[li].transpose(0, 2, 1)[:, :, None, :]
+                    p_b = p_b * vsb[li][:, :, None, :]
                 acc_b = jnp.einsum('bkrj,bjkd->bkrd',
                                    p_b.astype(jnp.bfloat16),
                                    vbuf[li].astype(jnp.bfloat16),
@@ -501,7 +507,7 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                 if int8_cache:
                     pf = pf * cache['v_scale'][li][:, :S] \
                         .transpose(0, 2, 1)[:, :, None, :]
-                    pb = pb * vsb[li].transpose(0, 2, 1)[:, :, None, :]
+                    pb = pb * vsb[li][:, :, None, :]
                 ctx = jnp.einsum('bkrs,bskd->bkrd', pf.astype(jnp.bfloat16),
                                  cache['v'][li][:, :S].astype(jnp.bfloat16),
                                  preferred_element_type=jnp.float32)
@@ -537,11 +543,13 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
             li, 0)
         if int8_cache:
             ks_all = jax.lax.dynamic_update_index_in_dim(
-                ks_all, _window_write(ks_all[li], ksb[li], seq_lens, None),
-                li, 0)
+                ks_all, _window_write(ks_all[li],
+                                      ksb[li].transpose(0, 2, 1),
+                                      seq_lens, None), li, 0)
             vs_all = jax.lax.dynamic_update_index_in_dim(
-                vs_all, _window_write(vs_all[li], vsb[li], seq_lens, None),
-                li, 0)
+                vs_all, _window_write(vs_all[li],
+                                      vsb[li].transpose(0, 2, 1),
+                                      seq_lens, None), li, 0)
     new_cache['k'] = ck_all
     new_cache['v'] = cv_all
     if ks_all is not None:

@@ -216,11 +216,20 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
 
     kbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
     vbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
-    ksb0 = tuple(jnp.zeros((B, n, KV), jnp.float32) for _ in range(L))
-    vsb0 = tuple(jnp.zeros((B, n, KV), jnp.float32) for _ in range(L))
+    # buffer scales transposed (B, KV, n) — fused-kernel layout
+    ksb0 = tuple(jnp.zeros((B, KV, n), jnp.float32) for _ in range(L))
+    vsb0 = tuple(jnp.zeros((B, KV, n), jnp.float32) for _ in range(L))
     buf_ids = jnp.arange(n)[None, None, None, :]             # (1,1,1,n)
-    ks_pools = pools.get('k_scale')
-    vs_pools = pools.get('v_scale')
+    # pre-slice the per-layer pool slabs OUTSIDE the scan: a slice feeding
+    # a custom_call inside the loop body is not reliably hoisted, and an
+    # un-hoisted copy of every layer's pool per step would dwarf the math
+    k_slabs = [pools['k'][li] for li in range(L)]
+    v_slabs = [pools['v'][li] for li in range(L)]
+    if int8_cache:
+        ks_slabs = [pools['k_scale'][li] for li in range(L)]
+        vs_slabs = [pools['v_scale'][li] for li in range(L)]
+    else:
+        ks_slabs = vs_slabs = [None] * L
 
     def step(carry, key):
         cur_tok, kbuf, vbuf, ksb, vsb, i = carry
@@ -238,10 +247,10 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
             if int8_cache:
                 k_q, k_s = _kv_quant(k)
                 v_q, v_s = _kv_quant(v)
-                ksb[li] = jax.lax.dynamic_update_slice(ksb[li], k_s,
-                                                       (0, i, 0))
-                vsb[li] = jax.lax.dynamic_update_slice(vsb[li], v_s,
-                                                       (0, i, 0))
+                ksb[li] = jax.lax.dynamic_update_slice(
+                    ksb[li], k_s.transpose(0, 2, 1), (0, 0, i))
+                vsb[li] = jax.lax.dynamic_update_slice(
+                    vsb[li], v_s.transpose(0, 2, 1), (0, 0, i))
             else:
                 k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
             kbuf[li] = jax.lax.dynamic_update_slice(kbuf[li], k_q,
@@ -251,22 +260,21 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
 
             q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
             acc_f, m_f, l_f = paged_attention_decode(
-                q_g[:, 0], pools['k'][li], pools['v'][li],
-                ks_pools[li] if ks_pools is not None else None,
-                vs_pools[li] if vs_pools is not None else None,
+                q_g[:, 0], k_slabs[li], v_slabs[li],
+                ks_slabs[li], vs_slabs[li],
                 tables, seq_lens, interpret=ragged_interpret)
             lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
                             kbuf[li].astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
             lb = lb[:, :, :, 0, :]
             if int8_cache:
-                lb = lb * ksb[li].transpose(0, 2, 1)[:, :, None, :]
+                lb = lb * ksb[li][:, :, None, :]
             lb = jnp.where(buf_ids <= i, lb / np.sqrt(Dh), -1e30)
             m_b = jnp.max(lb, axis=-1)
             p_b = jnp.exp(lb - m_b[..., None])
             l_b = jnp.sum(p_b, axis=-1)
             if int8_cache:
-                p_b = p_b * vsb[li].transpose(0, 2, 1)[:, :, None, :]
+                p_b = p_b * vsb[li][:, :, None, :]
             acc_b = jnp.einsum('bkrj,bjkd->bkrd', p_b.astype(jnp.bfloat16),
                                vbuf[li].astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
@@ -286,10 +294,11 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
         step, (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0)), keys)
 
     # ONE scatter per pool array: burst K/V land at seq_lens..seq_lens+n-1
+    # (scales transpose back to the scatter's (L, B, T, KV) layout)
     pools = scatter_kv_all(
         pools, jnp.stack(kbuf), jnp.stack(vbuf),
-        jnp.stack(ksb) if int8_cache else None,
-        jnp.stack(vsb) if int8_cache else None,
+        jnp.stack(ksb).transpose(0, 1, 3, 2) if int8_cache else None,
+        jnp.stack(vsb).transpose(0, 1, 3, 2) if int8_cache else None,
         tables, seq_lens, None)
     return toks, pools
 

@@ -119,3 +119,71 @@ class TestPagedAttention:
         assert t.shape == (2, 4)
         assert t[0].tolist() == [0, 1, 2, 3]
         assert t[1].tolist() == [4, 5, 6, 7]
+
+
+class TestBufferedPagedAttention:
+    @pytest.mark.parametrize('int8', [True, False])
+    def test_fused_matches_separate_merge(self, int8):
+        from ppq_tpu.kernels.paged_attention import (
+            paged_attention_decode_buffered)
+        rng = np.random.default_rng(7)
+        B, KV, rep, Dh, BLK, MB, n = 3, 2, 2, 128, 128, 2, 32
+        NB = B * MB + 1
+        q = rng.standard_normal((B, KV, rep, Dh)).astype(np.float32) * 0.4
+        if int8:
+            kp = rng.integers(-127, 128, (NB, BLK, KV * Dh)).astype(np.int8)
+            vp = rng.integers(-127, 128, (NB, BLK, KV * Dh)).astype(np.int8)
+            ks = ((rng.random((NB, KV, BLK)) + .5) * .02).astype(np.float32)
+            vs = ((rng.random((NB, KV, BLK)) + .5) * .02).astype(np.float32)
+            kb = rng.integers(-127, 128, (B, n, KV * Dh)).astype(np.int8)
+            vb = rng.integers(-127, 128, (B, n, KV * Dh)).astype(np.int8)
+            ksb = ((rng.random((B, KV, n)) + .5) * .02).astype(np.float32)
+            vsb = ((rng.random((B, KV, n)) + .5) * .02).astype(np.float32)
+        else:
+            kp = (rng.standard_normal((NB, BLK, KV * Dh)) * .5).astype(
+                jnp.bfloat16)
+            vp = (rng.standard_normal((NB, BLK, KV * Dh)) * .5).astype(
+                jnp.bfloat16)
+            kb = (rng.standard_normal((B, n, KV * Dh)) * .5).astype(
+                jnp.bfloat16)
+            vb = (rng.standard_normal((B, n, KV * Dh)) * .5).astype(
+                jnp.bfloat16)
+            ks = vs = ksb = vsb = None
+        tbl = np.arange(1, B * MB + 1, dtype=np.int32).reshape(B, MB)
+        lens = np.asarray([0, 5, 200], np.int32)
+        step = 17
+
+        ctx = np.asarray(paged_attention_decode_buffered(
+            jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+            None if ks is None else jnp.asarray(ks),
+            None if vs is None else jnp.asarray(vs),
+            jnp.asarray(tbl), jnp.asarray(lens), jnp.asarray(kb),
+            jnp.asarray(vb),
+            None if ksb is None else jnp.asarray(ksb),
+            None if vsb is None else jnp.asarray(vsb),
+            step, interpret=True))
+
+        # reference: frozen triple + dense-buffer triple, merged
+        frozen = paged_attention_decode(
+            jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+            None if ks is None else jnp.asarray(ks),
+            None if vs is None else jnp.asarray(vs),
+            jnp.asarray(tbl), jnp.asarray(lens), interpret=True)
+        kbf = np.asarray(kb, np.float32).reshape(B, n, KV, Dh)
+        vbf = np.asarray(vb, np.float32).reshape(B, n, KV, Dh)
+        s = np.einsum('bkrd,bjkd->bkrj', q, kbf)
+        if int8:
+            s = s * ksb[:, :, None, :]           # ksb: (B, KV, n)
+        s = s / np.sqrt(Dh)
+        mask = np.arange(n)[None, None, None, :] <= step
+        s = np.where(mask, s, -1e30)
+        m = s.max(-1)
+        p = np.exp(s - m[..., None])
+        l = p.sum(-1)
+        if int8:
+            p = p * vsb[:, :, None, :]
+        acc = np.einsum('bkrj,bjkd->bkrd', p, vbf)
+        want = np.asarray(merge_attention(
+            [frozen, (jnp.asarray(acc), jnp.asarray(m), jnp.asarray(l))]))
+        err = np.abs(ctx - want).max() / (np.abs(want).max() + 1e-9)
+        assert err < 2e-2, err

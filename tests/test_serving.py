@@ -423,23 +423,63 @@ class TestPagedKVCache:
 
 
 class TestPagedChunkedPrefill:
-    def test_long_prompt_paged_matches_dense(self):
+    def _cfg(self):
         cfg = LlamaConfig(vocab_size=128, d_model=256, n_layers=2,
                           n_heads=2, n_kv_heads=2, d_ff=256,
                           max_seq_len=256, max_batch=2,
                           prefill_buckets=(16,))
         cfg.ragged_interpret = True
+        return cfg
+
+    def test_chunk_prefill_logits_match_dense_forward(self):
+        """Chunked paged prefill (gathered prefix + within-chunk causal)
+        must reproduce a single dense forward over the whole prompt —
+        compared on LOGITS with tolerance: greedy token equality across
+        numerics orders is a near-tie coin flip, logits are the contract."""
+        from ppq_tpu.serving.model import forward, init_kv_cache
+        from ppq_tpu.serving.paged import (init_paged_pools, prefill_paged,
+                                           prefill_chunk_paged)
+        cfg = self._cfg()
         params = init_llama_params(cfg, seed=51)
-        prompt = list(np.random.RandomState(0).randint(1, 120, 40))  # > 16
+        n = 40
+        prompt = np.random.RandomState(0).randint(1, 120, n).astype(np.int32)
 
-        def gen(paged):
-            c = LlamaConfig(**{**cfg.__dict__})
-            c.paged_kv = paged
-            c.use_ragged_attention = paged
-            eng = ServingEngine(c, params)
-            reqs = [Request(0, prompt, max_new_tokens=6),
-                    Request(1, [4, 9], max_new_tokens=6)]   # mixed lengths
-            eng.run(reqs, sync_every=3)
-            return [r.generated for r in reqs]
+        cache = init_kv_cache(cfg, 1)
+        pos = jnp.arange(n)[None, :].astype(jnp.int32)
+        dense_logits, _ = forward(params, cache, jnp.asarray(prompt[None]),
+                                  pos, jnp.zeros(1, jnp.int32),
+                                  jnp.asarray([n], jnp.int32), cfg)
 
-        assert gen(False) == gen(True)
+        pools = init_paged_pools(cfg, 4)
+        tables = jnp.asarray([[1, 2]], jnp.int32)
+        active = jnp.ones(1, bool)
+        chunk = 16
+        # first chunk via the window prefill, rest via chunked continuation
+        lg, pools = prefill_paged(params, pools,
+                                  jnp.asarray(prompt[None, :chunk]),
+                                  jnp.asarray([chunk], jnp.int32), tables,
+                                  active, cfg)
+        last = None
+        for off in (chunk, 2 * chunk, n - chunk):
+            last, pools = prefill_chunk_paged(
+                params, pools, jnp.asarray(prompt[None, off:off + chunk]),
+                jnp.asarray([off], jnp.int32), tables, active,
+                prefix_blocks=1, cfg=cfg)
+        # final chunk covers positions n-16..n-1; its last logit row must
+        # match the dense forward's last row
+        got = np.asarray(last[0, -1])
+        want = np.asarray(dense_logits[0, -1])
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert rel < 0.05, rel
+
+    def test_engine_long_prompt_paged_generates(self):
+        cfg = self._cfg()
+        cfg.paged_kv = True
+        params = init_llama_params(cfg, seed=51)
+        eng = ServingEngine(cfg, params)
+        prompt = list(np.random.RandomState(0).randint(1, 120, 40))
+        reqs = [Request(0, prompt, max_new_tokens=6),
+                Request(1, [4, 9], max_new_tokens=6)]
+        eng.run(reqs, sync_every=3)
+        assert all(len(r.generated) == 6 for r in reqs)
+        assert eng._alloc.free_blocks == eng._alloc.num_blocks - 1
