@@ -151,6 +151,9 @@ class ServingEngine:
         # the XLA paths
         _unsharded = mesh is None or mesh.size == 1
         _tpu = jax.default_backend() == 'tpu'
+        # paged decode reads: Pallas kernel on one device, XLA gather path
+        # under GSPMD (a pallas_call cannot be partitioned over shards)
+        self._paged_kernel = _unsharded
         if cfg.use_pallas_matmul is None:
             cfg.use_pallas_matmul = _tpu and _unsharded
         if cfg.use_ragged_attention is None:
@@ -195,11 +198,22 @@ class ServingEngine:
         self._paged = bool(cfg.paged_kv)
         if self._paged:
             from .paged import BLK, BlockAllocator
+            # paged + multi-device: dp/tp meshes shard the pools over the
+            # kv-head axis and decode reads take the GSPMD-shardable XLA
+            # gather path (paged_decode_xla); pp/sp shard the layer/seq
+            # axes the pool layout doesn't have — unsupported with paging
             if mesh is not None and mesh.size > 1:
-                raise NotImplementedError('paged_kv + multi-device mesh')
-            if cfg.max_seq_len % BLK or cfg.head_dim % 128:
-                raise ValueError('paged_kv needs max_seq_len % 128 == 0 '
-                                 'and head_dim % 128 == 0')
+                shape = dict(mesh.shape)
+                if shape.get('pp', 1) > 1 or shape.get('sp', 1) > 1:
+                    raise NotImplementedError('paged_kv + pp/sp mesh')
+                if cfg.n_kv_heads % shape.get('tp', 1) != 0:
+                    raise ValueError('paged_kv + tp needs n_kv_heads % tp '
+                                     '== 0')
+            if cfg.max_seq_len % BLK:
+                raise ValueError('paged_kv needs max_seq_len % 128 == 0')
+            if self._paged_kernel and cfg.head_dim % 128:
+                raise ValueError('paged_kv kernel path needs head_dim % '
+                                 '128 == 0')
             mb_per_seq = cfg.max_seq_len // BLK
             n_blocks = cfg.kv_pool_blocks or \
                 (cfg.max_batch * mb_per_seq + 1)
@@ -220,7 +234,26 @@ class ServingEngine:
             self._alloc = BlockAllocator(self._alloc.num_blocks,
                                          self.cfg.max_batch,
                                          self.cfg.max_seq_len // BLK)
-            return init_paged_pools(self.cfg, self._alloc.num_blocks)
+            pools = init_paged_pools(self.cfg, self._alloc.num_blocks)
+            if self.mesh is not None and \
+                    dict(self.mesh.shape).get('tp', 1) > 1:
+                # shard pools over the kv-head axis (KV major in the
+                # trailing KV*Dh dim, so a 'tp' split lands whole heads
+                # per device); scales shard their explicit KV axis
+                mesh = self.mesh
+                spec = {'k': NamedSharding(mesh, P(None, None, None, 'tp')),
+                        'v': NamedSharding(mesh, P(None, None, None, 'tp')),
+                        'k_scale': NamedSharding(mesh,
+                                                 P(None, None, 'tp', None)),
+                        'v_scale': NamedSharding(mesh,
+                                                 P(None, None, 'tp', None))}
+                pools = {k: jax.device_put(v, spec[k])
+                         for k, v in pools.items()}
+            elif self.mesh is not None and self.mesh.size > 1:
+                pools = {k: jax.device_put(
+                    v, NamedSharding(self.mesh, P()))
+                    for k, v in pools.items()}
+            return pools
         cache = init_kv_cache(self.cfg, self.cfg.max_batch)
         if self._cache_sharding is not None:
             cache = {k: jax.device_put(v, self._cache_sharding[k])
@@ -460,7 +493,8 @@ class ServingEngine:
             keys = jax.random.split(key, n_steps)
             return burst_forward_paged(
                 params, pools, tokens, seq_lens, tables, keys, cfg,
-                self._select, ragged_interpret=cfg.ragged_interpret)
+                self._select, ragged_interpret=cfg.ragged_interpret,
+                use_kernel=self._paged_kernel)
         self._decode_burst[key] = decode_burst
         return decode_burst
 

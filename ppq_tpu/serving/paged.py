@@ -196,9 +196,49 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
 
 # ------------------------------------------------------------- decode ------
 
+def paged_decode_xla(q, k_pool, v_pool, ks, vs, tables, seq_lens):
+    """Gather-based paged decode read in plain XLA: same contract as
+    kernels.paged_attention.paged_attention_decode (returns the
+    UNNORMALIZED flash-decoding triple (acc, m, l)) but GSPMD-shardable —
+    pallas_call cannot be partitioned over sharded operands, so multi-
+    device meshes take this path. The gather indexes the pool's block
+    axis (never sharded); the KV*Dh axis may be tp-sharded and the
+    reshape/einsums below partition cleanly over it.
+
+    q: (B, KV, rep, Dh); pools (NB, BLK, KV*Dh); scales (NB, KV, BLK)|None;
+    tables (B, MB); seq_lens (B,).
+    """
+    B, KV, rep, Dh = q.shape
+    NB, BLKp, KVDh = k_pool.shape
+    MB = tables.shape[1]
+    S = MB * BLKp
+    kp = k_pool[tables].reshape(B, S, KV, Dh)            # (B,MB,BLK,KV*Dh)
+    vp = v_pool[tables].reshape(B, S, KV, Dh)
+    s = jnp.einsum('bkrd,bskd->bkrs', q.astype(jnp.bfloat16),
+                   kp.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    if ks is not None:
+        # (B, MB, KV, BLK) -> (B, KV, S)
+        kss = ks[tables].transpose(0, 2, 1, 3).reshape(B, KV, S)
+        s = s * kss[:, :, None, :]
+    valid = (jnp.arange(S)[None, :] < seq_lens[:, None])[:, None, None, :]
+    s = jnp.where(valid, s / np.sqrt(Dh), -1e30)
+    m = jnp.max(s, axis=-1)
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    if vs is not None:
+        vss = vs[tables].transpose(0, 2, 1, 3).reshape(B, KV, S)
+        p = p * vss[:, :, None, :]
+    acc = jnp.einsum('bkrs,bskd->bkrd', p.astype(jnp.bfloat16),
+                     vp.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return acc, m, l
+
+
 def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
                         tables, keys, cfg: LlamaConfig, select_fn,
-                        ragged_interpret: bool = False):
+                        ragged_interpret: bool = False,
+                        use_kernel: bool = True):
     """n decode steps over the paged pools: pool frozen during the scan
     (paged-attention kernel reads only allocated blocks), in-burst K/V in
     small per-layer buffers, ONE scatter per layer at burst end. Mirrors
@@ -259,10 +299,15 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
                                                     (0, i, 0, 0))
 
             q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
-            acc_f, m_f, l_f = paged_attention_decode(
-                q_g[:, 0], k_slabs[li], v_slabs[li],
-                ks_slabs[li], vs_slabs[li],
-                tables, seq_lens, interpret=ragged_interpret)
+            if use_kernel:
+                acc_f, m_f, l_f = paged_attention_decode(
+                    q_g[:, 0], k_slabs[li], v_slabs[li],
+                    ks_slabs[li], vs_slabs[li],
+                    tables, seq_lens, interpret=ragged_interpret)
+            else:
+                acc_f, m_f, l_f = paged_decode_xla(
+                    q_g[:, 0], k_slabs[li], v_slabs[li],
+                    ks_slabs[li], vs_slabs[li], tables, seq_lens)
             lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
                             kbuf[li].astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)

@@ -483,3 +483,86 @@ class TestPagedChunkedPrefill:
         eng.run(reqs, sync_every=3)
         assert all(len(r.generated) == 6 for r in reqs)
         assert eng._alloc.free_blocks == eng._alloc.num_blocks - 1
+
+
+class TestPagedMultiDevice:
+    def test_xla_read_matches_kernel_merged(self):
+        """paged_decode_xla (GSPMD-shardable gather path) must reproduce
+        the Pallas kernel's read bit-for-contract: compare the NORMALIZED
+        merged context (frozen triple + a small buffer part) — the empty-
+        sequence row differs in raw (acc, m, l) convention but merges to
+        the identical zero contribution."""
+        from ppq_tpu.kernels.paged_attention import (merge_attention,
+                                                     paged_attention_decode)
+        from ppq_tpu.serving.paged import paged_decode_xla
+        rng = np.random.default_rng(11)
+        B, KV, rep, Dh, BLK, MB = 3, 2, 2, 128, 128, 2
+        NB = B * MB + 1
+        q = jnp.asarray(rng.standard_normal((B, KV, rep, Dh)),
+                        jnp.float32) * 0.3
+        kp = jnp.asarray(rng.integers(-127, 128, (NB, BLK, KV * Dh)),
+                         jnp.int8)
+        vp = jnp.asarray(rng.integers(-127, 128, (NB, BLK, KV * Dh)),
+                         jnp.int8)
+        ks = jnp.asarray((rng.random((NB, KV, BLK)) + .5) * .02, jnp.float32)
+        vs = jnp.asarray((rng.random((NB, KV, BLK)) + .5) * .02, jnp.float32)
+        tbl = jnp.asarray(np.arange(1, B * MB + 1, dtype=np.int32)
+                          .reshape(B, MB), jnp.int32)
+        lens = jnp.asarray([0, 5, 200], jnp.int32)
+        # tiny buffer part so the merge is exercised
+        acc_b = jnp.asarray(rng.standard_normal((B, KV, rep, Dh)),
+                            jnp.float32)
+        m_b = jnp.asarray(rng.standard_normal((B, KV, rep)), jnp.float32)
+        l_b = jnp.asarray(rng.random((B, KV, rep)) + 1.0, jnp.float32)
+
+        t_kernel = paged_attention_decode(q.astype(jnp.bfloat16), kp, vp,
+                                          ks, vs, tbl, lens, interpret=True)
+        t_xla = paged_decode_xla(q, kp, vp, ks, vs, tbl, lens)
+        want = np.asarray(merge_attention([t_kernel, (acc_b, m_b, l_b)]))
+        got = np.asarray(merge_attention([t_xla, (acc_b, m_b, l_b)]))
+        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        assert err < 2e-2, err
+
+    def test_paged_tp_engine_matches_single(self):
+        n = min(2, len(jax.devices()))
+        if n < 2:
+            pytest.skip('needs multiple devices')
+        from jax.sharding import Mesh
+        cfg = LlamaConfig(vocab_size=128, d_model=256, n_layers=2,
+                          n_heads=2, n_kv_heads=2, d_ff=256,
+                          max_seq_len=256, max_batch=2,
+                          prefill_buckets=(16,), paged_kv=True)
+        cfg.ragged_interpret = True
+        params = init_llama_params(cfg, seed=13)
+        prompts = [[3, 1, 4, 1, 5, 9, 2, 6], [2, 7]]
+
+        def gen(mesh):
+            c = LlamaConfig(**{**cfg.__dict__})
+            eng = ServingEngine(c, params, mesh=mesh)
+            reqs = [Request(i, p, max_new_tokens=6)
+                    for i, p in enumerate(prompts)]
+            eng.run(reqs, sync_every=3)
+            assert eng._alloc.free_blocks == eng._alloc.num_blocks - 1
+            return [r.generated for r in reqs]
+
+        devices = np.array(jax.devices()[:n]).reshape(1, n)
+        mesh = Mesh(devices, ('dp', 'tp'))
+        assert gen(None) == gen(mesh)
+
+    def test_paged_long_prompt_on_tp_mesh(self):
+        n = min(2, len(jax.devices()))
+        if n < 2:
+            pytest.skip('needs multiple devices')
+        from jax.sharding import Mesh
+        cfg = LlamaConfig(vocab_size=128, d_model=256, n_layers=2,
+                          n_heads=2, n_kv_heads=2, d_ff=256,
+                          max_seq_len=256, max_batch=2,
+                          prefill_buckets=(16,), paged_kv=True)
+        params = init_llama_params(cfg, seed=13)
+        devices = np.array(jax.devices()[:n]).reshape(1, n)
+        mesh = Mesh(devices, ('dp', 'tp'))
+        eng = ServingEngine(cfg, params, mesh=mesh)
+        prompt = list(np.random.RandomState(0).randint(1, 120, 40))
+        reqs = [Request(0, prompt, max_new_tokens=5)]
+        eng.run(reqs, sync_every=4)
+        assert len(reqs[0].generated) == 5
