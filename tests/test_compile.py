@@ -91,3 +91,27 @@ def test_qparam_writeback():
         np.testing.assert_allclose(np.asarray(fresh[k]['scale']),
                                    np.asarray(qparams[k]['scale']) * 2.0,
                                    rtol=1e-6)
+
+
+class TestBf16DeployMode:
+    def test_bf16_storage_matches_sim(self):
+        """precision='bf16' stores tensors in bfloat16 (HBM-bound deploy
+        path); outputs stay fp32 and must track the fp32-faithful sim to
+        bf16 rounding error."""
+        from ppq_tpu import TargetPlatform, quantize_graph
+        from ppq_tpu.executor import compile_graph
+        from ppq_tpu.zoo.vision import tiny_cnn
+        g = tiny_cnn(input_shape=(4, 3, 32, 32))
+        loader = [np.random.RandomState(i).randn(4, 3, 32, 32)
+                  .astype(np.float32) for i in range(4)]
+        quantize_graph(g, loader, calib_steps=4,
+                       platform=TargetPlatform.TPU_INT8, verbose=False)
+        cg = compile_graph(g, precision='bf16')
+        # weights live in bf16; io contract stays fp32
+        params = cg.init_params()
+        assert all(v.dtype == jnp.bfloat16 for v in params.values())
+        a = np.asarray(compile_graph(g).make_runner()(loader[0])[0])
+        b = np.asarray(cg.make_runner()(loader[0])[0])
+        assert b.dtype == np.float32
+        snr = float(np.sum((a - b) ** 2) / (np.sum(a ** 2) + 1e-12))
+        assert snr < 0.01, snr
