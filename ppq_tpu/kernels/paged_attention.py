@@ -6,35 +6,47 @@ TPU-native serving engine's decode hot path (SURVEY.md §2.11 north star).
 Why a kernel: decode attention is HBM-bound, and the dense XLA einsum
 reads ALL max_seq_len cache slots every step regardless of how full each
 sequence actually is — at fill 16 of 1024 that is 64x wasted traffic, and
-it is the dominant term of the decode step at long max_seq_len. This
-kernel walks each slot's *block table* and DMAs only blocks that hold
-tokens:
+XLA's batched tiny-dot attention is additionally compute-inefficient
+(measured: a dense bucket-64 XLA read is SLOWER than this kernel reading
+the same data). This kernel walks each slot's *block table* and DMAs only
+blocks that hold tokens.
 
-  * grid = (B, MB) with the block axis minor; the k/v/scale index maps
+Design (v2 — rebuilt after on-chip ablations of the first kernel):
+
+  * The per-(slot, block) cost on this hardware is dominated by DMA
+    issue/wait transactions (~200ns each), NOT by the dots and NOT by the
+    softmax VPU chain (ablations: removing both dots saved ~20%; removing
+    scales/exp/masks saved ~0%). Everything below minimizes transactions:
+      - K and V live in ONE fused pool (NB, 2, BLK, KV*Dh) and both scale
+        arrays in ONE (NB, 2, KV, BLK) → 2 DMAs per slot-block, not 4.
+      - q and the outputs are FULL-ARRAY VMEM blocks (constant index
+        maps): one transfer per call instead of one per slot.
+      - block_size is a parameter: contiguous (burst) callers pick larger
+        blocks at larger fills → fewer transactions for the same bytes.
+  * grid = (B, MB) with the block axis minor; the kv/scale index maps
     read a scalar-prefetched block table, so any pool block can back any
-    logical position (true paged attention — blocks need not be
-    contiguous). Trailing grid steps past a sequence's last block CLAMP
-    the index map to the last valid block: Pallas only issues a DMA when
-    the mapped index changes between steps, so clamped steps fetch
-    nothing and the compute is masked off.
-  * flash-decoding online softmax per kv head; the kernel returns the
-    UNNORMALIZED (acc, m, l) triple so the caller can merge it with the
-    in-burst K/V buffer (burst decode keeps the big cache frozen) before
-    normalizing — softmax(a ++ b) factorizes exactly over partial maxima.
+    logical position (true paged attention). Trailing grid steps past a
+    sequence's last block CLAMP the index map to the last valid block:
+    Pallas only issues a DMA when the mapped index changes between steps,
+    so clamped steps fetch nothing and the compute is masked off.
+  * GQA decode has only KV*rep (= n_heads) query rows, so per-head dots
+    underfill both MXU and VPU tiles. The kernel instead builds a
+    BLOCK-DIAGONAL query matrix qb (R, KV*Dh) — row kv*rep+r holds head
+    (kv, r)'s query in columns [kv*Dh, (kv+1)*Dh) — and computes ALL
+    heads' logits with ONE dot against the fused K block: full (R, BLK)
+    VPU tiles for the whole softmax chain. The PV dot accumulates WIDE
+    (R, KV*Dh); off-diagonal blocks accumulate garbage that the final
+    diagonal extraction discards (elementwise accumulation never mixes
+    columns). qb is built by the caller in XLA (build_qblock) — cheap,
+    fused, and not repeated per slot inside the kernel.
+  * flash-decoding online softmax; the kernel returns the UNNORMALIZED
+    (acc, m, l) triple so the caller can merge it with the in-burst K/V
+    buffer (burst decode keeps the big cache frozen) before normalizing —
+    softmax(a ++ b) factorizes exactly over partial maxima.
   * int8 cache blocks dequantize in VMEM: per-(token, head) k-scales
     fold into the logits after the QK^T dot (associativity), v-scales
     fold into the probabilities before the PV dot — identical math to the
     dense path in serving/model.py:attention.
-
-Layouts are chosen so VMEM tiles pack exactly (pallas_guide.md tiling
-table) and the contiguous cache converts for free:
-  * k/v pools (NB, BLK, KV*Dh) int8 — trailing dims (BLK, 128*KV) tile
-    perfectly; a contiguous (B, S, KV, Dh) cache slab reshapes to this
-    with zero data movement (NB = B*S/BLK, identity block table).
-  * scales (NB, KV, BLK) f32 — (KV, BLK) = (8, 128) is the exact f32
-    tile; storing BLK on lanes also makes the per-head scale vector a
-    lane vector, broadcastable over the (rep, BLK) logits without an
-    in-kernel transpose.
 """
 
 from __future__ import annotations
@@ -50,84 +62,136 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _make_kernel(KV: int, rep: int, Dh: int, BLK: int, MB: int,
-                 int8_cache: bool):
-    def kernel(tbl_ref, lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-               acc_o, m_o, l_o, accs, ms, ls):
+# ------------------------------------------------------------ host helpers --
+
+def build_qblock(q: jnp.ndarray) -> jnp.ndarray:
+    """(B, KV, rep, Dh) → block-diagonal (B, KV*rep, KV*Dh) bf16.
+
+    Row kv*rep + r carries q[b, kv, r] in columns [kv*Dh, (kv+1)*Dh) and
+    zeros elsewhere, so `qb @ K_fused^T` computes every head's logits in
+    one dot. Built in XLA (fuses into the surrounding program)."""
+    B, KV, rep, Dh = q.shape
+    R = KV * rep
+    q2 = q.reshape(B, R, Dh).astype(jnp.bfloat16)
+    qw = jnp.tile(q2, (1, 1, KV))                           # (B, R, KV*Dh)
+    row_kv = jnp.arange(R)[:, None] // rep
+    col_kv = jnp.arange(KV * Dh)[None, :] // Dh
+    return jnp.where((row_kv == col_kv)[None], qw, 0)
+
+
+def fuse_pools(k_pool, v_pool, k_scale=None, v_scale=None):
+    """Stack separate K/V pools (NB, BLK, KV*Dh) and scale pools
+    (NB, KV, BLK) into the kernel's fused layouts: kv (NB, 2, BLK, KV*Dh)
+    and scales (NB, 2, KV, BLK) (or None). This copies — burst callers do
+    it ONCE per burst (or store pools fused natively, serving/paged.py)."""
+    kv = jnp.stack([k_pool, v_pool], axis=1)
+    sc = None
+    if k_scale is not None:
+        sc = jnp.stack([k_scale, v_scale], axis=1)
+    return kv, sc
+
+
+def identity_block_tables(B: int, S: int, block_size: int = 128):
+    """Block tables mapping each slot's logical blocks to its own rows of
+    the reshaped contiguous cache ((B, S, ...) → (B*S/BLK, BLK, ...))."""
+    MB = S // block_size
+    return (jnp.arange(B, dtype=jnp.int32)[:, None] * MB
+            + jnp.arange(MB, dtype=jnp.int32)[None, :])
+
+
+# ------------------------------------------------------------------ kernel --
+
+def _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache):
+    R = KV * rep
+
+    def kernel(tbl_ref, lens_ref, qb_ref, kv_ref, sc_ref,
+               acc_o, ml_o, accw_s, ms, ls):
         j = pl.program_id(1)
         b = pl.program_id(0)
+
+        @pl.when(jnp.logical_and(b == 0, j == 0))
+        def _():
+            # one-time: uninitialized VMEM may hold NaN bit patterns that
+            # would survive the corr=0 first-block rescale as NaN*0
+            accw_s[:] = jnp.zeros_like(accw_s)
 
         @pl.when(j == 0)
         def _():
             ms[:] = jnp.full_like(ms, NEG_INF)
             ls[:] = jnp.zeros_like(ls)
-            accs[:] = jnp.zeros_like(accs)
 
-        n_valid = lens_ref[b] - j * BLK        # tokens in this block
+        n_valid = lens_ref[b] - j * BLK
 
         @pl.when(n_valid > 0)
         def _():
-            lane = jax.lax.broadcasted_iota(jnp.int32, (rep, BLK), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 1)
             mask = lane < n_valid
             inv_sqrt = np.float32(1.0 / np.sqrt(Dh))
-            for kv in range(KV):
-                qh = q_ref[0, kv]                        # (rep, Dh) bf16
-                kh = k_ref[0, :, kv * Dh:(kv + 1) * Dh]  # (BLK, Dh)
-                s = jax.lax.dot_general(
-                    qh, kh.astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (rep, BLK)
-                if int8_cache:
-                    s = s * ks_ref[0, kv][None, :]
-                s = jnp.where(mask, s * inv_sqrt, NEG_INF)
-                m_new = jnp.maximum(ms[kv], jnp.max(s, axis=1))
-                corr = jnp.exp(ms[kv] - m_new)           # (rep,)
-                p = jnp.exp(s - m_new[:, None])          # (rep, BLK)
-                ls[kv] = ls[kv] * corr + jnp.sum(p, axis=1)
-                if int8_cache:
-                    p = p * vs_ref[0, kv][None, :]
-                pv = jnp.dot(p.astype(jnp.bfloat16),
-                             v_ref[0, :, kv * Dh:(kv + 1) * Dh]
-                             .astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)  # (rep, Dh)
-                accs[kv] = accs[kv] * corr[:, None] + pv
-                ms[kv] = m_new
+            s = jax.lax.dot_general(
+                qb_ref[b], kv_ref[0, 0].astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (R, BLK)
+            if int8_cache:
+                ks = jnp.broadcast_to(sc_ref[0, 0][:, None, :],
+                                      (KV, rep, BLK)).reshape(R, BLK)
+                s = s * ks
+            s = jnp.where(mask, s * inv_sqrt, NEG_INF)
+            m_new = jnp.maximum(ms[:], jnp.max(s, axis=1, keepdims=True))
+            # first valid block: ms = -inf ⇒ corr = 0 exactly, so the
+            # stale accw from the previous slot is rescaled away
+            corr = jnp.exp(ms[:] - m_new)                    # (R, 1)
+            p = jnp.exp(s - m_new)                           # (R, BLK)
+            ls[:] = ls[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+            if int8_cache:
+                vs = jnp.broadcast_to(sc_ref[0, 1][:, None, :],
+                                      (KV, rep, BLK)).reshape(R, BLK)
+                p = p * vs
+            pv = jnp.dot(p.astype(jnp.bfloat16),
+                         kv_ref[0, 1].astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)  # (R, KV*Dh)
+            accw_s[:] = accw_s[:] * corr + pv   # off-diag garbage discarded
+            ms[:] = m_new
 
         @pl.when(j == MB - 1)
         def _():
-            acc_o[0] = accs[:]
-            m_o[0] = ms[:]
-            l_o[0] = ls[:]
+            row_kv = jax.lax.broadcasted_iota(
+                jnp.int32, (R, KV * Dh), 0) // rep
+            col_kv = jax.lax.broadcasted_iota(
+                jnp.int32, (R, KV * Dh), 1) // Dh
+            accd = jnp.where(row_kv == col_kv, accw_s[:], 0) \
+                .reshape(R, KV, Dh).sum(axis=1)              # (R, Dh)
+            acc_o[b] = accd.reshape(KV, rep, Dh)
+            ml_o[b] = jnp.concatenate([ms[:], ls[:]],
+                                      axis=1).reshape(KV, rep, 2)
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('block_size', 'interpret'))
-def paged_attention_decode(q, k_pool, v_pool, k_scale, v_scale,
-                           block_tables, seq_lens, *,
-                           block_size: int = 128,
-                           interpret: bool = False):
-    """One decode step of attention over a paged int8/bf16 KV pool.
+@functools.partial(jax.jit, static_argnames=('block_size', 'interpret'))
+def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
+                                 seq_lens, *, block_size: int = 128,
+                                 interpret: bool = False):
+    """One decode step of attention over a FUSED paged int8/bf16 KV pool.
 
-    q:            (B, KV, rep, Dh) bf16 — grouped query heads, post-rope
-    k_pool/v_pool:(NB, BLK, KV*Dh) int8 (or bf16 with scales=None)
-    k/v_scale:    (NB, KV, BLK) f32 or None
+    q:        (B, KV, rep, Dh) — grouped query heads, post-rope
+    kv_pool:  (NB, 2, BLK, KV*Dh) int8|bf16 — [k; v] per block row
+    kv_scale: (NB, 2, KV, BLK) f32 or None (bf16 pool)
     block_tables: (B, MB) int32 — pool row of each logical block
-    seq_lens:     (B,) int32 — tokens currently in each sequence
+    seq_lens: (B,) int32 — tokens currently in each sequence
 
     Returns (acc, m, l): acc (B, KV, rep, Dh) f32 unnormalized context,
     m/l (B, KV, rep) f32 running max / exp-sum. `acc / l` is the attention
     output when there is nothing else to merge (see merge_attention).
+    Rows with seq_lens == 0 return (finite-garbage, -inf, 0) — exactly the
+    empty contribution under merge_attention.
     """
     B, KV, rep, Dh = q.shape
-    NB, BLK, KVDh = k_pool.shape
-    assert KVDh == KV * Dh and BLK == block_size, (k_pool.shape, q.shape)
+    NB, two, BLK, KVDh = kv_pool.shape
+    assert KVDh == KV * Dh and BLK == block_size and two == 2, \
+        (kv_pool.shape, q.shape, block_size)
     MB = block_tables.shape[1]
-    int8_cache = k_scale is not None
+    int8_cache = kv_scale is not None
     if not int8_cache:
-        # dummy scale pools keep one kernel signature; never read
-        k_scale = jnp.ones((1, KV, BLK), jnp.float32)
-        v_scale = jnp.ones((1, KV, BLK), jnp.float32)
+        kv_scale = jnp.ones((1, 2, KV, BLK), jnp.float32)
 
     def blk_idx(b, j, tbl, lens):
         nb = jax.lax.div(lens[b] + (BLK - 1), BLK)
@@ -137,65 +201,63 @@ def paged_attention_decode(q, k_pool, v_pool, k_scale, v_scale,
     def scale_idx(b, j, tbl, lens):
         return blk_idx(b, j, tbl, lens) if int8_cache else 0
 
+    R = KV * rep
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, MB),
         in_specs=[
-            pl.BlockSpec((1, KV, rep, Dh),
-                         lambda b, j, tbl, lens: (b, 0, 0, 0),
+            pl.BlockSpec((B, R, KVDh),
+                         lambda b, j, tbl, lens: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLK, KVDh),
+            pl.BlockSpec((1, 2, BLK, KVDh),
                          lambda b, j, tbl, lens: (blk_idx(b, j, tbl, lens),
-                                                  0, 0),
+                                                  0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLK, KVDh),
-                         lambda b, j, tbl, lens: (blk_idx(b, j, tbl, lens),
-                                                  0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KV, BLK),
+            pl.BlockSpec((1, 2, KV, BLK),
                          lambda b, j, tbl, lens: (scale_idx(b, j, tbl, lens),
-                                                  0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KV, BLK),
-                         lambda b, j, tbl, lens: (scale_idx(b, j, tbl, lens),
-                                                  0, 0),
+                                                  0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, KV, rep, Dh),
-                         lambda b, j, tbl, lens: (b, 0, 0, 0),
+            pl.BlockSpec((B, KV, rep, Dh),
+                         lambda b, j, tbl, lens: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KV, rep), lambda b, j, tbl, lens: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, KV, rep), lambda b, j, tbl, lens: (b, 0, 0),
+            pl.BlockSpec((B, KV, rep, 2),
+                         lambda b, j, tbl, lens: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((KV, rep, Dh), jnp.float32),
-            pltpu.VMEM((KV, rep), jnp.float32),
-            pltpu.VMEM((KV, rep), jnp.float32),
+            pltpu.VMEM((R, KVDh), jnp.float32),     # wide accumulator
+            pltpu.VMEM((R, 1), jnp.float32),        # running max
+            pltpu.VMEM((R, 1), jnp.float32),        # running exp-sum
         ],
     )
-    acc, m, l = pl.pallas_call(
-        _make_kernel(KV, rep, Dh, BLK, MB, int8_cache),
+    acc, ml = pl.pallas_call(
+        _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, KV, rep, Dh), jnp.float32),
-            jax.ShapeDtypeStruct((B, KV, rep), jnp.float32),
-            jax.ShapeDtypeStruct((B, KV, rep), jnp.float32),
+            jax.ShapeDtypeStruct((B, KV, rep, 2), jnp.float32),
         ],
         interpret=interpret,
     )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
-      q.astype(jnp.bfloat16), k_pool, v_pool, k_scale, v_scale)
-    return acc, m, l
+      build_qblock(q), kv_pool, kv_scale)
+    return acc, ml[..., 0], ml[..., 1]
 
 
-def identity_block_tables(B: int, S: int, block_size: int = 128):
-    """Block tables mapping each slot's logical blocks to its own rows of
-    the reshaped contiguous cache ((B, S, ...) → (B*S/BLK, BLK, ...))."""
-    MB = S // block_size
-    return (jnp.arange(B, dtype=jnp.int32)[:, None] * MB
-            + jnp.arange(MB, dtype=jnp.int32)[None, :])
+@functools.partial(jax.jit,
+                   static_argnames=('block_size', 'interpret'))
+def paged_attention_decode(q, k_pool, v_pool, k_scale, v_scale,
+                           block_tables, seq_lens, *,
+                           block_size: int = 128,
+                           interpret: bool = False):
+    """Separate-pool convenience wrapper around the fused kernel: stacks
+    the pools PER CALL (a copy — one-shot/test callers only; burst loops
+    must fuse once outside the loop, see fuse_pools)."""
+    kv, sc = fuse_pools(k_pool, v_pool, k_scale, v_scale)
+    return paged_attention_decode_fused(q, kv, sc, block_tables, seq_lens,
+                                        block_size=block_size,
+                                        interpret=interpret)
 
 
 def paged_attention_reference(q, k_pool, v_pool, k_scale, v_scale,
@@ -240,6 +302,10 @@ def merge_attention(parts):
 
 
 # ======================================= fused frozen + in-burst variant ==
+# (kept as a tested capability: single kernel covering the frozen pool AND
+# the in-burst buffer in one online softmax. Measured 6-10% slower than the
+# kernel + XLA-merge composition on v5e and O(n) with burst length, so the
+# engine uses the composition above — see serving/model.py.)
 
 def _make_buffered_kernel(KV: int, rep: int, Dh: int, BLK: int, MB: int,
                           nbuf: int, int8_cache: bool):

@@ -314,7 +314,7 @@ class ServingEngine:
         if self.mesh is not None and \
                 dict(self.mesh.shape).get('sp', 1) > 1:
             return None
-        b = 256
+        b = 128
         while b < min(s_need, self.cfg.max_seq_len):
             b *= 2
         return min(b, self.cfg.max_seq_len)

@@ -355,11 +355,15 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
 
     ragged=True goes further: the frozen read runs through the Pallas
     paged-attention kernel (kernels/paged_attention.py) with an identity
-    block table over the reshaped contiguous cache — per-slot traffic is
-    ceil(seq_len/128) blocks instead of a batch-wide bucket, and the
-    partial-softmax triple merges exactly with the in-burst buffer. The
-    fill lengths ride as device values, so one compiled program serves
-    every fill (no bucket recompiles).
+    block table over the cache — per-slot traffic is ceil(seq_len/BLK)
+    blocks instead of a batch-wide bucket, and the partial-softmax triple
+    merges exactly with the in-burst buffer. The fill lengths ride as
+    device values, so one compiled program serves every fill. The kernel's
+    measured cost driver is DMA transactions, so the cache window [0,
+    s_limit) is repacked ONCE per burst into the kernel's fused layout
+    (K+V in one array, both scale sets in another — half the DMAs) at an
+    adaptive block size (bigger blocks at bigger fills): the repack is an
+    O(window) copy amortized over the whole burst.
 
     Why: a scan whose carry includes the full cache double-buffers
     hundreds of MB every iteration — XLA cannot prove in-place aliasing
@@ -400,33 +404,34 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
     frozen_mask = slot_ids < seq_lens[:, None, None, None]   # (B,1,1,S)
 
     if ragged:
-        # pool views of the frozen cache, computed ONCE per burst (outside
-        # the scan): the reshape is free; the scale transpose to the
-        # kernel's (NB, KV, BLK) layout copies only the small scale arrays
         from ..kernels.paged_attention import (identity_block_tables,
                                                merge_attention,
-                                               paged_attention_decode)
-        BLK = 128
+                                               paged_attention_decode_fused)
         Sf = cache['k'].shape[2]
-        assert Sf % BLK == 0 and Dh % 128 == 0, (Sf, Dh)
-        NBp = Sf // BLK
-        tbl = identity_block_tables(B, Sf, BLK)
-        if s_limit is not None:
-            # cap the grid's block axis to the fill bucket: idle (clamped)
-            # grid steps aren't free, and at fill 16 of 1024 seven of
-            # every eight steps would be idle
-            tbl = tbl[:, :max(1, -(-min(s_limit, Sf) // BLK))]
-        k_pools = [cache['k'][li].reshape(B * NBp, BLK, KV * Dh)
-                   for li in range(L)]
-        v_pools = [cache['v'][li].reshape(B * NBp, BLK, KV * Dh)
-                   for li in range(L)]
-        if int8_cache:
-            ks_pools = [cache['k_scale'][li].reshape(B * NBp, BLK, KV)
-                        .transpose(0, 2, 1) for li in range(L)]
-            vs_pools = [cache['v_scale'][li].reshape(B * NBp, BLK, KV)
-                        .transpose(0, 2, 1) for li in range(L)]
-        else:
-            ks_pools = vs_pools = [None] * L
+        assert Sf % 128 == 0 and Dh % 128 == 0, (Sf, Dh)
+        # only the window [0, cap) can hold tokens this burst — repack just
+        # it; at fill 16 of 2048 the repack (and the kernel grid) touches
+        # 1/16 of the cache
+        cap = Sf if s_limit is None else min(-(-s_limit // 128) * 128, Sf)
+        # adaptive fused-block size: DMA transactions dominate the kernel
+        # cost, so bigger windows use bigger blocks (same bytes, fewer
+        # transactions); per-slot read granularity stays <= cap/2
+        RBLK = max(128, min(512, cap // 2))
+        NBp = cap // RBLK
+        tbl = identity_block_tables(B, cap, RBLK)
+        kv_pools, sc_pools = [], []
+        for li in range(L):
+            k2 = cache['k'][li, :, :cap].reshape(B * NBp, RBLK, KV * Dh)
+            v2 = cache['v'][li, :, :cap].reshape(B * NBp, RBLK, KV * Dh)
+            kv_pools.append(jnp.stack([k2, v2], axis=1))
+            if int8_cache:
+                ks2 = cache['k_scale'][li][:, :cap] \
+                    .reshape(B * NBp, RBLK, KV).transpose(0, 2, 1)
+                vs2 = cache['v_scale'][li][:, :cap] \
+                    .reshape(B * NBp, RBLK, KV).transpose(0, 2, 1)
+                sc_pools.append(jnp.stack([ks2, vs2], axis=1))
+            else:
+                sc_pools.append(None)
 
     def step(carry, inp):
         cur_tok, kbuf, vbuf, ksb, vsb, i = carry
@@ -475,10 +480,9 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                 # (paged_attention_decode_buffered) measured ~6-10% SLOWER
                 # end-to-end on v5e and degraded O(n) with burst length —
                 # the XLA buffer einsum + merge is the faster composition.
-                acc_f, m_f, l_f = paged_attention_decode(
-                    q_g[:, 0], k_pools[li], v_pools[li],
-                    ks_pools[li], vs_pools[li], tbl, seq_lens,
-                    interpret=ragged_interpret)
+                acc_f, m_f, l_f = paged_attention_decode_fused(
+                    q_g[:, 0], kv_pools[li], sc_pools[li], tbl, seq_lens,
+                    block_size=RBLK, interpret=ragged_interpret)
                 m_b = jnp.max(lb, axis=-1)                   # (B,KV,rep)
                 p_b = jnp.exp(lb - m_b[..., None])
                 l_b = jnp.sum(p_b, axis=-1)

@@ -294,8 +294,9 @@ class TestBucketedFrozenRead:
                           n_kv_heads=2, d_ff=256, max_seq_len=2048,
                           max_batch=2, prefill_buckets=(16,))
         eng = ServingEngine(cfg, init_llama_params(cfg, seed=3))
-        assert eng._decode_bucket(17) == 256
-        assert eng._decode_bucket(256) == 256
+        assert eng._decode_bucket(17) == 128
+        assert eng._decode_bucket(128) == 128
+        assert eng._decode_bucket(129) == 256
         assert eng._decode_bucket(257) == 512
         assert eng._decode_bucket(5000) == 2048
 
