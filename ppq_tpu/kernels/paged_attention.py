@@ -101,7 +101,7 @@ def identity_block_tables(B: int, S: int, block_size: int = 128):
 
 # ------------------------------------------------------------------ kernel --
 
-def _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache):
+def _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache, scales_full):
     R = KV * rep
 
     def kernel(tbl_ref, lens_ref, qb_ref, kv_ref, sc_ref,
@@ -122,6 +122,15 @@ def _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache):
 
         n_valid = lens_ref[b] - j * BLK
 
+        if scales_full:
+            # whole scale pool is VMEM-resident (ONE transfer per call);
+            # index it with the same clamped table row the kv DMA used —
+            # this halves the per-(slot, block) DMA transaction count,
+            # which ablations showed is the kernel's dominant cost
+            nb = jax.lax.div(lens_ref[b] + (BLK - 1), BLK)
+            jj = jnp.clip(j, 0, jnp.maximum(nb - 1, 0))
+            row = tbl_ref[b, jj]
+
         @pl.when(n_valid > 0)
         def _():
             lane = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 1)
@@ -132,7 +141,8 @@ def _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache):
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (R, BLK)
             if int8_cache:
-                ks = jnp.broadcast_to(sc_ref[0, 0][:, None, :],
+                ks_src = sc_ref[row, 0] if scales_full else sc_ref[0, 0]
+                ks = jnp.broadcast_to(ks_src[:, None, :],
                                       (KV, rep, BLK)).reshape(R, BLK)
                 s = s * ks
             s = jnp.where(mask, s * inv_sqrt, NEG_INF)
@@ -143,7 +153,8 @@ def _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache):
             p = jnp.exp(s - m_new)                           # (R, BLK)
             ls[:] = ls[:] * corr + jnp.sum(p, axis=1, keepdims=True)
             if int8_cache:
-                vs = jnp.broadcast_to(sc_ref[0, 1][:, None, :],
+                vs_src = sc_ref[row, 1] if scales_full else sc_ref[0, 1]
+                vs = jnp.broadcast_to(vs_src[:, None, :],
                                       (KV, rep, BLK)).reshape(R, BLK)
                 p = p * vs
             pv = jnp.dot(p.astype(jnp.bfloat16),
@@ -164,6 +175,13 @@ def _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache):
             ml_o[b] = jnp.concatenate([ms[:], ls[:]],
                                       axis=1).reshape(KV, rep, 2)
     return kernel
+
+
+# scale pools at or below this byte size ride as ONE full-array VMEM
+# transfer instead of a per-(slot, block) DMA — the kernel is transaction-
+# bound, so this halves its dominant cost. 6 MB leaves VMEM headroom for
+# the double-buffered kv blocks, qb, and the outputs.
+_SCALES_FULL_MAX_BYTES = 6 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=('block_size', 'interpret'))
@@ -190,6 +208,8 @@ def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
         (kv_pool.shape, q.shape, block_size)
     MB = block_tables.shape[1]
     int8_cache = kv_scale is not None
+    scales_full = (int8_cache
+                   and kv_scale.size * 4 <= _SCALES_FULL_MAX_BYTES)
     if not int8_cache:
         kv_scale = jnp.ones((1, 2, KV, BLK), jnp.float32)
 
@@ -200,6 +220,16 @@ def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
 
     def scale_idx(b, j, tbl, lens):
         return blk_idx(b, j, tbl, lens) if int8_cache else 0
+
+    if scales_full:
+        sc_spec = pl.BlockSpec(kv_scale.shape,
+                               lambda b, j, tbl, lens: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        sc_spec = pl.BlockSpec((1, 2, KV, BLK),
+                               lambda b, j, tbl, lens:
+                               (scale_idx(b, j, tbl, lens), 0, 0, 0),
+                               memory_space=pltpu.VMEM)
 
     R = KV * rep
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -213,10 +243,7 @@ def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
                          lambda b, j, tbl, lens: (blk_idx(b, j, tbl, lens),
                                                   0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, KV, BLK),
-                         lambda b, j, tbl, lens: (scale_idx(b, j, tbl, lens),
-                                                  0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            sc_spec,
         ],
         out_specs=[
             pl.BlockSpec((B, KV, rep, Dh),
@@ -233,7 +260,7 @@ def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
         ],
     )
     acc, ml = pl.pallas_call(
-        _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache),
+        _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache, scales_full),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, KV, rep, Dh), jnp.float32),

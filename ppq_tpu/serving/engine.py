@@ -194,6 +194,14 @@ class ServingEngine:
             self._cache_sharding = cache_shardings(cfg, mesh)
         else:
             self._cache_sharding = None
+        if _unsharded:
+            # decode steps are dispatch-overhead-bound: fuse q|k|v and
+            # gate|up projections into single matmuls (numerically
+            # identical — column-wise dequant is independent per column).
+            # Sharded meshes keep separate weights (the concatenated
+            # output axis would interleave q/k/v across a 'tp' split).
+            from .model import fuse_decode_params
+            params = fuse_decode_params(params, cfg)
         self.params = params
         self._paged = bool(cfg.paged_kv)
         if self._paged:
@@ -241,12 +249,10 @@ class ServingEngine:
                 # trailing KV*Dh dim, so a 'tp' split lands whole heads
                 # per device); scales shard their explicit KV axis
                 mesh = self.mesh
-                spec = {'k': NamedSharding(mesh, P(None, None, None, 'tp')),
-                        'v': NamedSharding(mesh, P(None, None, None, 'tp')),
-                        'k_scale': NamedSharding(mesh,
-                                                 P(None, None, 'tp', None)),
-                        'v_scale': NamedSharding(mesh,
-                                                 P(None, None, 'tp', None))}
+                spec = {'kv': NamedSharding(
+                            mesh, P(None, None, None, None, 'tp')),
+                        'kv_scale': NamedSharding(
+                            mesh, P(None, None, None, 'tp', None))}
                 pools = {k: jax.device_put(v, spec[k])
                          for k, v in pools.items()}
             elif self.mesh is not None and self.mesh.size > 1:

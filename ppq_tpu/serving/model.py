@@ -152,6 +152,60 @@ def init_llama_params(cfg: LlamaConfig, seed: int = 0,
     return params
 
 
+def _concat_qweights(parts):
+    """Concatenate quantized-weight dicts along the OUTPUT axis. Column
+    dequant `w_int[:, c] * scale[c]` is independent per column, so the
+    concatenated matmul is numerically identical to the separate ones."""
+    keys = set(parts[0])
+    assert all(set(p) == keys for p in parts), 'mixed weight formats'
+    out = {}
+    for k in ('w', 'w_int', 'w_packed', 'scale'):
+        if k in keys:
+            out[k] = jnp.concatenate([p[k] for p in parts], axis=-1)
+    return out
+
+
+def fuse_decode_params(params: Params, cfg: LlamaConfig) -> Params:
+    """Fuse per-layer projections for the decode hot loop: wq|wk|wv →
+    'wqkv' and w_gate|w_up → 'w_gateup' (one matmul dispatch instead of
+    three/two — decode steps are launch-overhead-bound, measured ~7.6µs
+    per small matmul dispatch vs ~2.4µs of bytes). SINGLE-DEVICE layout:
+    the concatenated output axis interleaves q/k/v per layer, which a
+    Megatron 'tp' column shard would split incorrectly — the engine only
+    applies this when the mesh is absent or size 1. Model code uses the
+    fused keys when present and falls back to the separate ones."""
+    out = dict(params)
+    layers = []
+    for layer in params['layers']:
+        lay = dict(layer)
+        if 'wq' in lay:
+            lay['wqkv'] = _concat_qweights(
+                [lay.pop('wq'), lay.pop('wk'), lay.pop('wv')])
+        if 'w_gate' in lay:
+            lay['w_gateup'] = _concat_qweights(
+                [lay.pop('w_gate'), lay.pop('w_up')])
+        layers.append(lay)
+    out['layers'] = layers
+    return out
+
+
+def project_qkv(h, layer, cfg: LlamaConfig, pall: bool):
+    """(B, T, D) → q (B,T,H,Dh), k/v (B,T,KV,Dh) via the fused 'wqkv'
+    weight when present, else the separate projections."""
+    B, T, _ = h.shape
+    H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    if 'wqkv' in layer:
+        qkv = qmatmul(h, layer['wqkv'], pallas=pall)
+        q = qkv[..., :H * Dh].reshape(B, T, H, Dh)
+        k = qkv[..., H * Dh:(H + KV) * Dh].reshape(B, T, KV, Dh)
+        v = qkv[..., (H + KV) * Dh:].reshape(B, T, KV, Dh)
+        return q, k, v
+    q = qmatmul(h, layer['wq'], pallas=pall).reshape(B, T, H, Dh)
+    k = qmatmul(h, layer['wk'], pallas=pall).reshape(B, T, KV, Dh)
+    v = qmatmul(h, layer['wv'], pallas=pall).reshape(B, T, KV, Dh)
+    return q, k, v
+
+
 def quantize_llama_params(params: Params, cfg: LlamaConfig) -> Params:
     """PTQ an existing bf16 param tree through the framework's weight-quant
     math (per-channel symmetric, framework TQC semantics)."""
@@ -176,18 +230,29 @@ def rms_norm(x, gamma, eps):
             * gamma).astype(x.dtype)
 
 
-def rope(x, positions, theta):
-    """x: (B, T, H, Dh); positions: (B, T)."""
-    Dh = x.shape[-1]
+def rope_tables(positions, theta, Dh):
+    """cos/sin tables for `rope_apply`: positions (B, T) → (B, T, 1, Dh/2).
+    Position-only, so decode loops compute them ONCE per step instead of
+    once per layer (they are identical across the L layers)."""
     half = Dh // 2
     freqs = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
     angles = positions[..., None].astype(jnp.float32) * freqs   # (B,T,half)
-    cos = jnp.cos(angles)[:, :, None, :]
-    sin = jnp.sin(angles)[:, :, None, :]
+    return jnp.cos(angles)[:, :, None, :], jnp.sin(angles)[:, :, None, :]
+
+
+def rope_apply(x, cos, sin):
+    """x: (B, T, H, Dh); cos/sin from rope_tables."""
+    half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate([
         x1 * cos - x2 * sin,
         x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
+
+
+def rope(x, positions, theta):
+    """x: (B, T, H, Dh); positions: (B, T)."""
+    cos, sin = rope_tables(positions, theta, x.shape[-1])
+    return rope_apply(x, cos, sin)
 
 
 # ======================================================== KV cache (int8) ==
@@ -266,9 +331,7 @@ def attention(x, layer, cache_k, cache_v, cache_ks, cache_vs,
     rep = H // KV
     pall = bool(getattr(cfg, 'use_pallas_matmul', False))
 
-    q = qmatmul(x, layer['wq'], pallas=pall).reshape(B, T, H, Dh)
-    k = qmatmul(x, layer['wk'], pallas=pall).reshape(B, T, KV, Dh)
-    v = qmatmul(x, layer['wv'], pallas=pall).reshape(B, T, KV, Dh)
+    q, k, v = project_qkv(x, layer, cfg, pall)
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
@@ -314,8 +377,13 @@ def mlp(x, layer, cfg=None):
                        top_k=cfg.top_k if cfg is not None else 2)
     pall = bool(getattr(cfg, 'use_pallas_matmul', False)) \
         if cfg is not None else False
-    g = qmatmul(x, layer['w_gate'], pallas=pall)
-    u = qmatmul(x, layer['w_up'], pallas=pall)
+    if 'w_gateup' in layer:
+        gu = qmatmul(x, layer['w_gateup'], pallas=pall)
+        F = gu.shape[-1] // 2
+        g, u = gu[..., :F], gu[..., F:]
+    else:
+        g = qmatmul(x, layer['w_gate'], pallas=pall)
+        u = qmatmul(x, layer['w_up'], pallas=pall)
     return qmatmul(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
                    layer['w_down'], pallas=pall)
 
@@ -440,13 +508,13 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         key = inp
         pos = seq_lens + i                                   # (B,)
         x = params['embed'][cur_tok][:, None, :]             # (B,1,D)
+        # rope tables depend only on pos — ONE build per step, not per layer
+        r_cos, r_sin = rope_tables(pos[:, None], cfg.rope_theta, Dh)
         for li, layer in enumerate(params['layers']):
             h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
-            q = qmatmul(h, layer['wq'], pallas=pall).reshape(B, 1, H, Dh)
-            k = qmatmul(h, layer['wk'], pallas=pall).reshape(B, 1, KV, Dh)
-            v = qmatmul(h, layer['wv'], pallas=pall).reshape(B, 1, KV, Dh)
-            q = rope(q, pos[:, None], cfg.rope_theta)
-            k = rope(k, pos[:, None], cfg.rope_theta)
+            q, k, v = project_qkv(h, layer, cfg, pall)
+            q = rope_apply(q, r_cos, r_sin)
+            k = rope_apply(k, r_cos, r_sin)
             # bank this step's K/V at buffer column i (write before read),
             # quantized exactly like the cache so burst == step-by-step
             if int8_cache:

@@ -9,11 +9,14 @@ actually generated. Sequences of wildly different lengths share the pool,
 which is what lets a serving deployment run bigger batches / longer
 contexts on the same chip.
 
-Layouts are kernel-native (kernels/paged_attention.py):
-  k/v pools (L, NB, BLK, KV*Dh) int8|bf16, scales (L, NB, KV, BLK) f32.
-Block 0 is reserved as the TRASH block: writes for inactive slots are
-routed there instead of being masked, which keeps every write a plain
-scatter (no read-modify-write).
+Layouts are kernel-native AND kernel-fused (kernels/paged_attention.py):
+  kv pool (L, NB, 2, BLK, KV*Dh) int8|bf16 — [k; v] planes per block row,
+  kv_scale (L, NB, 2, KV, BLK) f32.
+Storing K and V fused halves the kernel's per-(slot, block) DMA count (its
+measured cost driver) and means decode bursts read the pool directly — no
+per-burst stack/repack copies. Block 0 is reserved as the TRASH block:
+writes for inactive slots are routed there instead of being masked, which
+keeps every write a plain scatter (no read-modify-write).
 
 Host side, the BlockAllocator hands out pool rows; the device only ever
 sees (B, MB) int32 block tables. Tables travel host->device once per
@@ -30,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import LlamaConfig
-from .model import (Params, _kv_quant, mlp, qmatmul, rms_norm, rope)
+from .model import (Params, _kv_quant, mlp, project_qkv, qmatmul,
+                    rms_norm, rope_apply, rope_tables)
 
 BLK = 128
 
@@ -38,19 +42,17 @@ BLK = 128
 # ---------------------------------------------------------- pool + tables --
 
 def init_paged_pools(cfg: LlamaConfig, num_blocks: int) -> Dict:
-    """Allocate the shared block pools. num_blocks INCLUDES the reserved
-    trash block 0."""
+    """Allocate the shared block pools (kernel-fused layout). num_blocks
+    INCLUDES the reserved trash block 0."""
     L, KV, Dh = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
     if cfg.kv_cache_bits == 8:
         return {
-            'k': jnp.zeros((L, num_blocks, BLK, KV * Dh), jnp.int8),
-            'v': jnp.zeros((L, num_blocks, BLK, KV * Dh), jnp.int8),
-            'k_scale': jnp.zeros((L, num_blocks, KV, BLK), jnp.float32),
-            'v_scale': jnp.zeros((L, num_blocks, KV, BLK), jnp.float32),
+            'kv': jnp.zeros((L, num_blocks, 2, BLK, KV * Dh), jnp.int8),
+            'kv_scale': jnp.zeros((L, num_blocks, 2, KV, BLK),
+                                  jnp.float32),
         }
     return {
-        'k': jnp.zeros((L, num_blocks, BLK, KV * Dh), jnp.bfloat16),
-        'v': jnp.zeros((L, num_blocks, BLK, KV * Dh), jnp.bfloat16),
+        'kv': jnp.zeros((L, num_blocks, 2, BLK, KV * Dh), jnp.bfloat16),
     }
 
 
@@ -102,8 +104,9 @@ def scatter_kv_all(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
                    active):
     """Write ALL layers' quantized windows in one scatter per pool array:
     k/v_all (L, B, T, KV, Dh); ks/vs_all (L, B, T, KV) | None. The block
-    rows are layer-independent, so batching layers turns 4L scatters into
-    4 (scatter launch overhead on TPU is per-op, not per-element)."""
+    rows are layer-independent, so batching layers turns per-layer
+    scatters into 2 (scatter launch overhead on TPU is per-op, not
+    per-element). K lands in plane 0 of the fused pool, V in plane 1."""
     L, B, T, KV, Dh = k_all.shape
     pos = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]  # (B,T)
     blk = pos // BLK
@@ -112,16 +115,21 @@ def scatter_kv_all(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
     if active is not None:
         rows = jnp.where(active[:, None], rows, 0)
     out = dict(pools)
-    out['k'] = pools['k'].at[:, rows, off].set(
-        k_all.reshape(L, B, T, KV * Dh).astype(pools['k'].dtype))
-    out['v'] = pools['v'].at[:, rows, off].set(
-        v_all.reshape(L, B, T, KV * Dh).astype(pools['v'].dtype))
+    dt = pools['kv'].dtype
+    # one scatter over a fused (B, T, 2, ...) update: plane index rides as
+    # a broadcast coordinate next to the block row
+    kv_new = jnp.stack([k_all.reshape(L, B, T, KV * Dh),
+                        v_all.reshape(L, B, T, KV * Dh)],
+                       axis=3).astype(dt)                # (L, B, T, 2, KVDh)
+    plane = jnp.arange(2, dtype=jnp.int32)[None, None]   # (1, 1, 2)
+    out['kv'] = pools['kv'].at[:, rows[..., None], plane,
+                               off[..., None]].set(kv_new)
     if ks_all is not None:
-        kv_idx = jnp.arange(KV)[None, None]
-        out['k_scale'] = pools['k_scale'].at[
-            :, rows[..., None], kv_idx, off[..., None]].set(ks_all)
-        out['v_scale'] = pools['v_scale'].at[
-            :, rows[..., None], kv_idx, off[..., None]].set(vs_all)
+        sc_new = jnp.stack([ks_all, vs_all], axis=3)     # (L, B, T, 2, KV)
+        kv_idx = jnp.arange(KV)[None, None, None]        # (1, 1, 1, KV)
+        out['kv_scale'] = pools['kv_scale'].at[
+            :, rows[..., None, None], plane[..., None], kv_idx,
+            off[..., None, None]].set(sc_new)
     return out
 
 
@@ -142,23 +150,22 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
     x = params['embed'][tokens]
     causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])  # (T, T)
     write_pos = jnp.zeros((B,), jnp.int32)
+    r_cos, r_sin = rope_tables(positions, cfg.rope_theta, Dh)
     k_layers, v_layers, ks_layers, vs_layers = [], [], [], []
 
     for li, layer in enumerate(params['layers']):
         h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
-        q = qmatmul(h, layer['wq'], pallas=pall).reshape(B, T, H, Dh)
-        k = qmatmul(h, layer['wk'], pallas=pall).reshape(B, T, KV, Dh)
-        v = qmatmul(h, layer['wv'], pallas=pall).reshape(B, T, KV, Dh)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q, k, v = project_qkv(h, layer, cfg, pall)
+        q = rope_apply(q, r_cos, r_sin)
+        k = rope_apply(k, r_cos, r_sin)
         if int8_cache:
             k_q, k_s = _kv_quant(k)
             v_q, v_s = _kv_quant(v)
             ks_layers.append(k_s)
             vs_layers.append(v_s)
         else:
-            k_q, v_q = (k.astype(pools['k'].dtype),
-                        v.astype(pools['v'].dtype))
+            k_q, v_q = (k.astype(pools['kv'].dtype),
+                        v.astype(pools['kv'].dtype))
             k_s = v_s = None
         k_layers.append(k_q)
         v_layers.append(v_q)
@@ -196,38 +203,39 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
 
 # ------------------------------------------------------------- decode ------
 
-def paged_decode_xla(q, k_pool, v_pool, ks, vs, tables, seq_lens):
+def paged_decode_xla(q, kv_pool, kv_scale, tables, seq_lens):
     """Gather-based paged decode read in plain XLA: same contract as
-    kernels.paged_attention.paged_attention_decode (returns the
+    kernels.paged_attention.paged_attention_decode_fused (returns the
     UNNORMALIZED flash-decoding triple (acc, m, l)) but GSPMD-shardable —
     pallas_call cannot be partitioned over sharded operands, so multi-
     device meshes take this path. The gather indexes the pool's block
     axis (never sharded); the KV*Dh axis may be tp-sharded and the
     reshape/einsums below partition cleanly over it.
 
-    q: (B, KV, rep, Dh); pools (NB, BLK, KV*Dh); scales (NB, KV, BLK)|None;
-    tables (B, MB); seq_lens (B,).
+    q: (B, KV, rep, Dh); kv_pool (NB, 2, BLK, KV*Dh);
+    kv_scale (NB, 2, KV, BLK)|None; tables (B, MB); seq_lens (B,).
     """
     B, KV, rep, Dh = q.shape
-    NB, BLKp, KVDh = k_pool.shape
+    NB, _, BLKp, KVDh = kv_pool.shape
     MB = tables.shape[1]
     S = MB * BLKp
-    kp = k_pool[tables].reshape(B, S, KV, Dh)            # (B,MB,BLK,KV*Dh)
-    vp = v_pool[tables].reshape(B, S, KV, Dh)
+    kvp = kv_pool[tables]                         # (B, MB, 2, BLK, KVDh)
+    kp = kvp[:, :, 0].reshape(B, S, KV, Dh)
+    vp = kvp[:, :, 1].reshape(B, S, KV, Dh)
     s = jnp.einsum('bkrd,bskd->bkrs', q.astype(jnp.bfloat16),
                    kp.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
-    if ks is not None:
-        # (B, MB, KV, BLK) -> (B, KV, S)
-        kss = ks[tables].transpose(0, 2, 1, 3).reshape(B, KV, S)
+    if kv_scale is not None:
+        scp = kv_scale[tables]                    # (B, MB, 2, KV, BLK)
+        kss = scp[:, :, 0].transpose(0, 2, 1, 3).reshape(B, KV, S)
         s = s * kss[:, :, None, :]
     valid = (jnp.arange(S)[None, :] < seq_lens[:, None])[:, None, None, :]
     s = jnp.where(valid, s / np.sqrt(Dh), -1e30)
     m = jnp.max(s, axis=-1)
     p = jnp.exp(s - m[..., None])
     l = jnp.sum(p, axis=-1)
-    if vs is not None:
-        vss = vs[tables].transpose(0, 2, 1, 3).reshape(B, KV, S)
+    if kv_scale is not None:
+        vss = scp[:, :, 1].transpose(0, 2, 1, 3).reshape(B, KV, S)
         p = p * vss[:, :, None, :]
     acc = jnp.einsum('bkrs,bskd->bkrd', p.astype(jnp.bfloat16),
                      vp.astype(jnp.bfloat16),
@@ -244,7 +252,7 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     small per-layer buffers, ONE scatter per layer at burst end. Mirrors
     model.burst_forward's ragged path with real block tables."""
     from ..kernels.paged_attention import (merge_attention,
-                                           paged_attention_decode)
+                                           paged_attention_decode_fused)
     L = len(params['layers'])
     B = tokens.shape[0]
     n = keys.shape[0]
@@ -263,13 +271,11 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     # pre-slice the per-layer pool slabs OUTSIDE the scan: a slice feeding
     # a custom_call inside the loop body is not reliably hoisted, and an
     # un-hoisted copy of every layer's pool per step would dwarf the math
-    k_slabs = [pools['k'][li] for li in range(L)]
-    v_slabs = [pools['v'][li] for li in range(L)]
+    kv_slabs = [pools['kv'][li] for li in range(L)]
     if int8_cache:
-        ks_slabs = [pools['k_scale'][li] for li in range(L)]
-        vs_slabs = [pools['v_scale'][li] for li in range(L)]
+        sc_slabs = [pools['kv_scale'][li] for li in range(L)]
     else:
-        ks_slabs = vs_slabs = [None] * L
+        sc_slabs = [None] * L
 
     def step(carry, key):
         cur_tok, kbuf, vbuf, ksb, vsb, i = carry
@@ -277,13 +283,13 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
         ksb, vsb = list(ksb), list(vsb)
         pos = seq_lens + i
         x = params['embed'][cur_tok][:, None, :]
+        # rope tables are layer-independent: ONE build per step
+        r_cos, r_sin = rope_tables(pos[:, None], cfg.rope_theta, Dh)
         for li, layer in enumerate(params['layers']):
             h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
-            q = qmatmul(h, layer['wq'], pallas=pall).reshape(B, 1, H, Dh)
-            k = qmatmul(h, layer['wk'], pallas=pall).reshape(B, 1, KV, Dh)
-            v = qmatmul(h, layer['wv'], pallas=pall).reshape(B, 1, KV, Dh)
-            q = rope(q, pos[:, None], cfg.rope_theta)
-            k = rope(k, pos[:, None], cfg.rope_theta)
+            q, k, v = project_qkv(h, layer, cfg, pall)
+            q = rope_apply(q, r_cos, r_sin)
+            k = rope_apply(k, r_cos, r_sin)
             if int8_cache:
                 k_q, k_s = _kv_quant(k)
                 v_q, v_s = _kv_quant(v)
@@ -300,14 +306,13 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
 
             q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
             if use_kernel:
-                acc_f, m_f, l_f = paged_attention_decode(
-                    q_g[:, 0], k_slabs[li], v_slabs[li],
-                    ks_slabs[li], vs_slabs[li],
+                acc_f, m_f, l_f = paged_attention_decode_fused(
+                    q_g[:, 0], kv_slabs[li], sc_slabs[li],
                     tables, seq_lens, interpret=ragged_interpret)
             else:
                 acc_f, m_f, l_f = paged_decode_xla(
-                    q_g[:, 0], k_slabs[li], v_slabs[li],
-                    ks_slabs[li], vs_slabs[li], tables, seq_lens)
+                    q_g[:, 0], kv_slabs[li], sc_slabs[li],
+                    tables, seq_lens)
             lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
                             kbuf[li].astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
@@ -380,30 +385,29 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
     tbl_p = tables[:, :prefix_blocks]                           # (B, P)
     k_layers, v_layers, ks_layers, vs_layers = [], [], [], []
 
+    r_cos, r_sin = rope_tables(positions, cfg.rope_theta, Dh)
     for li, layer in enumerate(params['layers']):
         h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
-        q = qmatmul(h, layer['wq'], pallas=pall).reshape(B, T, H, Dh)
-        k = qmatmul(h, layer['wk'], pallas=pall).reshape(B, T, KV, Dh)
-        v = qmatmul(h, layer['wv'], pallas=pall).reshape(B, T, KV, Dh)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
+        q, k, v = project_qkv(h, layer, cfg, pall)
+        q = rope_apply(q, r_cos, r_sin)
+        k = rope_apply(k, r_cos, r_sin)
         if int8_cache:
             k_q, k_s = _kv_quant(k)
             v_q, v_s = _kv_quant(v)
         else:
-            k_q, v_q = (k.astype(pools['k'].dtype),
-                        v.astype(pools['v'].dtype))
+            k_q, v_q = (k.astype(pools['kv'].dtype),
+                        v.astype(pools['kv'].dtype))
             k_s = v_s = None
         # gather the written prefix (all scatters defer to the end, so the
         # gather reads pre-chunk pool state; the chunk's own K/V join via
         # the dense within-window term)
-        kp = pools['k'][li][tbl_p].reshape(B, Sp, KV, Dh)
-        vp = pools['v'][li][tbl_p].reshape(B, Sp, KV, Dh)
+        kvp = pools['kv'][li][tbl_p]              # (B, P, 2, BLK, KVDh)
+        kp = kvp[:, :, 0].reshape(B, Sp, KV, Dh)
+        vp = kvp[:, :, 1].reshape(B, Sp, KV, Dh)
         if int8_cache:
-            kps = pools['k_scale'][li][tbl_p].transpose(0, 2, 1, 3) \
-                .reshape(B, KV, Sp)                             # (B,KV,Sp)
-            vps = pools['v_scale'][li][tbl_p].transpose(0, 2, 1, 3) \
-                .reshape(B, KV, Sp)
+            scp = pools['kv_scale'][li][tbl_p]    # (B, P, 2, KV, BLK)
+            kps = scp[:, :, 0].transpose(0, 2, 1, 3).reshape(B, KV, Sp)
+            vps = scp[:, :, 1].transpose(0, 2, 1, 3).reshape(B, KV, Sp)
         k_layers.append(k_q)
         v_layers.append(v_q)
         if int8_cache:

@@ -493,7 +493,8 @@ class TestPagedMultiDevice:
         merged context (frozen triple + a small buffer part) — the empty-
         sequence row differs in raw (acc, m, l) convention but merges to
         the identical zero contribution."""
-        from ppq_tpu.kernels.paged_attention import (merge_attention,
+        from ppq_tpu.kernels.paged_attention import (fuse_pools,
+                                                     merge_attention,
                                                      paged_attention_decode)
         from ppq_tpu.serving.paged import paged_decode_xla
         rng = np.random.default_rng(11)
@@ -518,7 +519,8 @@ class TestPagedMultiDevice:
 
         t_kernel = paged_attention_decode(q.astype(jnp.bfloat16), kp, vp,
                                           ks, vs, tbl, lens, interpret=True)
-        t_xla = paged_decode_xla(q, kp, vp, ks, vs, tbl, lens)
+        kv_pool, kv_scale = fuse_pools(kp, vp, ks, vs)
+        t_xla = paged_decode_xla(q, kv_pool, kv_scale, tbl, lens)
         want = np.asarray(merge_attention([t_kernel, (acc_b, m_b, l_b)]))
         got = np.asarray(merge_attention([t_xla, (acc_b, m_b, l_b)]))
         err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
