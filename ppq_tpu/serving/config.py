@@ -48,13 +48,19 @@ class LlamaConfig:
     use_ragged_attention: Optional[bool] = None
     ragged_interpret: bool = False          # test-only: interpreted kernel
 
-    # Paged KV cache (serving/paged.py): sequences draw 128-token blocks
-    # from a shared pool instead of reserving max_batch x max_seq_len up
-    # front. kv_pool_blocks counts pool blocks INCLUDING the reserved
-    # trash block (None = max_batch * max_seq_len / 128 + 1, i.e. the same
-    # worst-case memory as the contiguous cache).
+    # Paged KV cache (serving/paged.py): sequences draw kv_block_size-token
+    # blocks from a shared pool instead of reserving max_batch x
+    # max_seq_len up front. kv_pool_blocks counts pool blocks INCLUDING
+    # the reserved trash block (None = max_batch * max_seq_len /
+    # kv_block_size + 1, i.e. the same worst-case memory as the contiguous
+    # cache). Block size trades allocation granularity (avg half a block
+    # wasted per sequence — KB, irrelevant at TPU HBM scale) against DMA
+    # transaction count in the decode kernel, whose measured cost driver
+    # is per-(slot, block) overhead (~0.2-0.4us/step): on v5e the kernel
+    # hits 47%/65%/70% of the HBM roofline at 128/256/512 at fill 1024.
     paged_kv: bool = False
     kv_pool_blocks: Optional[int] = None
+    kv_block_size: int = 256
 
     # longest single decode burst program: the in-burst buffer costs O(n)
     # per step (reads + carry updates); bursts beyond this chunk into

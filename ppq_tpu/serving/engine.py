@@ -205,7 +205,12 @@ class ServingEngine:
         self.params = params
         self._paged = bool(cfg.paged_kv)
         if self._paged:
-            from .paged import BLK, BlockAllocator
+            from .paged import BlockAllocator
+            # clamp to the window: a block never needs to span more than
+            # max_seq_len (keeps short-context configs valid under the
+            # perf-default 256 granularity)
+            BLK = min(getattr(cfg, 'kv_block_size', 128), cfg.max_seq_len)
+            cfg.kv_block_size = BLK
             # paged + multi-device: dp/tp meshes shard the pools over the
             # kv-head axis and decode reads take the GSPMD-shardable XLA
             # gather path (paged_decode_xla); pp/sp shard the layer/seq
@@ -217,8 +222,9 @@ class ServingEngine:
                 if cfg.n_kv_heads % shape.get('tp', 1) != 0:
                     raise ValueError('paged_kv + tp needs n_kv_heads % tp '
                                      '== 0')
-            if cfg.max_seq_len % BLK:
-                raise ValueError('paged_kv needs max_seq_len % 128 == 0')
+            if BLK % 128 or cfg.max_seq_len % BLK:
+                raise ValueError('paged_kv needs kv_block_size % 128 == 0 '
+                                 'and max_seq_len % kv_block_size == 0')
             if self._paged_kernel and cfg.head_dim % 128:
                 raise ValueError('paged_kv kernel path needs head_dim % '
                                  '128 == 0')
@@ -226,7 +232,7 @@ class ServingEngine:
             n_blocks = cfg.kv_pool_blocks or \
                 (cfg.max_batch * mb_per_seq + 1)
             self._alloc = BlockAllocator(n_blocks, cfg.max_batch,
-                                         mb_per_seq)
+                                         mb_per_seq, block_size=BLK)
         self.cache = self._new_cache()
         B = cfg.max_batch
         self.slot_len = np.zeros(B, np.int64)        # tokens in cache per slot
@@ -238,10 +244,12 @@ class ServingEngine:
     # --------------------------------------------------------------- state
     def _new_cache(self):
         if getattr(self, '_paged', False):
-            from .paged import BLK, BlockAllocator, init_paged_pools
+            from .paged import BlockAllocator, init_paged_pools
+            BLK = self._alloc.block_size
             self._alloc = BlockAllocator(self._alloc.num_blocks,
                                          self.cfg.max_batch,
-                                         self.cfg.max_seq_len // BLK)
+                                         self.cfg.max_seq_len // BLK,
+                                         block_size=BLK)
             pools = init_paged_pools(self.cfg, self._alloc.num_blocks)
             if self.mesh is not None and \
                     dict(self.mesh.shape).get('tp', 1) > 1:
@@ -457,7 +465,7 @@ class ServingEngine:
         pool in chunk-size pieces; the gathered-prefix width is bucketed
         to powers of two to bound recompiles. Returns the first generated
         token as a DEVICE scalar."""
-        from .paged import BLK
+        BLK = self._alloc.block_size
         B = self.cfg.max_batch
         chunk = self.cfg.prefill_buckets[-1]
         n = len(req.prompt)
@@ -507,7 +515,7 @@ class ServingEngine:
     def _paged_decode(self, n: int, cur_tok, seq_lens, step_key, active):
         """Dispatch one paged decode burst (n >= 1): grow each active
         slot's block list to cover the burst, ship the tables, run."""
-        from .paged import BLK
+        BLK = self._alloc.block_size
         for slot in active:
             self._alloc.ensure(slot, int(self.slot_len[slot]) + n)
         tables = self._alloc.tables()

@@ -3,7 +3,8 @@
 New TPU-native capability (no reference analogue — PPQ is a quantization
 compiler; SURVEY.md §2.11 north star). The contiguous cache reserves
 max_batch x max_seq_len slots up front; the paged cache backs every
-sequence with 128-token blocks drawn from a shared pool, so HBM holds
+sequence with cfg.kv_block_size-token blocks drawn from a shared pool, so
+HBM holds
 `kv_pool_blocks` blocks total and a slot only consumes what it has
 actually generated. Sequences of wildly different lengths share the pool,
 which is what lets a serving deployment run bigger batches / longer
@@ -36,7 +37,15 @@ from .config import LlamaConfig
 from .model import (Params, _kv_quant, mlp, project_qkv, qmatmul,
                     rms_norm, rope_apply, rope_tables)
 
+# Default pool block size; production paths read cfg.kv_block_size (the
+# engine) or the pool's actual shape — this constant only serves legacy
+# callers/tests that predate the configurable granularity.
 BLK = 128
+
+
+def pool_block_size(pools: Dict) -> int:
+    """Token granularity of an allocated pool (its BLK axis)."""
+    return pools['kv'].shape[3]
 
 
 # ---------------------------------------------------------- pool + tables --
@@ -45,14 +54,15 @@ def init_paged_pools(cfg: LlamaConfig, num_blocks: int) -> Dict:
     """Allocate the shared block pools (kernel-fused layout). num_blocks
     INCLUDES the reserved trash block 0."""
     L, KV, Dh = cfg.n_layers, cfg.n_kv_heads, cfg.head_dim
+    blk = getattr(cfg, 'kv_block_size', BLK)
     if cfg.kv_cache_bits == 8:
         return {
-            'kv': jnp.zeros((L, num_blocks, 2, BLK, KV * Dh), jnp.int8),
-            'kv_scale': jnp.zeros((L, num_blocks, 2, KV, BLK),
+            'kv': jnp.zeros((L, num_blocks, 2, blk, KV * Dh), jnp.int8),
+            'kv_scale': jnp.zeros((L, num_blocks, 2, KV, blk),
                                   jnp.float32),
         }
     return {
-        'kv': jnp.zeros((L, num_blocks, 2, BLK, KV * Dh), jnp.bfloat16),
+        'kv': jnp.zeros((L, num_blocks, 2, blk, KV * Dh), jnp.bfloat16),
     }
 
 
@@ -61,11 +71,12 @@ class BlockAllocator:
     trash block. Tracks each slot's logical->physical block list."""
 
     def __init__(self, num_blocks: int, max_batch: int, max_blocks_per_seq:
-                 int):
+                 int, block_size: int = BLK):
         self.num_blocks = num_blocks
         self.free: List[int] = list(range(num_blocks - 1, 0, -1))
         self.slot_blocks: List[List[int]] = [[] for _ in range(max_batch)]
         self.max_blocks_per_seq = max_blocks_per_seq
+        self.block_size = block_size
 
     @property
     def free_blocks(self) -> int:
@@ -73,7 +84,7 @@ class BlockAllocator:
 
     def ensure(self, slot: int, tokens: int) -> None:
         """Grow slot's block list to cover `tokens` positions."""
-        need = -(-tokens // BLK)
+        need = -(-tokens // self.block_size)
         if need > self.max_blocks_per_seq:
             raise ValueError(f'sequence needs {need} blocks > '
                              f'max {self.max_blocks_per_seq}')
@@ -108,9 +119,10 @@ def scatter_kv_all(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
     scatters into 2 (scatter launch overhead on TPU is per-op, not
     per-element). K lands in plane 0 of the fused pool, V in plane 1."""
     L, B, T, KV, Dh = k_all.shape
+    blk_sz = pool_block_size(pools)
     pos = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]  # (B,T)
-    blk = pos // BLK
-    off = pos % BLK
+    blk = pos // blk_sz
+    off = pos % blk_sz
     rows = jnp.take_along_axis(tables, blk, axis=1)
     if active is not None:
         rows = jnp.where(active[:, None], rows, 0)
@@ -261,6 +273,7 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     int8_cache = cfg.kv_cache_bits == 8
     pall = bool(getattr(cfg, 'use_pallas_matmul', False))
     buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
+    blk_sz = pool_block_size(pools)
 
     kbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
     vbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
@@ -308,7 +321,8 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
             if use_kernel:
                 acc_f, m_f, l_f = paged_attention_decode_fused(
                     q_g[:, 0], kv_slabs[li], sc_slabs[li],
-                    tables, seq_lens, interpret=ragged_interpret)
+                    tables, seq_lens, block_size=blk_sz,
+                    interpret=ragged_interpret)
             else:
                 acc_f, m_f, l_f = paged_decode_xla(
                     q_g[:, 0], kv_slabs[li], sc_slabs[li],
@@ -371,7 +385,7 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
     rep = H // KV
     int8_cache = cfg.kv_cache_bits == 8
     pall = bool(getattr(cfg, 'use_pallas_matmul', False))
-    Sp = prefix_blocks * BLK
+    Sp = prefix_blocks * pool_block_size(pools)
     positions = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
     x = params['embed'][tokens]
     # within-chunk causal + prefix mask: query t (abs pos positions[b,t])

@@ -366,9 +366,31 @@ class TestPagedKVCache:
                           max_seq_len=256, max_batch=2,
                           prefill_buckets=(128,))
         cfg.ragged_interpret = True
+        # 128-token granularity so max_seq_len spans MULTIPLE blocks —
+        # the tests below exercise table walks / exhaustion, which the
+        # perf-default 256 would collapse to one block per sequence here
+        cfg.kv_block_size = 128
         for k, v in kw.items():
             setattr(cfg, k, v)
         return cfg
+
+    def test_paged_block_size_256_matches_dense(self):
+        """Coarser pool granularity (kv_block_size=256 over a 512-token
+        window) is pure layout: generation must match the dense cache."""
+        cfg0 = self._cfg(use_ragged_attention=False, max_seq_len=512)
+        params = init_llama_params(cfg0, seed=46)
+
+        def gen(cfg):
+            eng = ServingEngine(cfg, params)
+            reqs = [Request(i, [2 + i, 5, 9, 11], max_new_tokens=8)
+                    for i in range(2)]
+            eng.run(reqs, sync_every=4)
+            return [r.generated for r in reqs]
+
+        dense = gen(cfg0)
+        paged = gen(self._cfg(paged_kv=True, max_seq_len=512,
+                              kv_block_size=256))
+        assert dense == paged
 
     def test_paged_generation_matches_dense(self):
         params = init_llama_params(self._cfg(), seed=41)
@@ -430,6 +452,7 @@ class TestPagedChunkedPrefill:
                           max_seq_len=256, max_batch=2,
                           prefill_buckets=(16,))
         cfg.ragged_interpret = True
+        cfg.kv_block_size = 128     # multi-block chunk streaming coverage
         return cfg
 
     def test_chunk_prefill_logits_match_dense_forward(self):
