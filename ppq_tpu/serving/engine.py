@@ -867,7 +867,7 @@ class ServingEngine:
 
     def benchmark_decode(self, batch: Optional[int] = None, steps: int = 50,
                          warmup: int = 5, burst: Optional[int] = 32,
-                         repeats: int = 3) -> Dict[str, float]:
+                         repeats: int = 3, fill: int = 16) -> Dict[str, float]:
         """Steady-state decode throughput (tokens/sec) at full batch.
 
         Measures the BURST path (the production decode mode), takes the
@@ -879,17 +879,31 @@ class ServingEngine:
         magnitude (observed in round 1: a chained per-step loop 'measured'
         5x above the HBM weight-read roofline). Fetching the data is the
         only sync a tunnel cannot fake.
+
+        `fill` sets every slot's pre-existing cache occupancy: 16 is the
+        near-empty flattering case; pass e.g. max_seq_len//2 for a
+        mid-generation steady state that pays real KV read traffic.
         """
         B = self.cfg.max_batch
         cache = self._new_cache()
         tokens = jnp.zeros((B,), jnp.int32)
-        seq_lens = jnp.full((B,), 16, jnp.int32)
+        seq_lens = jnp.full((B,), fill, jnp.int32)
         key = jax.random.PRNGKey(0)
         if self._paged:
             n = burst if burst and burst > 1 else 1
             for slot in range(B):
-                self._alloc.ensure(slot, 16 + n)
-            tables = jnp.asarray(self._alloc.tables())
+                self._alloc.ensure(slot, fill + n)
+            # bucket the table width to the fill exactly like the run
+            # loop (_paged_decode): full-width tables cost an idle grid
+            # step per unused block per slot (~0.2us each — measured 122
+            # vs 11 us/call at fill 16 with 8-wide vs 1-wide tables)
+            blk = self._alloc.block_size
+            mb_need = max(1, -(-(fill + n) // blk))
+            mb = 1
+            while mb < mb_need:
+                mb *= 2
+            mb = min(mb, self._alloc.max_blocks_per_seq)
+            tables = jnp.asarray(self._alloc.tables()[:, :mb])
             fn = self._build_decode_burst_paged(n)
             n_bursts = max(1, steps // n)
             toks, cache = fn(self.params, cache, tokens, seq_lens, tables,
@@ -908,7 +922,7 @@ class ServingEngine:
                     'batch': B}
         if burst and burst > 1:
             fn = self._build_decode_burst(
-                burst, self._decode_bucket(16 + burst))
+                burst, self._decode_bucket(fill + burst))
             n_bursts = max(1, steps // burst)
             toks, cache = fn(self.params, cache, tokens, seq_lens, key)
             np.asarray(toks)                      # warm + full sync

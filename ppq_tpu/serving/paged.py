@@ -275,11 +275,19 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
     blk_sz = pool_block_size(pools)
 
-    kbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
-    vbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
-    # buffer scales transposed (B, KV, n) — fused-kernel layout
-    ksb0 = tuple(jnp.zeros((B, KV, n), jnp.float32) for _ in range(L))
-    vsb0 = tuple(jnp.zeros((B, KV, n), jnp.float32) for _ in range(L))
+    # In-burst buffers are STACKED over layers and updated with ONE
+    # dynamic_update_slice per kind per step (profiled: 64 per-layer
+    # updates/step cost ~0.6ms in copies+slice-updates at L=16, B=64 —
+    # the updates themselves are tiny, the launches are not). The current
+    # step's K/V therefore isn't in the buffer yet when attention runs;
+    # it joins as an explicit SELF part in the partial-softmax merge
+    # (p = exp(s-m) = 1, l = 1 — exactly the column the buffer softmax
+    # would have contributed, so the math is unchanged).
+    kbuf0 = jnp.zeros((L, B, n, KV, Dh), buf_dtype)
+    vbuf0 = jnp.zeros((L, B, n, KV, Dh), buf_dtype)
+    # buffer scales transposed (L, B, KV, n) — fused-kernel layout
+    ksb0 = jnp.zeros((L, B, KV, n), jnp.float32)
+    vsb0 = jnp.zeros((L, B, KV, n), jnp.float32)
     buf_ids = jnp.arange(n)[None, None, None, :]             # (1,1,1,n)
     # pre-slice the per-layer pool slabs OUTSIDE the scan: a slice feeding
     # a custom_call inside the loop body is not reliably hoisted, and an
@@ -292,30 +300,25 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
 
     def step(carry, key):
         cur_tok, kbuf, vbuf, ksb, vsb, i = carry
-        kbuf, vbuf = list(kbuf), list(vbuf)
-        ksb, vsb = list(ksb), list(vsb)
         pos = seq_lens + i
         x = params['embed'][cur_tok][:, None, :]
         # rope tables are layer-independent: ONE build per step
         r_cos, r_sin = rope_tables(pos[:, None], cfg.rope_theta, Dh)
+        k_new, v_new, ks_new, vs_new = [], [], [], []
         for li, layer in enumerate(params['layers']):
             h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
             q, k, v = project_qkv(h, layer, cfg, pall)
             q = rope_apply(q, r_cos, r_sin)
             k = rope_apply(k, r_cos, r_sin)
             if int8_cache:
-                k_q, k_s = _kv_quant(k)
+                k_q, k_s = _kv_quant(k)              # (B,1,KV,Dh), (B,1,KV)
                 v_q, v_s = _kv_quant(v)
-                ksb[li] = jax.lax.dynamic_update_slice(
-                    ksb[li], k_s.transpose(0, 2, 1), (0, 0, i))
-                vsb[li] = jax.lax.dynamic_update_slice(
-                    vsb[li], v_s.transpose(0, 2, 1), (0, 0, i))
+                ks_new.append(k_s)
+                vs_new.append(v_s)
             else:
                 k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
-            kbuf[li] = jax.lax.dynamic_update_slice(kbuf[li], k_q,
-                                                    (0, i, 0, 0))
-            vbuf[li] = jax.lax.dynamic_update_slice(vbuf[li], v_q,
-                                                    (0, i, 0, 0))
+            k_new.append(k_q)
+            v_new.append(v_q)
 
             q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
             if use_kernel:
@@ -327,13 +330,14 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
                 acc_f, m_f, l_f = paged_decode_xla(
                     q_g[:, 0], kv_slabs[li], sc_slabs[li],
                     tables, seq_lens)
+            # buffer part: columns [0, i) — the current step joins below
             lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
                             kbuf[li].astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
             lb = lb[:, :, :, 0, :]
             if int8_cache:
                 lb = lb * ksb[li][:, :, None, :]
-            lb = jnp.where(buf_ids <= i, lb / np.sqrt(Dh), -1e30)
+            lb = jnp.where(buf_ids < i, lb / np.sqrt(Dh), -1e30)
             m_b = jnp.max(lb, axis=-1)
             p_b = jnp.exp(lb - m_b[..., None])
             l_b = jnp.sum(p_b, axis=-1)
@@ -342,17 +346,40 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
             acc_b = jnp.einsum('bkrj,bjkd->bkrd', p_b.astype(jnp.bfloat16),
                                vbuf[li].astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
-            ctx = merge_attention([(acc_f, m_f, l_f), (acc_b, m_b, l_b)])
+            # self part: this step's own (quantized) K/V column
+            m_s = jnp.einsum('bkrd,bkd->bkr', q_g[:, 0],
+                             k_q[:, 0].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            if int8_cache:
+                m_s = m_s * k_s[:, 0][:, :, None]
+            m_s = m_s / np.sqrt(Dh)
+            l_s = jnp.ones_like(m_s)
+            acc_s = jnp.broadcast_to(
+                v_q[:, 0].astype(jnp.float32)[:, :, None, :],
+                (B, KV, rep, Dh))
+            if int8_cache:
+                acc_s = acc_s * v_s[:, 0][:, :, None, None]
+            ctx = merge_attention([(acc_f, m_f, l_f), (acc_b, m_b, l_b),
+                                   (acc_s, m_s, l_s)])
             ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
             x = x + qmatmul(ctx, layer['wo'], pallas=pall)
             h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
             x = x + mlp(h, layer, cfg)
+        # ONE buffer update per kind: all layers' new columns land at i
+        kbuf = jax.lax.dynamic_update_slice(
+            kbuf, jnp.stack(k_new), (0, 0, i, 0, 0))
+        vbuf = jax.lax.dynamic_update_slice(
+            vbuf, jnp.stack(v_new), (0, 0, i, 0, 0))
+        if int8_cache:
+            ksb = jax.lax.dynamic_update_slice(
+                ksb, jnp.stack(ks_new).transpose(0, 1, 3, 2), (0, 0, 0, i))
+            vsb = jax.lax.dynamic_update_slice(
+                vsb, jnp.stack(vs_new).transpose(0, 1, 3, 2), (0, 0, 0, i))
         x = rms_norm(x, params['final_norm'], cfg.rms_eps)
         logits = qmatmul(x, params['lm_head'],
                          pallas=pall).astype(jnp.float32)
         nxt = select_fn(logits[:, 0, :], key)
-        return (nxt, tuple(kbuf), tuple(vbuf), tuple(ksb), tuple(vsb),
-                i + 1), nxt
+        return (nxt, kbuf, vbuf, ksb, vsb, i + 1), nxt
 
     (_, kbuf, vbuf, ksb, vsb, _), toks = jax.lax.scan(
         step, (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0)), keys)
@@ -360,9 +387,9 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     # ONE scatter per pool array: burst K/V land at seq_lens..seq_lens+n-1
     # (scales transpose back to the scatter's (L, B, T, KV) layout)
     pools = scatter_kv_all(
-        pools, jnp.stack(kbuf), jnp.stack(vbuf),
-        jnp.stack(ksb).transpose(0, 1, 3, 2) if int8_cache else None,
-        jnp.stack(vsb).transpose(0, 1, 3, 2) if int8_cache else None,
+        pools, kbuf, vbuf,
+        ksb.transpose(0, 1, 3, 2) if int8_cache else None,
+        vsb.transpose(0, 1, 3, 2) if int8_cache else None,
         tables, seq_lens, None)
     return toks, pools
 
