@@ -101,11 +101,19 @@ def identity_block_tables(B: int, S: int, block_size: int = 128):
 
 # ------------------------------------------------------------------ kernel --
 
-def _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache, scales_full):
+def _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache, scales_full,
+                 layered):
     R = KV * rep
 
-    def kernel(tbl_ref, lens_ref, qb_ref, kv_ref, sc_ref,
-               acc_o, ml_o, accw_s, ms, ls):
+    def kernel(*refs):
+        if layered:
+            (tbl_ref, lens_ref, _lay_ref, qb_ref, kv_ref, sc_ref,
+             acc_o, ml_o, accw_s, ms, ls) = refs
+            kv_k, kv_v = kv_ref[0, 0, 0], kv_ref[0, 0, 1]
+        else:
+            (tbl_ref, lens_ref, qb_ref, kv_ref, sc_ref,
+             acc_o, ml_o, accw_s, ms, ls) = refs
+            kv_k, kv_v = kv_ref[0, 0], kv_ref[0, 1]
         j = pl.program_id(1)
         b = pl.program_id(0)
 
@@ -131,18 +139,24 @@ def _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache, scales_full):
             jj = jnp.clip(j, 0, jnp.maximum(nb - 1, 0))
             row = tbl_ref[b, jj]
 
+        def _sc(plane):
+            if layered:
+                return (sc_ref[0, row, plane] if scales_full
+                        else sc_ref[0, 0, plane])
+            return (sc_ref[row, plane] if scales_full
+                    else sc_ref[0, plane])
+
         @pl.when(n_valid > 0)
         def _():
             lane = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 1)
             mask = lane < n_valid
             inv_sqrt = np.float32(1.0 / np.sqrt(Dh))
             s = jax.lax.dot_general(
-                qb_ref[b], kv_ref[0, 0].astype(jnp.bfloat16),
+                qb_ref[b], kv_k.astype(jnp.bfloat16),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)          # (R, BLK)
             if int8_cache:
-                ks_src = sc_ref[row, 0] if scales_full else sc_ref[0, 0]
-                ks = jnp.broadcast_to(ks_src[:, None, :],
+                ks = jnp.broadcast_to(_sc(0)[:, None, :],
                                       (KV, rep, BLK)).reshape(R, BLK)
                 s = s * ks
             s = jnp.where(mask, s * inv_sqrt, NEG_INF)
@@ -153,12 +167,11 @@ def _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache, scales_full):
             p = jnp.exp(s - m_new)                           # (R, BLK)
             ls[:] = ls[:] * corr + jnp.sum(p, axis=1, keepdims=True)
             if int8_cache:
-                vs_src = sc_ref[row, 1] if scales_full else sc_ref[0, 1]
-                vs = jnp.broadcast_to(vs_src[:, None, :],
+                vs = jnp.broadcast_to(_sc(1)[:, None, :],
                                       (KV, rep, BLK)).reshape(R, BLK)
                 p = p * vs
             pv = jnp.dot(p.astype(jnp.bfloat16),
-                         kv_ref[0, 1].astype(jnp.bfloat16),
+                         kv_v.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)  # (R, KV*Dh)
             accw_s[:] = accw_s[:] * corr + pv   # off-diag garbage discarded
             ms[:] = m_new
@@ -186,15 +199,21 @@ _SCALES_FULL_MAX_BYTES = 6 * 1024 * 1024
 
 @functools.partial(jax.jit, static_argnames=('block_size', 'interpret'))
 def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
-                                 seq_lens, *, block_size: int = 128,
+                                 seq_lens, layer=None, *,
+                                 block_size: int = 128,
                                  interpret: bool = False):
     """One decode step of attention over a FUSED paged int8/bf16 KV pool.
 
     q:        (B, KV, rep, Dh) — grouped query heads, post-rope
-    kv_pool:  (NB, 2, BLK, KV*Dh) int8|bf16 — [k; v] per block row
-    kv_scale: (NB, 2, KV, BLK) f32 or None (bf16 pool)
+    kv_pool:  (NB, 2, BLK, KV*Dh) int8|bf16 — [k; v] per block row; OR
+              (L, NB, 2, BLK, KV*Dh) with `layer` selecting the slab
+    kv_scale: (NB, 2, KV, BLK) f32 (or L-leading) or None (bf16 pool)
     block_tables: (B, MB) int32 — pool row of each logical block
     seq_lens: (B,) int32 — tokens currently in each sequence
+    layer:    int32 scalar (device value OK) — required iff kv_pool has an
+              L axis. The kernel DMAs directly from that layer's slab, so
+              callers never slice the pool (slicing a multi-GB pool into
+              per-layer slabs materializes a full copy per burst).
 
     Returns (acc, m, l): acc (B, KV, rep, Dh) f32 unnormalized context,
     m/l (B, KV, rep) f32 running max / exp-sum. `acc / l` is the attention
@@ -203,15 +222,25 @@ def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
     empty contribution under merge_attention.
     """
     B, KV, rep, Dh = q.shape
-    NB, two, BLK, KVDh = kv_pool.shape
+    layered = kv_pool.ndim == 5
+    if layered:
+        assert layer is not None, 'layered pool needs a layer index'
+        L, NB, two, BLK, KVDh = kv_pool.shape
+    else:
+        NB, two, BLK, KVDh = kv_pool.shape
     assert KVDh == KV * Dh and BLK == block_size and two == 2, \
         (kv_pool.shape, q.shape, block_size)
     MB = block_tables.shape[1]
     int8_cache = kv_scale is not None
-    scales_full = (int8_cache
-                   and kv_scale.size * 4 <= _SCALES_FULL_MAX_BYTES)
+    # VMEM-resident scale budget is per LAYER slab (one transfer per call)
+    sc_slab_bytes = (kv_scale.size // (L if layered else 1) * 4
+                     if int8_cache else 0)
+    scales_full = int8_cache and sc_slab_bytes <= _SCALES_FULL_MAX_BYTES
     if not int8_cache:
-        kv_scale = jnp.ones((1, 2, KV, BLK), jnp.float32)
+        kv_scale = jnp.ones(((1,) if layered else ()) + (1, 2, KV, BLK),
+                            jnp.float32)
+
+    n_scalar = 3 if layered else 2
 
     def blk_idx(b, j, tbl, lens):
         nb = jax.lax.div(lens[b] + (BLK - 1), BLK)
@@ -221,54 +250,86 @@ def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
     def scale_idx(b, j, tbl, lens):
         return blk_idx(b, j, tbl, lens) if int8_cache else 0
 
-    if scales_full:
-        sc_spec = pl.BlockSpec(kv_scale.shape,
-                               lambda b, j, tbl, lens: (0, 0, 0, 0),
-                               memory_space=pltpu.VMEM)
+    if layered:
+        kv_spec = pl.BlockSpec(
+            (1, 1, 2, BLK, KVDh),
+            lambda b, j, tbl, lens, lay: (lay[0], blk_idx(b, j, tbl, lens),
+                                          0, 0, 0),
+            memory_space=pltpu.VMEM)
+        if scales_full:
+            sc_spec = pl.BlockSpec(
+                (1,) + kv_scale.shape[1:],
+                lambda b, j, tbl, lens, lay: (lay[0], 0, 0, 0, 0),
+                memory_space=pltpu.VMEM)
+        else:
+            sc_spec = pl.BlockSpec(
+                (1, 1, 2, KV, BLK),
+                lambda b, j, tbl, lens, lay:
+                (lay[0] if int8_cache else 0,
+                 scale_idx(b, j, tbl, lens), 0, 0, 0),
+                memory_space=pltpu.VMEM)
+        q_spec = pl.BlockSpec((B, KV * rep, KVDh),
+                              lambda b, j, tbl, lens, lay: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_specs = [
+            pl.BlockSpec((B, KV, rep, Dh),
+                         lambda b, j, tbl, lens, lay: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KV, rep, 2),
+                         lambda b, j, tbl, lens, lay: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     else:
-        sc_spec = pl.BlockSpec((1, 2, KV, BLK),
-                               lambda b, j, tbl, lens:
-                               (scale_idx(b, j, tbl, lens), 0, 0, 0),
-                               memory_space=pltpu.VMEM)
-
-    R = KV * rep
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, MB),
-        in_specs=[
-            pl.BlockSpec((B, R, KVDh),
-                         lambda b, j, tbl, lens: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, BLK, KVDh),
-                         lambda b, j, tbl, lens: (blk_idx(b, j, tbl, lens),
-                                                  0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            sc_spec,
-        ],
-        out_specs=[
+        kv_spec = pl.BlockSpec(
+            (1, 2, BLK, KVDh),
+            lambda b, j, tbl, lens: (blk_idx(b, j, tbl, lens), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        if scales_full:
+            sc_spec = pl.BlockSpec(kv_scale.shape,
+                                   lambda b, j, tbl, lens: (0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        else:
+            sc_spec = pl.BlockSpec((1, 2, KV, BLK),
+                                   lambda b, j, tbl, lens:
+                                   (scale_idx(b, j, tbl, lens), 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        q_spec = pl.BlockSpec((B, KV * rep, KVDh),
+                              lambda b, j, tbl, lens: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_specs = [
             pl.BlockSpec((B, KV, rep, Dh),
                          lambda b, j, tbl, lens: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, KV, rep, 2),
                          lambda b, j, tbl, lens: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+
+    R = KV * rep
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_scalar,
+        grid=(B, MB),
+        in_specs=[q_spec, kv_spec, sc_spec],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((R, KVDh), jnp.float32),     # wide accumulator
             pltpu.VMEM((R, 1), jnp.float32),        # running max
             pltpu.VMEM((R, 1), jnp.float32),        # running exp-sum
         ],
     )
+    scalars = [block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32)]
+    if layered:
+        scalars.append(jnp.asarray(layer, jnp.int32).reshape(1))
     acc, ml = pl.pallas_call(
-        _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache, scales_full),
+        _make_kernel(B, KV, rep, Dh, BLK, MB, int8_cache, scales_full,
+                     layered),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, KV, rep, Dh), jnp.float32),
             jax.ShapeDtypeStruct((B, KV, rep, 2), jnp.float32),
         ],
         interpret=interpret,
-    )(block_tables.astype(jnp.int32), seq_lens.astype(jnp.int32),
-      build_qblock(q), kv_pool, kv_scale)
+    )(*scalars, build_qblock(q), kv_pool, kv_scale)
     return acc, ml[..., 0], ml[..., 1]
 
 

@@ -128,20 +128,34 @@ def scatter_kv_all(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
         rows = jnp.where(active[:, None], rows, 0)
     out = dict(pools)
     dt = pools['kv'].dtype
-    # one scatter over a fused (B, T, 2, ...) update: plane index rides as
-    # a broadcast coordinate next to the block row
+    # one scatter over a fused (B, T, 2, ...) update. The layer axis is
+    # FOLDED INTO THE ROW INDICES (pool viewed as (L*NB, ...)): a scatter
+    # with a full leading L dim makes XLA's scatter fusion prefer an
+    # L-minor pool layout, and reconciling that against the attention
+    # kernel's per-layer slabs copied the ENTIRE pool twice per burst
+    # (2 x 4.3 GB at 1B-class config — 0.8 ms/step of pure layout copies
+    # in the decode profile). With L in the indices every update is a
+    # contiguous KVDh lane row and the pool keeps its default layout.
+    NB = pools['kv'].shape[1]
     kv_new = jnp.stack([k_all.reshape(L, B, T, KV * Dh),
                         v_all.reshape(L, B, T, KV * Dh)],
                        axis=3).astype(dt)                # (L, B, T, 2, KVDh)
-    plane = jnp.arange(2, dtype=jnp.int32)[None, None]   # (1, 1, 2)
-    out['kv'] = pools['kv'].at[:, rows[..., None], plane,
-                               off[..., None]].set(kv_new)
+    lrows = (jnp.arange(L, dtype=jnp.int32)[:, None, None] * NB
+             + rows[None])                               # (L, B, T)
+    plane = jnp.arange(2, dtype=jnp.int32)[None, None, None]  # (1, 1, 1, 2)
+    kv_flat = pools['kv'].reshape((L * NB,) + pools['kv'].shape[2:])
+    kv_flat = kv_flat.at[lrows[..., None], plane,
+                         off[None, :, :, None]].set(kv_new)
+    out['kv'] = kv_flat.reshape(pools['kv'].shape)
     if ks_all is not None:
         sc_new = jnp.stack([ks_all, vs_all], axis=3)     # (L, B, T, 2, KV)
-        kv_idx = jnp.arange(KV)[None, None, None]        # (1, 1, 1, KV)
-        out['kv_scale'] = pools['kv_scale'].at[
-            :, rows[..., None, None], plane[..., None], kv_idx,
-            off[..., None, None]].set(sc_new)
+        kv_idx = jnp.arange(KV)[None, None, None, None]  # (1, 1, 1, 1, KV)
+        sp = pools['kv_scale']
+        sc_flat = sp.reshape((L * NB,) + sp.shape[2:])
+        sc_flat = sc_flat.at[lrows[..., None, None], plane[..., None],
+                             kv_idx,
+                             off[None, :, :, None, None]].set(sc_new)
+        out['kv_scale'] = sc_flat.reshape(sp.shape)
     return out
 
 
@@ -226,6 +240,8 @@ def paged_decode_xla(q, kv_pool, kv_scale, tables, seq_lens):
 
     q: (B, KV, rep, Dh); kv_pool (NB, 2, BLK, KV*Dh);
     kv_scale (NB, 2, KV, BLK)|None; tables (B, MB); seq_lens (B,).
+    Layered callers (L-leading pools) pre-offset `tables` by layer*NB and
+    pass the pool reshaped to (L*NB, ...).
     """
     B, KV, rep, Dh = q.shape
     NB, _, BLKp, KVDh = kv_pool.shape
@@ -289,14 +305,19 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     ksb0 = jnp.zeros((L, B, KV, n), jnp.float32)
     vsb0 = jnp.zeros((L, B, KV, n), jnp.float32)
     buf_ids = jnp.arange(n)[None, None, None, :]             # (1,1,1,n)
-    # pre-slice the per-layer pool slabs OUTSIDE the scan: a slice feeding
-    # a custom_call inside the loop body is not reliably hoisted, and an
-    # un-hoisted copy of every layer's pool per step would dwarf the math
-    kv_slabs = [pools['kv'][li] for li in range(L)]
-    if int8_cache:
-        sc_slabs = [pools['kv_scale'][li] for li in range(L)]
-    else:
-        sc_slabs = [None] * L
+    # The kernel takes the FULL (L, NB, ...) pools with a layer index —
+    # its block specs DMA straight from the right slab. (Pre-slicing
+    # per-layer slabs materialized a copy of the whole multi-GB pool
+    # every burst: 16 slab copies ~ 13 ms/burst in the decode profile.)
+    kv_full = pools['kv']
+    sc_full = pools['kv_scale'] if int8_cache else None
+    NBp = kv_full.shape[1]
+    # the XLA gather path (multi-device) indexes a flattened (L*NB) pool
+    # with layer-offset tables — the slice never materializes
+    if not use_kernel:
+        kv_flat = kv_full.reshape((L * NBp,) + kv_full.shape[2:])
+        sc_flat = (sc_full.reshape((L * NBp,) + sc_full.shape[2:])
+                   if int8_cache else None)
 
     def step(carry, key):
         cur_tok, kbuf, vbuf, ksb, vsb, i = carry
@@ -323,13 +344,13 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
             q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
             if use_kernel:
                 acc_f, m_f, l_f = paged_attention_decode_fused(
-                    q_g[:, 0], kv_slabs[li], sc_slabs[li],
-                    tables, seq_lens, block_size=blk_sz,
+                    q_g[:, 0], kv_full, sc_full,
+                    tables, seq_lens, jnp.int32(li), block_size=blk_sz,
                     interpret=ragged_interpret)
             else:
                 acc_f, m_f, l_f = paged_decode_xla(
-                    q_g[:, 0], kv_slabs[li], sc_slabs[li],
-                    tables, seq_lens)
+                    q_g[:, 0], kv_flat, sc_flat,
+                    tables + li * NBp, seq_lens)
             # buffer part: columns [0, i) — the current step joins below
             lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
                             kbuf[li].astype(jnp.bfloat16),
