@@ -213,12 +213,18 @@ class ServingEngine:
             cfg.kv_block_size = BLK
             # paged + multi-device: dp/tp meshes shard the pools over the
             # kv-head axis and decode reads take the GSPMD-shardable XLA
-            # gather path (paged_decode_xla); pp/sp shard the layer/seq
-            # axes the pool layout doesn't have — unsupported with paging
+            # gather path (paged_decode_xla); a 'pp' mesh shards the pools'
+            # leading LAYER axis and runs the staged paged prefill/burst
+            # (pipeline.py). 'sp' shards the cache SEQUENCE axis, which a
+            # position-agnostic block pool doesn't have — unsupported.
             if mesh is not None and mesh.size > 1:
                 shape = dict(mesh.shape)
-                if shape.get('pp', 1) > 1 or shape.get('sp', 1) > 1:
-                    raise NotImplementedError('paged_kv + pp/sp mesh')
+                if shape.get('sp', 1) > 1:
+                    raise NotImplementedError('paged_kv + sp mesh')
+                if shape.get('pp', 1) > 1 and \
+                        cfg.n_layers % shape['pp'] != 0:
+                    raise ValueError('paged_kv + pp needs n_layers % pp '
+                                     '== 0')
                 if cfg.n_kv_heads % shape.get('tp', 1) != 0:
                     raise ValueError('paged_kv + tp needs n_kv_heads % tp '
                                      '== 0')
@@ -252,6 +258,13 @@ class ServingEngine:
                                          block_size=BLK)
             pools = init_paged_pools(self.cfg, self._alloc.num_blocks)
             if self.mesh is not None and \
+                    dict(self.mesh.shape).get('pp', 1) > 1:
+                # stage-local pools: shard the leading layer axis like the
+                # dense slabs (pipeline.py staged paged paths)
+                pools = {k: jax.device_put(
+                    v, NamedSharding(self.mesh, P('pp')))
+                    for k, v in pools.items()}
+            elif self.mesh is not None and \
                     dict(self.mesh.shape).get('tp', 1) > 1:
                 # shard pools over the kv-head axis (KV major in the
                 # trailing KV*Dh dim, so a 'tp' split lands whole heads
@@ -433,14 +446,27 @@ class ServingEngine:
         from .paged import prefill_paged
         cfg = self.cfg
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill(params, pools, tokens, lengths, tables, active):
-            logits, pools = prefill_paged(params, pools, tokens, lengths,
-                                          tables, active, cfg)
-            last = jnp.take_along_axis(
-                jnp.argmax(logits, axis=-1).astype(jnp.int32),
-                jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
-            return last, pools
+        if self._pp:
+            from .pipeline import prefill_staged_paged
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def prefill(params, pools, tokens, lengths, tables, active):
+                logits, pools = prefill_staged_paged(
+                    params, pools, tokens, lengths, tables, active, cfg,
+                    self.mesh, 'pp')
+                last = jnp.take_along_axis(
+                    jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                    jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
+                return last, pools
+        else:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def prefill(params, pools, tokens, lengths, tables, active):
+                logits, pools = prefill_paged(params, pools, tokens,
+                                              lengths, tables, active, cfg)
+                last = jnp.take_along_axis(
+                    jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                    jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
+                return last, pools
         self._prefill[key] = prefill
         return prefill
 
@@ -469,6 +495,13 @@ class ServingEngine:
         B = self.cfg.max_batch
         chunk = self.cfg.prefill_buckets[-1]
         n = len(req.prompt)
+        if self._pp:
+            # continuation chunks attend over the existing pool — the
+            # staged paged READ path exists only for decode bursts; size
+            # prefill_buckets to cover the longest prompt on pp meshes
+            raise NotImplementedError(
+                'chunked prefill with paged_kv on a pp mesh: add a larger '
+                'prefill bucket instead')
         if n >= self.cfg.max_seq_len:
             raise ValueError(f'prompt length {n} exceeds max_seq_len '
                              f'{self.cfg.max_seq_len}')
@@ -502,13 +535,23 @@ class ServingEngine:
         from .paged import burst_forward_paged
         cfg = self.cfg
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def decode_burst(params, pools, tokens, seq_lens, tables, key):
-            keys = jax.random.split(key, n_steps)
-            return burst_forward_paged(
-                params, pools, tokens, seq_lens, tables, keys, cfg,
-                self._select, ragged_interpret=cfg.ragged_interpret,
-                use_kernel=self._paged_kernel)
+        if self._pp:
+            from .pipeline import burst_forward_staged_paged
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def decode_burst(params, pools, tokens, seq_lens, tables, key):
+                keys = jax.random.split(key, n_steps)
+                return burst_forward_staged_paged(
+                    params, pools, tokens, seq_lens, tables, keys, cfg,
+                    self.mesh, 'pp', self._select)
+        else:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def decode_burst(params, pools, tokens, seq_lens, tables, key):
+                keys = jax.random.split(key, n_steps)
+                return burst_forward_paged(
+                    params, pools, tokens, seq_lens, tables, keys, cfg,
+                    self._select, ragged_interpret=cfg.ragged_interpret,
+                    use_kernel=self._paged_kernel)
         self._decode_burst[key] = decode_burst
         return decode_burst
 

@@ -403,3 +403,316 @@ def burst_forward_staged(params: Dict, cache: Dict, tokens, seq_lens, keys,
                    out_specs=(P(), c_spec))
     return fn(layers, cache, tokens, seq_lens, keys, params['embed'],
               params['final_norm'], params['lm_head'])
+
+
+# ======================================================= paged KV + PP =====
+# The block pools carry a leading layer axis (L, NB, 2, BLK, KV*Dh), so a
+# 'pp' mesh shards them exactly like the dense slabs: P('pp') on dim 0.
+# Each stage owns its local layers' pool rows; block tables / seq_lens are
+# replicated (tiny). Reads go through paged_decode_xla (GSPMD-free inside
+# shard_map — each stage gathers from its LOCAL slab), writes are one
+# scatter per pool array per stage at burst/prefill end.
+
+def prefill_staged_paged(params: Dict, pools: Dict, tokens, lengths, tables,
+                         active, cfg, mesh: Mesh, axis_name: str = 'pp',
+                         microbatches: Optional[int] = None):
+    """Pipeline-parallel twin of paged.prefill_paged: prompts start at
+    position 0, attention is causal within the (B, T) window itself (the
+    pool is written, never read), so each stage only needs its activations
+    from the ring and scatters its local layers' K/V at the end.
+    Returns (logits (B, T, V) f32, pools)."""
+    from .model import (_kv_quant, mlp, qmatmul, rms_norm, rope_apply,
+                        rope_tables)
+    from .paged import scatter_kv_all
+
+    B, T = tokens.shape
+    H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rep = H // KV
+    int8_cache = cfg.kv_cache_bits == 8
+    n_stage = mesh.shape[axis_name]
+    M = microbatches or n_stage
+    assert B % M == 0
+    mb = B // M
+    pool_dt = pools['kv'].dtype
+
+    x = params['embed'][tokens]                              # (B, T, D)
+    x_mb = x.reshape((M, mb) + x.shape[1:])
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None],
+                                 (B, T))
+    causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])   # (T, T)
+    layers = params['layers']
+    p_spec = jax.tree.map(lambda _: P(axis_name), layers)
+    pool_spec = jax.tree.map(lambda _: P(axis_name), pools)
+
+    def stage(local_layers, local_pools, x_all, tables, active_all):
+        idx = jax.lax.axis_index(axis_name)
+        n_dev = jax.lax.psum(1, axis_name)
+        L_local = jax.tree.leaves(local_layers)[0].shape[0]
+        perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+        r_cos, r_sin = rope_tables(positions, cfg.rope_theta, Dh)
+
+        kcol = jnp.zeros((L_local, B, T, KV, Dh), pool_dt)
+        vcol = jnp.zeros((L_local, B, T, KV, Dh), pool_dt)
+        kscol = jnp.zeros((L_local, B, T, KV), jnp.float32)
+        vscol = jnp.zeros((L_local, B, T, KV), jnp.float32)
+
+        def run_stage(xin, cols, tick):
+            kcol, vcol, kscol, vscol = cols
+            mb_idx = jnp.clip(tick - idx, 0, M - 1)
+            valid = jnp.logical_and(tick - idx >= 0, tick - idx < M)
+            row0 = mb_idx * mb
+
+            def rows(a):
+                return jax.lax.dynamic_slice_in_dim(a, row0, mb, 0)
+
+            h = xin
+            rc, rs = rows(r_cos), rows(r_sin)
+            for li in range(L_local):
+                layer = jax.tree.map(lambda a: a[li], local_layers)
+                hh = rms_norm(h, layer['attn_norm'], cfg.rms_eps)
+                q = qmatmul(hh, layer['wq']).reshape(mb, T, H, Dh)
+                k = qmatmul(hh, layer['wk']).reshape(mb, T, KV, Dh)
+                v = qmatmul(hh, layer['wv']).reshape(mb, T, KV, Dh)
+                q = rope_apply(q, rc, rs)
+                k = rope_apply(k, rc, rs)
+                if int8_cache:
+                    k_q, k_s = _kv_quant(k)
+                    v_q, v_s = _kv_quant(v)
+                else:
+                    k_q, v_q = k.astype(pool_dt), v.astype(pool_dt)
+                    k_s = v_s = None
+
+                def masked_dus(buf, val, idx4):
+                    cur = jax.lax.dynamic_slice(buf, idx4, val.shape)
+                    return jax.lax.dynamic_update_slice(
+                        buf, jnp.where(valid, val, cur), idx4)
+
+                kcol = masked_dus(kcol, k_q[None], (li, row0, 0, 0, 0))
+                vcol = masked_dus(vcol, v_q[None], (li, row0, 0, 0, 0))
+                if int8_cache:
+                    kscol = masked_dus(kscol, k_s[None], (li, row0, 0, 0))
+                    vscol = masked_dus(vscol, v_s[None], (li, row0, 0, 0))
+                # window attention (same quantized math as the pool read)
+                q_g = q.reshape(mb, T, KV, rep, Dh).astype(jnp.bfloat16)
+                s = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
+                               k_q.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+                if int8_cache:
+                    s = s * k_s.transpose(0, 2, 1)[:, :, None, None, :]
+                s = jnp.where(causal[None, None, None],
+                              s / np.sqrt(Dh), -1e30)
+                p = jax.nn.softmax(s, axis=-1)
+                if int8_cache:
+                    p = p * v_s.transpose(0, 2, 1)[:, :, None, None, :]
+                ctx = jnp.einsum('bkrtj,bjkd->btkrd',
+                                 p.astype(jnp.bfloat16),
+                                 v_q.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+                ctx = ctx.reshape(mb, T, H * Dh).astype(h.dtype)
+                h = h + qmatmul(ctx, layer['wo'])
+                hh = rms_norm(h, layer['mlp_norm'], cfg.rms_eps)
+                h = h + mlp(hh, layer, cfg)
+            return h, (kcol, vcol, kscol, vscol)
+
+        buf = jnp.zeros_like(x_all[0])
+        out = jnp.zeros_like(x_all)
+        cols = (kcol, vcol, kscol, vscol)
+        for t in range(M + n_stage - 1):
+            feed = x_all[t] if t < M else jnp.zeros_like(x_all[0])
+            xin = jnp.where(jnp.equal(idx, 0), feed, buf)
+            y, cols = run_stage(xin, cols, t)
+            done_i = t - n_stage + 1
+            if 0 <= done_i < M:
+                is_last = jnp.equal(idx, n_dev - 1)
+                out = out.at[done_i].set(jnp.where(is_last, y, out[done_i]))
+            buf = jax.lax.ppermute(y, axis_name, perm)
+        is_last = jnp.equal(idx, n_dev - 1)
+        out = jax.lax.psum(
+            jnp.where(is_last, out, jnp.zeros_like(out)), axis_name)
+
+        kcol, vcol, kscol, vscol = cols
+        write_pos = jnp.zeros((B,), jnp.int32)
+        new_pools = scatter_kv_all(
+            local_pools, kcol, vcol,
+            kscol if int8_cache else None,
+            vscol if int8_cache else None,
+            tables, write_pos, active_all)
+        return out, new_pools
+
+    fn = shard_map(stage, mesh=mesh,
+                   in_specs=(p_spec, pool_spec, P(), P(), P()),
+                   out_specs=(P(), pool_spec))
+    if active is None:
+        active = jnp.ones((B,), bool)
+    out, pools = fn(layers, pools, x_mb, jnp.asarray(tables, jnp.int32),
+                    active)
+    from .model import qmatmul, rms_norm
+    x = out.reshape((B, T) + out.shape[3:])
+    x = rms_norm(x, params['final_norm'], cfg.rms_eps)
+    logits = qmatmul(x, params['lm_head'])
+    return logits.astype(jnp.float32), pools
+
+
+def burst_forward_staged_paged(params: Dict, pools: Dict, tokens, seq_lens,
+                               tables, keys, cfg, mesh: Mesh,
+                               axis_name: str = 'pp', select_fn=None,
+                               microbatches: Optional[int] = None):
+    """Pipeline-parallel paged decode burst: per-stage pool slabs frozen
+    through the scan, in-burst K/V in small per-stage buffers (merged by
+    one scatter per pool array per stage at burst end). The frozen read is
+    paged_decode_xla over each stage's LOCAL (L/S * NB) pool view with
+    layer-offset tables; its unnormalized flash triple merges exactly with
+    the in-burst buffer columns (same partial-softmax math as
+    paged.burst_forward_paged).
+
+    tokens/seq_lens: (B,); tables: (B, MB); keys: (n, 2).
+    Returns (toks (n, B), pools)."""
+    from .model import _kv_quant, mlp, qmatmul, rms_norm, rope
+    from .paged import paged_decode_xla, scatter_kv_all
+    from ..kernels.paged_attention import merge_attention
+
+    B = tokens.shape[0]
+    n = keys.shape[0]
+    H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rep = H // KV
+    int8_cache = cfg.kv_cache_bits == 8
+    buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
+    n_stage = mesh.shape[axis_name]
+    M = microbatches or n_stage
+    assert B % M == 0
+    mb = B // M
+
+    layers = params['layers']
+    p_spec = jax.tree.map(lambda _: P(axis_name), layers)
+    pool_spec = jax.tree.map(lambda _: P(axis_name), pools)
+
+    def stage(local_layers, local_pools, tokens0, seq_lens, tables, keys,
+              embed, final_norm, lm_head):
+        idx = jax.lax.axis_index(axis_name)
+        n_dev = jax.lax.psum(1, axis_name)
+        L_local = jax.tree.leaves(local_layers)[0].shape[0]
+        NB = local_pools['kv'].shape[1]
+        perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+        buf_ids = jnp.arange(n)[None, None, None, :]
+
+        kv_flat = local_pools['kv'].reshape(
+            (L_local * NB,) + local_pools['kv'].shape[2:])
+        sc_flat = None
+        if int8_cache:
+            sp_ = local_pools['kv_scale']
+            sc_flat = sp_.reshape((L_local * NB,) + sp_.shape[2:])
+
+        kbuf0 = jnp.zeros((L_local, B, n, KV, Dh), buf_dtype)
+        vbuf0 = jnp.zeros((L_local, B, n, KV, Dh), buf_dtype)
+        ksb0 = jnp.zeros((L_local, B, n, KV), jnp.float32)
+        vsb0 = jnp.zeros((L_local, B, n, KV), jnp.float32)
+
+        def layer_apply(li, h, bufs, pos, rows, step_i, valid):
+            kbuf, vbuf, ksb, vsb = bufs
+            layer = jax.tree.map(lambda a: a[li], local_layers)
+            hh = rms_norm(h, layer['attn_norm'], cfg.rms_eps)
+            q = qmatmul(hh, layer['wq']).reshape(mb, 1, H, Dh)
+            k = qmatmul(hh, layer['wk']).reshape(mb, 1, KV, Dh)
+            v = qmatmul(hh, layer['wv']).reshape(mb, 1, KV, Dh)
+            q = rope(q, pos[:, None], cfg.rope_theta)
+            k = rope(k, pos[:, None], cfg.rope_theta)
+
+            def masked_dus(buf, val, idxs):
+                cur = jax.lax.dynamic_slice(buf, idxs, val.shape)
+                return jax.lax.dynamic_update_slice(
+                    buf, jnp.where(valid, val, cur), idxs)
+
+            if int8_cache:
+                k_q, k_s = _kv_quant(k)
+                v_q, v_s = _kv_quant(v)
+                ksb = masked_dus(ksb, k_s[None], (li, rows, step_i, 0))
+                vsb = masked_dus(vsb, v_s[None], (li, rows, step_i, 0))
+            else:
+                k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
+            kbuf = masked_dus(kbuf, k_q[None], (li, rows, step_i, 0, 0))
+            vbuf = masked_dus(vbuf, v_q[None], (li, rows, step_i, 0, 0))
+
+            def rows_of(a):
+                return jax.lax.dynamic_slice_in_dim(a, rows, mb, 0)
+
+            q_g = q.reshape(mb, 1, KV, rep, Dh).astype(jnp.bfloat16)
+            # frozen pool part: gather this layer's blocks from the LOCAL
+            # flattened pool (layer-offset tables)
+            acc_f, m_f, l_f = paged_decode_xla(
+                q_g[:, 0], kv_flat, sc_flat,
+                rows_of(tables) + li * NB, rows_of(seq_lens))
+            # in-burst buffer part (current column already written)
+            kb = rows_of(kbuf[li])
+            vb = rows_of(vbuf[li])
+            lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
+                            kb.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)[:, :, :, 0]
+            if int8_cache:
+                lb = lb * rows_of(ksb[li]).transpose(0, 2, 1)[:, :, None, :]
+            lb = jnp.where(buf_ids <= step_i, lb / np.sqrt(Dh), -1e30)
+            m_b = jnp.max(lb, axis=-1)
+            p_b = jnp.exp(lb - m_b[..., None])
+            l_b = jnp.sum(p_b, axis=-1)
+            if int8_cache:
+                p_b = p_b * rows_of(vsb[li]).transpose(0, 2, 1)[:, :, None, :]
+            acc_b = jnp.einsum('bkrj,bjkd->bkrd', p_b.astype(jnp.bfloat16),
+                               vb.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+            ctx = merge_attention([(acc_f, m_f, l_f), (acc_b, m_b, l_b)])
+            ctx = ctx.reshape(mb, 1, H * Dh).astype(h.dtype)
+            h = h + qmatmul(ctx, layer['wo'])
+            hh = rms_norm(h, layer['mlp_norm'], cfg.rms_eps)
+            h = h + mlp(hh, layer, cfg)
+            return h, (kbuf, vbuf, ksb, vsb)
+
+        def one_step(carry, key):
+            cur_tok, bufs, step_i = carry
+            pos_all = seq_lens + step_i
+            x_all = embed[cur_tok][:, None, :]
+            x_mb = x_all.reshape(M, mb, 1, -1)
+            buf = jnp.zeros_like(x_mb[0])
+            out = jnp.zeros_like(x_mb)
+            for t in range(M + n_stage - 1):
+                mb_idx = jnp.clip(t - idx, 0, M - 1)
+                valid = jnp.logical_and(t - idx >= 0, t - idx < M)
+                rows = mb_idx * mb
+                feed = x_mb[t] if t < M else jnp.zeros_like(x_mb[0])
+                h = jnp.where(jnp.equal(idx, 0), feed, buf)
+                pos = jax.lax.dynamic_slice_in_dim(pos_all, rows, mb, 0)
+                for li in range(L_local):
+                    h, bufs = layer_apply(li, h, bufs, pos, rows, step_i,
+                                          valid)
+                done_i = t - n_stage + 1
+                if 0 <= done_i < M:
+                    is_last = jnp.equal(idx, n_dev - 1)
+                    out = out.at[done_i].set(
+                        jnp.where(is_last, h, out[done_i]))
+                buf = jax.lax.ppermute(h, axis_name, perm)
+            is_last = jnp.equal(idx, n_dev - 1)
+            out = jax.lax.psum(
+                jnp.where(is_last, out, jnp.zeros_like(out)), axis_name)
+            x = out.reshape(B, 1, -1)
+            x = rms_norm(x, final_norm, cfg.rms_eps)
+            logits = qmatmul(x, lm_head).astype(jnp.float32)
+            nxt = select_fn(logits[:, 0, :], key)
+            return (nxt, bufs, step_i + 1), nxt
+
+        (_, bufs, _), toks = jax.lax.scan(
+            one_step, (tokens0, (kbuf0, vbuf0, ksb0, vsb0), jnp.int32(0)),
+            keys)
+        kbuf, vbuf, ksb, vsb = bufs
+        new_pools = scatter_kv_all(
+            local_pools, kbuf, vbuf,
+            ksb if int8_cache else None,
+            vsb if int8_cache else None,
+            tables, seq_lens, None)
+        return toks, new_pools
+
+    fn = shard_map(stage, mesh=mesh,
+                   in_specs=(p_spec, pool_spec, P(), P(), P(), P(), P(),
+                             P(), jax.tree.map(lambda _: P(),
+                                               params['lm_head'])),
+                   out_specs=(P(), pool_spec))
+    return fn(layers, pools, tokens, seq_lens,
+              jnp.asarray(tables, jnp.int32), keys, params['embed'],
+              params['final_norm'], params['lm_head'])

@@ -171,3 +171,69 @@ def test_pp_burst_matches_stepwise():
         return [r.generated for r in reqs]
 
     assert gen(1) == gen(4)
+
+
+# ------------------------------------------------------- paged KV + pp ----
+
+def _paged_cfg(**kw):
+    cfg = _cfg(max_seq_len=128, **kw)
+    cfg.paged_kv = True
+    cfg.kv_block_size = 128
+    return cfg
+
+
+def test_pp_paged_engine_generates():
+    """paged_kv on a 'pp' mesh: pools shard the leading layer axis; the
+    staged paged prefill/burst (pipeline.py) drive the run loop."""
+    cfg = _paged_cfg()
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=0),
+                        mesh=_mesh([('pp', 2)]))
+    assert eng.cache['kv'].sharding.spec[0] == 'pp'
+    reqs = _run_engine(eng)
+    assert all(r.done and len(r.generated) == 6 for r in reqs)
+
+
+def test_pp_paged_burst_decode_runs():
+    cfg = _paged_cfg(n_layers=8)
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=1),
+                        mesh=_mesh([('pp', 4)]))
+    res = eng.benchmark_decode(steps=4, burst=2, warmup=0, repeats=1)
+    assert res['tokens_per_sec'] > 0
+
+
+def test_pp_paged_logits_match_single_device_prefill():
+    """Teacher-forced oracle: staged paged prefill logits track the
+    single-device paged prefill within bf16 cross-compilation tolerance."""
+    cfg = _paged_cfg()
+    params = init_llama_params(cfg, seed=2)
+    rng = np.random.RandomState(3)
+    toks = rng.randint(1, 96, (4, 16)).astype(np.int32)
+    lengths = jnp.full((4,), 16, jnp.int32)
+    active = jnp.ones((4,), bool)
+
+    from ppq_tpu.serving.paged import init_paged_pools, prefill_paged
+    from ppq_tpu.serving.pipeline import (prefill_staged_paged,
+                                          stack_layer_params)
+    NBLK = 4 * (cfg.max_seq_len // cfg.kv_block_size) + 1
+    tables = np.zeros((4, cfg.max_seq_len // cfg.kv_block_size), np.int32)
+    for s in range(4):
+        tables[s, 0] = s + 1
+    pools0 = init_paged_pools(cfg, NBLK)
+    ref_logits, ref_pools = prefill_paged(
+        params, pools0, jnp.asarray(toks), lengths, jnp.asarray(tables),
+        active, cfg)
+
+    sp = dict(params)
+    sp['layers'] = stack_layer_params(params['layers'])
+    mesh = _mesh([('pp', 2)])
+    pools1 = init_paged_pools(cfg, NBLK)
+    got_logits, got_pools = prefill_staged_paged(
+        sp, pools1, jnp.asarray(toks), lengths, jnp.asarray(tables),
+        active, cfg, mesh, 'pp')
+    assert np.max(np.abs(np.asarray(got_logits) -
+                         np.asarray(ref_logits))) < TOL
+    # written pool blocks agree to +-1 int8 level
+    kv_ref = np.asarray(ref_pools['kv'])[:, 1:5]
+    kv_got = np.asarray(got_pools['kv'])[:, 1:5]
+    assert np.max(np.abs(kv_ref.astype(np.int32) -
+                         kv_got.astype(np.int32))) <= 1
