@@ -511,11 +511,30 @@ class CompiledGraph:
         return jax.jit(fn)
 
     # ---------------------------------------------------------- conveniences
-    def make_runner(self) -> Callable:
+    def make_runner(self, chain: int = 1) -> Callable:
         """Self-contained inference callable: closes over device-resident
-        params; accepts a single array, sequence, or dict of inputs."""
+        params; accepts a single array, sequence, or dict of inputs.
+
+        chain > 1 builds the BULK runner: inputs carry a leading chain
+        axis (chain, batch, ...) and the whole chain executes as ONE
+        device program (`lax.scan` over the stacked batches), returning
+        stacked outputs. Host dispatch overhead is paid once per chain
+        instead of once per batch — the batch-inference analogue of the
+        serving engine's burst decode. Caveat: XLA may fuse the scanned
+        body slightly differently than the straight-line program, so
+        values can deviate from the chain=1 runner by ~one int8 rounding
+        step (measured SNR ~3e-4 on ResNet-18 logits, predictions
+        stable); bit-exactness across the two modes is not guaranteed."""
         fwd = self.build_forward()
         params = jax.device_put(self.init_params())
+        if chain > 1:
+            @jax.jit
+            def fwd_chain(params, inputs):
+                def body(carry, inp):
+                    return carry, fwd(params, inp)
+                return jax.lax.scan(body, None, inputs)[1]
+        else:
+            fwd_chain = fwd
 
         def run(inputs):
             if not isinstance(inputs, dict):
@@ -523,7 +542,7 @@ class CompiledGraph:
                     inputs = dict(zip(self._input_names, inputs))
                 else:
                     inputs = {self._input_names[0]: inputs}
-            return fwd(params, inputs)
+            return fwd_chain(params, inputs)
         return run
 
 

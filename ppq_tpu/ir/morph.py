@@ -743,6 +743,118 @@ def decompose_gru(graph: BaseGraph, max_unroll: int = 128):
     return graph
 
 
+def stem_space_to_depth(graph: BaseGraph, max_in_channels: int = 4):
+    """Rewrite tiny-C_in stride-2 stem convolutions into a space-to-depth
+    input packing + stride-1 conv — the classic TPU stem optimization
+    (MLPerf ResNet practice). No reference counterpart (a CUDA backend
+    doesn't need it): with C_in=3 a 7x7/2 conv leaves >95% of the MXU's
+    128 input lanes idle; packing the stride-2 grid into channels
+    quadruples the contraction depth and halves the spatial extent.
+
+    The rewrite is EXACT (output-identical in fp32): for stride 2, output
+    o[i] = sum_t w[t] x[2i + t - p] becomes, with x2[r, j] = x[2j + r],
+    o[i] = sum_{a,r} w2[a, r] x2[r, i + a - c] where w2[a, r] = w[2a+r-2c+p]
+    (taps outside [0, k) are zero). Quantization configs are untouched:
+    the conv's activation TQC still quantizes the (permuted) same values,
+    and the weight TQC is per-output-channel (axis 0), which the
+    input-side rearrangement never mixes.
+
+    Applies only when: 2-D Conv, group 1, dilation 1, strides (2, 2),
+    symmetric pads (k//2) with odd k, C_in <= max_in_channels, even
+    input H/W, and output spatial exactly (H/2, W/2). Returns the number
+    of convs rewritten."""
+    from ..core import TargetPlatform
+    rewritten = 0
+    for op in list(graph.operations.values()):
+        if op.type != 'Conv':
+            continue
+        x_var, w_var = op.inputs[0], op.inputs[1]
+        if x_var.is_parameter or not w_var.is_parameter:
+            continue
+        w = np.asarray(w_var.value)
+        if w.ndim != 4:
+            continue
+        OC, C, kh, kw = w.shape
+        if C > max_in_channels:
+            continue
+        if int(op.attributes.get('group', 1)) != 1:
+            continue
+        strides = [int(s) for s in op.attributes.get('strides', [1, 1])]
+        dil = [int(d) for d in op.attributes.get('dilations', [1, 1])]
+        pads = [int(p) for p in op.attributes.get('pads', [0, 0, 0, 0])]
+        if strides != [2, 2] or dil != [1, 1]:
+            continue
+        if kh % 2 == 0 or kw % 2 == 0:
+            continue
+        py, px = kh // 2, kw // 2
+        if pads != [py, px, py, px]:
+            continue
+        if x_var.shape is None or len(x_var.shape) != 4:
+            continue
+        H, W = int(x_var.shape[2]), int(x_var.shape[3])
+        if H % 2 or W % 2:
+            continue
+        # onnx output size must equal exactly H/2 (guards pad arithmetic)
+        if (H + 2 * py - kh) // 2 + 1 != H // 2 or \
+                (W + 2 * px - kw) // 2 + 1 != W // 2:
+            continue
+
+        cy, cx = -(-py // 2), -(-px // 2)
+        Ay = (kh - 1 - py + 2 * cy) // 2 + 1
+        Ax = (kw - 1 - px + 2 * cx) // 2 + 1
+        # packed weights: channel order (ry*2 + rx)*C + ci matches the
+        # reshape/transpose chain below
+        w2 = np.zeros((OC, 4 * C, Ay, Ax), dtype=w.dtype)
+        for ry in range(2):
+            for rx in range(2):
+                for ay in range(Ay):
+                    ty = 2 * ay + ry - 2 * cy + py
+                    if not 0 <= ty < kh:
+                        continue
+                    for ax in range(Ax):
+                        tx = 2 * ax + rx - 2 * cx + px
+                        if not 0 <= tx < kw:
+                            continue
+                        w2[:, (ry * 2 + rx) * C:(ry * 2 + rx + 1) * C,
+                           ay, ax] = w[:, :, ty, tx]
+        w_var.value = np.ascontiguousarray(w2)
+        w_var.shape = list(w2.shape)
+        op.attributes['strides'] = [1, 1]
+        op.attributes['pads'] = [cy, cx, Ay - 1 - cy, Ax - 1 - cx]
+        if 'kernel_shape' in op.attributes:
+            op.attributes['kernel_shape'] = [Ay, Ax]
+
+        H2, W2 = H // 2, W // 2
+
+        B0 = x_var.shape[0]
+
+        def _ins(op_type, attrs, shape_param, tag, up_var, out_shape):
+            o = graph.create_operation(
+                op_type, name=f'{op.name}_s2d_{tag}',
+                attributes=attrs, platform=TargetPlatform.FP32)
+            graph.insert_op_between_var_and_op(o, up_var, op)
+            if shape_param is not None:
+                graph.connect(graph.create_variable(
+                    name=f'{op.name}_s2d_{tag}_shape',
+                    value=np.asarray(shape_param, np.int64),
+                    is_parameter=True), o)
+            link = op.inputs[0]
+            link.shape = list(out_shape)
+            return link
+
+        # x (B,C,H,W) -> (B,C,H/2,2,W/2,2) -> (B,2,2,C,H/2,W/2)
+        # -> (B,4C,H/2,W/2); batch rides as an onnx 0-copy dim so the
+        # compiled graph stays batch-agnostic
+        v = _ins('Reshape', {}, [0, C, H2, 2, W2, 2], 'r1', x_var,
+                 [B0, C, H2, 2, W2, 2])
+        v = _ins('Transpose', {'perm': [0, 3, 5, 1, 2, 4]}, None, 'tr', v,
+                 [B0, 2, 2, C, H2, W2])
+        v = _ins('Reshape', {}, [0, 4 * C, H2, W2], 'r2', v,
+                 [B0, 4 * C, H2, W2])
+        rewritten += 1
+    return rewritten
+
+
 def decompose_gemm(graph: BaseGraph):
     """Gemm → MatMul (+ Add) for backends without Gemm
     (ppq/IR/morph.py:1121)."""
@@ -816,3 +928,4 @@ class GraphDecomposer:
 
     def decompose_gemm(self): decompose_gemm(self.graph)
     def decompose_gru(self): decompose_gru(self.graph)
+    def stem_space_to_depth(self): stem_space_to_depth(self.graph)

@@ -11,6 +11,7 @@ from .equalization import (ActivationEqualizationPass, ChannelwiseSplitPass,
 from .experimental import LearningToCalibPass, MatrixFactorizationPass
 from .extension import ExtensionPass
 from .morph import (GRUSplitPass, HorizontalLayerSplitPass,
+                    StemSpaceToDepthPass,
                     NCNNFormatGemmPass, NXPResizeModeChangePass)
 from .refine import (MishFusionPass, QuantAlignmentPass, QuantizeFusionPass,
                      QuantizeSimplifyPass, SwishFusionPass)
@@ -30,6 +31,7 @@ __all__ = [
     'CompiledCalibrationPass', 'compiled_calibration_supported',
     'ActivationEqualizationPass', 'ChannelwiseSplitPass',
     'LayerwiseEqualizationPass', 'ExtensionPass', 'GRUSplitPass',
+    'StemSpaceToDepthPass',
     'HorizontalLayerSplitPass', 'NCNNFormatGemmPass',
     'NXPResizeModeChangePass', 'SSDEqualizationPass', 'AdaroundPass',
     'BiasCorrectionPass', 'LearnedStepSizePass', 'RoundTuningPass',

@@ -138,3 +138,23 @@ class NXPResizeModeChangePass(QuantizationOptimizationPass):
             if op.type == 'Resize':
                 op.attributes['mode'] = 'nearest'
                 op.attributes['coordinate_transformation_mode'] = 'asymmetric'
+
+
+class StemSpaceToDepthPass(QuantizationOptimizationPass):
+    """TPU deploy optimization: rewrite tiny-C_in stride-2 stem convs into
+    space-to-depth packing + stride-1 conv (ir/morph.py:stem_space_to_depth).
+    Exact in fp32; quantization configs untouched. No reference counterpart
+    — a TPU-first addition (MXU lane utilization, MLPerf ResNet practice).
+    Run AFTER calibration (it permutes the conv input, so per-tensor
+    activation observers see identical value sets either way)."""
+
+    def __init__(self, max_in_channels: int = 4):
+        super().__init__('Stem SpaceToDepth Pass')
+        self.max_in_channels = max_in_channels
+
+    def optimize(self, graph: BaseGraph, dataloader=None, executor=None,
+                 **kwargs):
+        from ...ir.morph import stem_space_to_depth
+        n = stem_space_to_depth(graph, self.max_in_channels)
+        if n:
+            ppq_info(f'StemSpaceToDepthPass: rewrote {n} stem conv(s)')
