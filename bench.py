@@ -83,17 +83,18 @@ def main():
         # throughput (block_until_ready alone can ack early on the tunnel)
         dec = eng.benchmark_decode(steps=96, burst=32)
         _t('llm decode measured')
-        serve = eng.benchmark_serving(n_requests=128, prompt_len=64,
-                                      max_new_tokens=128, sync_every=128)
-        _t('llm serving measured')
         del eng
-        # paged KV cache mode: pool sized to the workload, not B x S.
-        # B=128: the paged read is fill-adaptive, so the bigger batch
-        # amortizes the per-step weight read without extra cache waste
+        # paged KV cache mode (the production serving mode): pool sized to
+        # the workload, not B x S. B=128: the paged read is fill-adaptive,
+        # so the bigger batch amortizes the per-step weight read without
+        # extra cache waste. Continuous-batching e2e runs on THIS engine.
         engp = ServingEngine(_cfg(8, batch=128, paged=True),
                              init_llama_params(_cfg(8, batch=128), seed=0))
         decp.update(engp.benchmark_decode(steps=96, burst=32))
         _t('llm paged decode measured')
+        serve = engp.benchmark_serving(n_requests=256, prompt_len=64,
+                                       max_new_tokens=128, sync_every=128)
+        _t('llm serving (paged) measured')
         del engp
         # INT4 weight-only: halves the per-step weight read
         eng4 = ServingEngine(_cfg(4), init_llama_params(_cfg(4), seed=0))

@@ -461,8 +461,10 @@ class ServingEngine:
         else:
             @functools.partial(jax.jit, donate_argnums=(1,))
             def prefill(params, pools, tokens, lengths, tables, active):
-                logits, pools = prefill_paged(params, pools, tokens,
-                                              lengths, tables, active, cfg)
+                logits, pools = prefill_paged(
+                    params, pools, tokens, lengths, tables, active, cfg,
+                    use_kernel=self._paged_kernel,
+                    interpret=cfg.ragged_interpret)
                 last = jnp.take_along_axis(
                     jnp.argmax(logits, axis=-1).astype(jnp.int32),
                     jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
@@ -481,7 +483,8 @@ class ServingEngine:
         def prefill_chunk(params, pools, tokens, write_pos, tables, active):
             logits, pools = prefill_chunk_paged(
                 params, pools, tokens, write_pos, tables, active,
-                prefix_blocks, cfg)
+                prefix_blocks, cfg, use_kernel=self._paged_kernel,
+                interpret=cfg.ragged_interpret)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), pools
         self._prefill[key] = prefill_chunk
         return prefill_chunk

@@ -159,10 +159,60 @@ def scatter_kv_all(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
     return out
 
 
+def write_kv_window(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
+                    active, use_kernel: bool = False,
+                    interpret: bool = False):
+    """Write a T-token window into the pools: the Pallas block-RMW writer
+    (kernels/pool_write.py) when use_kernel, else the XLA scatter.
+    Layouts: k/v_all (L, B, T, KV, Dh); ks/vs_all — (L, B, KV, T) for the
+    kernel path (the in-burst buffers' native transposed layout), or
+    (L, B, T, KV) for the scatter path. Requires T <= block size on the
+    kernel path (a window then spans <= 2 blocks)."""
+    if use_kernel and k_all.shape[2] > pool_block_size(pools):
+        use_kernel = False       # window spans >2 blocks: scatter path
+    if not use_kernel:
+        return scatter_kv_all(pools, k_all, v_all,
+                              ks_all.transpose(0, 1, 3, 2)
+                              if ks_all is not None else None,
+                              vs_all.transpose(0, 1, 3, 2)
+                              if vs_all is not None else None,
+                              tables, write_pos, active)
+    from ..kernels.pool_write import pool_write
+    L, B, T, KV, Dh = k_all.shape
+    blk = pool_block_size(pools)
+    MB = tables.shape[1]
+    blk0 = write_pos // blk
+    off = write_pos % blk
+    row0 = jnp.take_along_axis(tables, blk0[:, None], axis=1)[:, 0]
+    nxt = jnp.minimum(blk0 + 1, MB - 1)
+    row1 = jnp.where(off + T > blk,
+                     jnp.take_along_axis(tables, nxt[:, None], axis=1)[:, 0],
+                     row0)
+    if active is not None:
+        row0 = jnp.where(active, row0, 0)
+        row1 = jnp.where(active, row1, 0)
+    rows2 = jnp.stack([row0, row1], axis=1)
+    dt = pools['kv'].dtype
+    kv_new = jnp.stack([k_all.reshape(L, B, T, KV * Dh),
+                        v_all.reshape(L, B, T, KV * Dh)],
+                       axis=2).astype(dt)              # (L, B, 2, T, KVDh)
+    sc_new = None
+    if ks_all is not None:
+        sc_new = jnp.stack([ks_all, vs_all], axis=2)   # (L, B, 2, KV, T)
+    out = dict(pools)
+    kv, sc = pool_write(pools['kv'], pools.get('kv_scale'), kv_new, sc_new,
+                        rows2, off, interpret=interpret)
+    out['kv'] = kv
+    if sc is not None:
+        out['kv_scale'] = sc
+    return out
+
+
 # ------------------------------------------------------------- prefill -----
 
 def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
-                  active, cfg: LlamaConfig) -> Tuple:
+                  active, cfg: LlamaConfig, use_kernel: bool = False,
+                  interpret: bool = False) -> Tuple:
     """Batched masked prefill into the paged pools. Prompts start at
     position 0, so attention is causal within the (B, T) window itself —
     the pool is written, never read. Returns (logits, pools)."""
@@ -215,13 +265,14 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
         h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
         x = x + mlp(h, layer, cfg)
 
-    # ONE scatter per pool array for all layers (scatter launches are
-    # per-op overhead on TPU; 4 beats 4L)
-    pools = scatter_kv_all(
+    # ONE pool write for all layers (per-row scatter/launch overhead on
+    # TPU; the kernel path does block-granular RMW instead)
+    pools = write_kv_window(
         pools, jnp.stack(k_layers), jnp.stack(v_layers),
-        jnp.stack(ks_layers) if int8_cache else None,
-        jnp.stack(vs_layers) if int8_cache else None,
-        tables, write_pos, active)
+        jnp.stack(ks_layers).transpose(0, 1, 3, 2) if int8_cache else None,
+        jnp.stack(vs_layers).transpose(0, 1, 3, 2) if int8_cache else None,
+        tables, write_pos, active, use_kernel=use_kernel,
+        interpret=interpret)
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'], pallas=pall)
     return logits.astype(jnp.float32), pools
@@ -405,19 +456,22 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     (_, kbuf, vbuf, ksb, vsb, _), toks = jax.lax.scan(
         step, (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0)), keys)
 
-    # ONE scatter per pool array: burst K/V land at seq_lens..seq_lens+n-1
-    # (scales transpose back to the scatter's (L, B, T, KV) layout)
-    pools = scatter_kv_all(
+    # ONE pool write for the whole burst: K/V land at seq_lens..+n-1.
+    # On the single-device kernel path this is the Pallas block-RMW
+    # writer (XLA's serial per-row scatter cost ~0.67 ms/step here).
+    pools = write_kv_window(
         pools, kbuf, vbuf,
-        ksb.transpose(0, 1, 3, 2) if int8_cache else None,
-        vsb.transpose(0, 1, 3, 2) if int8_cache else None,
-        tables, seq_lens, None)
+        ksb if int8_cache else None,
+        vsb if int8_cache else None,
+        tables, seq_lens, None, use_kernel=use_kernel,
+        interpret=ragged_interpret)
     return toks, pools
 
 
 def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
                         tables, active, prefix_blocks: int,
-                        cfg: LlamaConfig) -> Tuple:
+                        cfg: LlamaConfig, use_kernel: bool = False,
+                        interpret: bool = False) -> Tuple:
     """Continuation prefill into the paged pools: write `chunk` tokens at
     per-slot offsets write_pos, attending over the blocks already written
     (gathered densely from the pool via the block tables — prefill is
@@ -506,11 +560,12 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
         h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
         x = x + mlp(h, layer, cfg)
 
-    pools = scatter_kv_all(
+    pools = write_kv_window(
         pools, jnp.stack(k_layers), jnp.stack(v_layers),
-        jnp.stack(ks_layers) if int8_cache else None,
-        jnp.stack(vs_layers) if int8_cache else None,
-        tables, write_pos, active)
+        jnp.stack(ks_layers).transpose(0, 1, 3, 2) if int8_cache else None,
+        jnp.stack(vs_layers).transpose(0, 1, 3, 2) if int8_cache else None,
+        tables, write_pos, active, use_kernel=use_kernel,
+        interpret=interpret)
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'], pallas=pall)
     return logits.astype(jnp.float32), pools

@@ -187,3 +187,63 @@ class TestBufferedPagedAttention:
             [frozen, (jnp.asarray(acc), jnp.asarray(m), jnp.asarray(l))]))
         err = np.abs(ctx - want).max() / (np.abs(want).max() + 1e-9)
         assert err < 2e-2, err
+
+
+class TestPoolWriteKernel:
+    """Pallas block-RMW pool writer vs the XLA scatter (exact parity)."""
+
+    def _setup(self, int8=True):
+        rng = np.random.default_rng(0)
+        L, NB, BLK, KV, Dh = 3, 24, 128, 2, 64
+        B, T = 5, 32
+        pools = {'kv': jnp.asarray(
+            rng.integers(-100, 100, (L, NB, 2, BLK, KV * Dh)),
+            jnp.int8 if int8 else jnp.bfloat16)}
+        if int8:
+            pools['kv_scale'] = jnp.asarray(
+                rng.random((L, NB, 2, KV, BLK)), jnp.float32)
+        k = jnp.asarray(rng.integers(-100, 100, (L, B, T, KV, Dh)),
+                        pools['kv'].dtype)
+        v = jnp.asarray(rng.integers(-100, 100, (L, B, T, KV, Dh)),
+                        pools['kv'].dtype)
+        ks = jnp.asarray(rng.random((L, B, KV, T)), jnp.float32) \
+            if int8 else None
+        vs = jnp.asarray(rng.random((L, B, KV, T)), jnp.float32) \
+            if int8 else None
+        tables = jnp.asarray(
+            (rng.permutation(NB - 1)[:B * 4] + 1).reshape(B, 4), jnp.int32)
+        # aligned, mid-block, inactive, at-boundary, crossing
+        write_pos = jnp.asarray([0, 100, 120, 96, 127], jnp.int32)
+        active = jnp.asarray([True, True, False, True, True])
+        return pools, k, v, ks, vs, tables, write_pos, active
+
+    @pytest.mark.parametrize('int8', [True, False])
+    def test_parity_vs_scatter(self, int8):
+        from ppq_tpu.serving.paged import scatter_kv_all, write_kv_window
+        pools, k, v, ks, vs, tables, wp, act = self._setup(int8)
+        ref = scatter_kv_all(
+            dict(pools), k, v,
+            ks.transpose(0, 1, 3, 2) if int8 else None,
+            vs.transpose(0, 1, 3, 2) if int8 else None, tables, wp, act)
+        got = write_kv_window(dict(pools), k, v, ks, vs, tables, wp, act,
+                              use_kernel=True, interpret=True)
+        for key in ref:
+            r = np.asarray(ref[key], np.float32)
+            g = np.asarray(got[key], np.float32)
+            # trash row 0 content differs by design (both paths dump
+            # inactive-slot garbage there); every real row must be exact
+            assert np.array_equal(r[:, 1:], g[:, 1:]), key
+
+    def test_window_larger_than_block_falls_back(self):
+        from ppq_tpu.serving.paged import write_kv_window
+        pools, k, v, ks, vs, tables, wp, act = self._setup(True)
+        rng = np.random.default_rng(1)
+        T2 = 160                                   # > BLK=128
+        k2 = jnp.asarray(rng.integers(-5, 5, (3, 5, T2, 2, 64)), jnp.int8)
+        v2 = jnp.asarray(rng.integers(-5, 5, (3, 5, T2, 2, 64)), jnp.int8)
+        ks2 = jnp.asarray(rng.random((3, 5, 2, T2)), jnp.float32)
+        vs2 = jnp.asarray(rng.random((3, 5, 2, T2)), jnp.float32)
+        wp2 = jnp.zeros((5,), jnp.int32)
+        out = write_kv_window(dict(pools), k2, v2, ks2, vs2, tables, wp2,
+                              None, use_kernel=True, interpret=True)
+        assert out['kv'].shape == pools['kv'].shape
