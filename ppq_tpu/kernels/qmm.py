@@ -63,6 +63,12 @@ def supports(d: int, f: int) -> bool:
     return d % 256 == 0 and _pick_tf(d, f) > 0
 
 
+def supports_int4(dp: int, f: int) -> bool:
+    """dp = packed contraction depth (D // 2); mirrors qmm_int4's
+    unpack-aware 4x panel budget."""
+    return dp % 256 == 0 and _pick_tf(dp * 4, f) > 0
+
+
 # ------------------------------------------------------------- int8 ------
 
 def _qmm8_kernel(x_ref, w_ref, s_ref, o_ref):
@@ -136,7 +142,11 @@ def qmm_int4(x: jnp.ndarray, w_packed: jnp.ndarray, scale: jnp.ndarray,
     B, D = x.shape
     Dp, F = w_packed.shape
     assert Dp * 2 == D, (D, Dp)
-    TF = _pick_tf(Dp, F)
+    # budget the panel as if columns were 4x wider: the nibble unpack
+    # materializes an i32 copy of the panel plus two bf16 planes in VMEM
+    # (Mosaic only legalizes shifts on i32), and a full-size panel OOMs
+    # the 16MB scoped vmem at B=128
+    TF = _pick_tf(Dp * 4, F)
     assert TF, (Dp, F)
     x2 = x.astype(jnp.bfloat16).reshape(B, 2, Dp)
     return pl.pallas_call(

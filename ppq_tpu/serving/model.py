@@ -91,7 +91,7 @@ def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray],
                 return out.reshape(*lead, F).astype(x.dtype)
         else:
             F = wq['w_packed'].shape[1]
-            if D % 2 == 0 and qmm.supports(D // 2, F):
+            if D % 2 == 0 and qmm.supports_int4(D // 2, F):
                 out = qmm.qmm_int4(x2, wq['w_packed'], wq['scale'],
                                    out_dtype=jnp.float32)
                 return out.reshape(*lead, F).astype(x.dtype)
