@@ -215,12 +215,20 @@ class ServingEngine:
             # kv-head axis and decode reads take the GSPMD-shardable XLA
             # gather path (paged_decode_xla); a 'pp' mesh shards the pools'
             # leading LAYER axis and runs the staged paged prefill/burst
-            # (pipeline.py). 'sp' shards the cache SEQUENCE axis, which a
-            # position-agnostic block pool doesn't have — unsupported.
+            # (pipeline.py). An 'sp' mesh shards the pools' BLOCK axis —
+            # the paged analogue of sequence sharding (per-chip pool
+            # memory is NB/n_sp): reads/writes run under shard_map with
+            # exact flash-triple merges (paged.py paged_decode_sp).
+            self._paged_sp_mesh = None
             if mesh is not None and mesh.size > 1:
                 shape = dict(mesh.shape)
                 if shape.get('sp', 1) > 1:
-                    raise NotImplementedError('paged_kv + sp mesh')
+                    if shape.get('tp', 1) > 1 or shape.get('pp', 1) > 1 \
+                            or shape.get('dp', 1) > 1:
+                        raise NotImplementedError(
+                            'paged_kv + sp composes with no other axis '
+                            'yet (sp-only meshes supported)')
+                    self._paged_sp_mesh = mesh
                 if shape.get('pp', 1) > 1 and \
                         cfg.n_layers % shape['pp'] != 0:
                     raise ValueError('paged_kv + pp needs n_layers % pp '
@@ -237,6 +245,9 @@ class ServingEngine:
             mb_per_seq = cfg.max_seq_len // BLK
             n_blocks = cfg.kv_pool_blocks or \
                 (cfg.max_batch * mb_per_seq + 1)
+            if self._paged_sp_mesh is not None:
+                n_sp = dict(mesh.shape)['sp']
+                n_blocks = -(-n_blocks // n_sp) * n_sp
             self._alloc = BlockAllocator(n_blocks, cfg.max_batch,
                                          mb_per_seq, block_size=BLK)
         self.cache = self._new_cache()
@@ -276,6 +287,13 @@ class ServingEngine:
                             mesh, P(None, None, None, 'tp', None))}
                 pools = {k: jax.device_put(v, spec[k])
                          for k, v in pools.items()}
+            elif getattr(self, '_paged_sp_mesh', None) is not None:
+                # 'sp': shard the BLOCK axis — per-chip pool memory is
+                # NB/n_sp (the long-context capacity win; reads/writes go
+                # through the shard_map paths in paged.py)
+                pools = {k: jax.device_put(
+                    v, NamedSharding(self.mesh, P(None, 'sp')))
+                    for k, v in pools.items()}
             elif self.mesh is not None and self.mesh.size > 1:
                 pools = {k: jax.device_put(
                     v, NamedSharding(self.mesh, P()))
@@ -464,7 +482,8 @@ class ServingEngine:
                 logits, pools = prefill_paged(
                     params, pools, tokens, lengths, tables, active, cfg,
                     use_kernel=self._paged_kernel,
-                    interpret=cfg.ragged_interpret)
+                    interpret=cfg.ragged_interpret,
+                    sp_mesh=self._paged_sp_mesh)
                 last = jnp.take_along_axis(
                     jnp.argmax(logits, axis=-1).astype(jnp.int32),
                     jnp.maximum(lengths - 1, 0)[:, None], axis=1)[:, 0]
@@ -484,7 +503,8 @@ class ServingEngine:
             logits, pools = prefill_chunk_paged(
                 params, pools, tokens, write_pos, tables, active,
                 prefix_blocks, cfg, use_kernel=self._paged_kernel,
-                interpret=cfg.ragged_interpret)
+                interpret=cfg.ragged_interpret,
+                sp_mesh=self._paged_sp_mesh)
             return jnp.argmax(logits, axis=-1).astype(jnp.int32), pools
         self._prefill[key] = prefill_chunk
         return prefill_chunk
@@ -554,7 +574,8 @@ class ServingEngine:
                 return burst_forward_paged(
                     params, pools, tokens, seq_lens, tables, keys, cfg,
                     self._select, ragged_interpret=cfg.ragged_interpret,
-                    use_kernel=self._paged_kernel)
+                    use_kernel=self._paged_kernel,
+                    sp_mesh=self._paged_sp_mesh)
         self._decode_burst[key] = decode_burst
         return decode_burst
 

@@ -27,6 +27,7 @@ cache data never leaves the device.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Tuple
 
 import jax
@@ -112,12 +113,17 @@ class BlockAllocator:
 # ------------------------------------------------------------- writes ------
 
 def scatter_kv_all(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
-                   active):
+                   active, blk_offset=None):
     """Write ALL layers' quantized windows in one scatter per pool array:
     k/v_all (L, B, T, KV, Dh); ks/vs_all (L, B, T, KV) | None. The block
     rows are layer-independent, so batching layers turns per-layer
     scatters into 2 (scatter launch overhead on TPU is per-op, not
-    per-element). K lands in plane 0 of the fused pool, V in plane 1."""
+    per-element). K lands in plane 0 of the fused pool, V in plane 1.
+
+    blk_offset: when the pool passed in is a SHARD of the global block
+    axis (paged + 'sp' mesh, inside shard_map), the first global block id
+    this shard owns — rows are localized and out-of-shard writes are
+    dropped (`.at[].set(mode='drop')`)."""
     L, B, T, KV, Dh = k_all.shape
     blk_sz = pool_block_size(pools)
     pos = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]  # (B,T)
@@ -126,6 +132,15 @@ def scatter_kv_all(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
     rows = jnp.take_along_axis(tables, blk, axis=1)
     if active is not None:
         rows = jnp.where(active[:, None], rows, 0)
+    if blk_offset is not None:
+        nb_local = pools['kv'].shape[1]
+        rows = rows - blk_offset
+        # out-of-shard → row PAST the whole flattened (L*NB) pool (the
+        # scatter indices below fold the layer in as l*NB + row, so the
+        # sentinel must clear every layer's slab; negative would wrap):
+        # dropped by mode='drop'
+        rows = jnp.where((rows >= 0) & (rows < nb_local), rows,
+                         L * nb_local)
     out = dict(pools)
     dt = pools['kv'].dtype
     # one scatter over a fused (B, T, 2, ...) update. The layer axis is
@@ -143,9 +158,10 @@ def scatter_kv_all(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
     lrows = (jnp.arange(L, dtype=jnp.int32)[:, None, None] * NB
              + rows[None])                               # (L, B, T)
     plane = jnp.arange(2, dtype=jnp.int32)[None, None, None]  # (1, 1, 1, 2)
+    mode = 'drop' if blk_offset is not None else None
     kv_flat = pools['kv'].reshape((L * NB,) + pools['kv'].shape[2:])
     kv_flat = kv_flat.at[lrows[..., None], plane,
-                         off[None, :, :, None]].set(kv_new)
+                         off[None, :, :, None]].set(kv_new, mode=mode)
     out['kv'] = kv_flat.reshape(pools['kv'].shape)
     if ks_all is not None:
         sc_new = jnp.stack([ks_all, vs_all], axis=3)     # (L, B, T, 2, KV)
@@ -154,7 +170,8 @@ def scatter_kv_all(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
         sc_flat = sp.reshape((L * NB,) + sp.shape[2:])
         sc_flat = sc_flat.at[lrows[..., None, None], plane[..., None],
                              kv_idx,
-                             off[None, :, :, None, None]].set(sc_new)
+                             off[None, :, :, None, None]].set(sc_new,
+                                                              mode=mode)
         out['kv_scale'] = sc_flat.reshape(sp.shape)
     return out
 
@@ -208,14 +225,162 @@ def write_kv_window(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
     return out
 
 
+# ------------------------------------------ sp (block-axis) sharding -------
+#
+# A paged pool has no sequence axis — sequence content is distributed over
+# pool BLOCKS — so 'sp' (sequence parallelism, long-context capacity
+# scaling) shards the pools' block axis: each device owns NB/n_sp blocks
+# and per-chip pool memory shrinks by n_sp, the same capacity win the
+# dense cache gets from sharding S. GSPMD cannot partition a gather/
+# scatter over the gathered axis without collecting the operand, so the
+# three pool-touching ops run under shard_map instead:
+#   * decode reads  — each shard computes the flash triple over ITS blocks
+#     (out-of-shard table entries masked) and the triples merge exactly
+#     with a pmax/psum pair (flash-decoding across devices);
+#   * writes        — each shard applies the same scatter with localized
+#     rows; out-of-shard updates drop (every block lands on exactly one
+#     shard, so the union of local scatters IS the global scatter);
+#   * prefix gather — (chunked prefill, compute-bound) each shard
+#     contributes its blocks zero-filled elsewhere; a psum rebuilds the
+#     dense prefix, exact because every block lives on one shard.
+
+def _sp_size(mesh) -> int:
+    return dict(mesh.shape).get('sp', 1)
+
+
+def paged_decode_sp(q, kv_pool, kv_scale, tables, seq_lens, layer, mesh):
+    """Flash-decoding read over an 'sp'-sharded pool: returns the same
+    (acc, m, l) triple as paged_decode_xla on the unsharded pool, exactly
+    (the per-shard triples are partial softmaxes over disjoint key sets).
+
+    q (B, KV, rep, Dh); kv_pool (L, NB, 2, BLK, KV*Dh) sharded P(None,
+    'sp'); kv_scale (L, NB, 2, KV, BLK)|None; tables (B, MB) GLOBAL block
+    ids; layer: static python int.
+    """
+    from .ring_attention import shard_map
+    from jax.sharding import PartitionSpec as P
+    n_sp = _sp_size(mesh)
+    L, NB = kv_pool.shape[0], kv_pool.shape[1]
+    nb_local = NB // n_sp
+    has_sc = kv_scale is not None
+
+    def local(q, tables, seq_lens, kv, *opt):
+        sc = opt[0] if opt else None
+        off = jax.lax.axis_index('sp') * nb_local
+        loc = tables - off
+        inb = (loc >= 0) & (loc < nb_local)
+        loc = jnp.where(inb, loc, 0)
+        kvf = kv.reshape((L * nb_local,) + kv.shape[2:])
+        scf = (sc.reshape((L * nb_local,) + sc.shape[2:])
+               if sc is not None else None)
+        acc, m, l = paged_decode_xla(q, kvf, scf, loc + layer * nb_local,
+                                     seq_lens, entry_mask=inb)
+        m_g = jax.lax.pmax(m, 'sp')
+        w = jnp.exp(m - m_g)
+        return (jax.lax.psum(acc * w[..., None], 'sp'), m_g,
+                jax.lax.psum(l * w, 'sp'))
+
+    pool_spec = P(None, 'sp')
+    specs = (P(), P(), P(), pool_spec) + ((pool_spec,) if has_sc else ())
+    args = (q, tables, seq_lens, kv_pool) + \
+        ((kv_scale,) if has_sc else ())
+    fn = shard_map(local, mesh=mesh, in_specs=specs,
+                   out_specs=(P(), P(), P()))
+    return fn(*args)
+
+
+def write_kv_window_sp(pools, k_all, v_all, ks_all, vs_all, tables,
+                       write_pos, active, mesh):
+    """write_kv_window for an 'sp'-sharded pool: the XLA scatter runs per
+    shard with localized rows (out-of-shard updates drop). Same layouts
+    as write_kv_window's scatter path (ks/vs_all transposed (L,B,KV,T))."""
+    from .ring_attention import shard_map
+    from jax.sharding import PartitionSpec as P
+    n_sp = _sp_size(mesh)
+    nb_local = pools['kv'].shape[1] // n_sp
+    has_sc = ks_all is not None
+    if active is None:
+        active = jnp.ones(tables.shape[0], bool)
+
+    def local(k_all, v_all, tables, write_pos, act, kv, *opt):
+        off = jax.lax.axis_index('sp') * nb_local
+        pl = {'kv': kv}
+        ks_t = vs_t = None
+        if opt:
+            pl['kv_scale'], ks_t, vs_t = opt
+        out = scatter_kv_all(
+            pl, k_all, v_all,
+            ks_t.transpose(0, 1, 3, 2) if ks_t is not None else None,
+            vs_t.transpose(0, 1, 3, 2) if vs_t is not None else None,
+            tables, write_pos, act, blk_offset=off)
+        return (out['kv'],) + ((out['kv_scale'],) if opt else ())
+
+    pool_spec = P(None, 'sp')
+    rep = P()
+    specs = (rep,) * 5 + (pool_spec,) + \
+        ((pool_spec, rep, rep) if has_sc else ())
+    args = (k_all, v_all, tables, write_pos, active, pools['kv']) + \
+        ((pools['kv_scale'], ks_all, vs_all) if has_sc else ())
+    fn = shard_map(local, mesh=mesh, in_specs=specs,
+                   out_specs=(pool_spec,) + ((pool_spec,) if has_sc
+                                             else ()))
+    res = fn(*args)
+    out = dict(pools)
+    out['kv'] = res[0]
+    if has_sc:
+        out['kv_scale'] = res[1]
+    return out
+
+
+def gather_prefix_sp(kv_pool, kv_scale, tbl_p, layer, mesh):
+    """Dense prefix gather from an 'sp'-sharded pool (chunked prefill):
+    each shard contributes its blocks (zeros elsewhere); the psum over
+    'sp' reconstructs the replicated dense prefix exactly — every block
+    lives on exactly one shard. Returns (kvp (B,P,2,BLK,KVDh),
+    scp (B,P,2,KV,BLK)|None) matching `pools['kv'][layer][tbl_p]`."""
+    from .ring_attention import shard_map
+    from jax.sharding import PartitionSpec as P
+    n_sp = _sp_size(mesh)
+    nb_local = kv_pool.shape[1] // n_sp
+    has_sc = kv_scale is not None
+
+    def local(tbl, kv, *opt):
+        sc = opt[0] if opt else None
+        off = jax.lax.axis_index('sp') * nb_local
+        loc = tbl - off
+        inb = (loc >= 0) & (loc < nb_local)
+        loc = jnp.where(inb, loc, 0)
+        kvp = kv[layer][loc]                  # (B, P, 2, BLK, KVDh)
+        kvp = jnp.where(inb[:, :, None, None, None], kvp, 0)
+        kvp = jax.lax.psum(kvp.astype(jnp.int32)
+                           if kvp.dtype == jnp.int8 else kvp, 'sp')
+        if sc is None:
+            return (kvp,)
+        scp = sc[layer][loc]                  # (B, P, 2, KV, BLK)
+        scp = jnp.where(inb[:, :, None, None, None], scp, 0.0)
+        return kvp, jax.lax.psum(scp, 'sp')
+
+    pool_spec = P(None, 'sp')
+    specs = (P(), pool_spec) + ((pool_spec,) if has_sc else ())
+    args = (tbl_p, kv_pool) + ((kv_scale,) if has_sc else ())
+    fn = shard_map(local, mesh=mesh, in_specs=specs,
+                   out_specs=(P(), P()) if has_sc else (P(),))
+    res = fn(*args)
+    kvp = res[0].astype(kv_pool.dtype)
+    return kvp, (res[1] if has_sc else None)
+
+
 # ------------------------------------------------------------- prefill -----
 
 def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
                   active, cfg: LlamaConfig, use_kernel: bool = False,
-                  interpret: bool = False) -> Tuple:
+                  interpret: bool = False, sp_mesh=None) -> Tuple:
     """Batched masked prefill into the paged pools. Prompts start at
     position 0, so attention is causal within the (B, T) window itself —
-    the pool is written, never read. Returns (logits, pools)."""
+    the pool is written, never read. Returns (logits, pools).
+
+    sp_mesh: when the pools' block axis is 'sp'-sharded, the mesh — the
+    pool write runs per shard under shard_map (write_kv_window_sp)."""
     B, T = tokens.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     rep = H // KV
@@ -267,12 +432,15 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
 
     # ONE pool write for all layers (per-row scatter/launch overhead on
     # TPU; the kernel path does block-granular RMW instead)
-    pools = write_kv_window(
+    writer = (functools.partial(write_kv_window_sp, mesh=sp_mesh)
+              if sp_mesh is not None else
+              functools.partial(write_kv_window, use_kernel=use_kernel,
+                                interpret=interpret))
+    pools = writer(
         pools, jnp.stack(k_layers), jnp.stack(v_layers),
         jnp.stack(ks_layers).transpose(0, 1, 3, 2) if int8_cache else None,
         jnp.stack(vs_layers).transpose(0, 1, 3, 2) if int8_cache else None,
-        tables, write_pos, active, use_kernel=use_kernel,
-        interpret=interpret)
+        tables, write_pos, active)
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'], pallas=pall)
     return logits.astype(jnp.float32), pools
@@ -280,7 +448,8 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
 
 # ------------------------------------------------------------- decode ------
 
-def paged_decode_xla(q, kv_pool, kv_scale, tables, seq_lens):
+def paged_decode_xla(q, kv_pool, kv_scale, tables, seq_lens,
+                     entry_mask=None):
     """Gather-based paged decode read in plain XLA: same contract as
     kernels.paged_attention.paged_attention_decode_fused (returns the
     UNNORMALIZED flash-decoding triple (acc, m, l)) but GSPMD-shardable —
@@ -293,6 +462,11 @@ def paged_decode_xla(q, kv_pool, kv_scale, tables, seq_lens):
     kv_scale (NB, 2, KV, BLK)|None; tables (B, MB); seq_lens (B,).
     Layered callers (L-leading pools) pre-offset `tables` by layer*NB and
     pass the pool reshaped to (L*NB, ...).
+
+    entry_mask (B, MB) bool|None: table entries to INCLUDE — the sp path
+    (paged_decode_sp) passes the shard-locality mask so each device
+    contributes only its own blocks. A row with no live entry returns the
+    empty triple (acc=0, m=-1e30, l=0), which merges as a no-op.
     """
     B, KV, rep, Dh = q.shape
     NB, _, BLKp, KVDh = kv_pool.shape
@@ -309,9 +483,16 @@ def paged_decode_xla(q, kv_pool, kv_scale, tables, seq_lens):
         kss = scp[:, :, 0].transpose(0, 2, 1, 3).reshape(B, KV, S)
         s = s * kss[:, :, None, :]
     valid = (jnp.arange(S)[None, :] < seq_lens[:, None])[:, None, None, :]
+    if entry_mask is not None:
+        emask = jnp.repeat(entry_mask, BLKp, axis=1)[:, None, None, :]
+        valid = valid & emask
     s = jnp.where(valid, s / np.sqrt(Dh), -1e30)
     m = jnp.max(s, axis=-1)
     p = jnp.exp(s - m[..., None])
+    if entry_mask is not None:
+        # all-masked rows have m == -1e30 and p == exp(0) == 1 everywhere;
+        # zero them so the shard contributes the EMPTY triple instead
+        p = jnp.where(valid, p, 0.0)
     l = jnp.sum(p, axis=-1)
     if kv_scale is not None:
         vss = scp[:, :, 1].transpose(0, 2, 1, 3).reshape(B, KV, S)
@@ -325,11 +506,15 @@ def paged_decode_xla(q, kv_pool, kv_scale, tables, seq_lens):
 def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
                         tables, keys, cfg: LlamaConfig, select_fn,
                         ragged_interpret: bool = False,
-                        use_kernel: bool = True):
+                        use_kernel: bool = True, sp_mesh=None):
     """n decode steps over the paged pools: pool frozen during the scan
     (paged-attention kernel reads only allocated blocks), in-burst K/V in
     small per-layer buffers, ONE scatter per layer at burst end. Mirrors
-    model.burst_forward's ragged path with real block tables."""
+    model.burst_forward's ragged path with real block tables.
+
+    sp_mesh: 'sp'-sharded pools — frozen-pool reads take the shard_map
+    flash-triple merge (paged_decode_sp) and the burst-end write the
+    per-shard scatter (write_kv_window_sp)."""
     from ..kernels.paged_attention import (merge_attention,
                                            paged_attention_decode_fused)
     L = len(params['layers'])
@@ -364,8 +549,9 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     sc_full = pools['kv_scale'] if int8_cache else None
     NBp = kv_full.shape[1]
     # the XLA gather path (multi-device) indexes a flattened (L*NB) pool
-    # with layer-offset tables — the slice never materializes
-    if not use_kernel:
+    # with layer-offset tables — the slice never materializes. (The sp
+    # path keeps the (L, NB) pool: shard_map flattens per shard.)
+    if not use_kernel and sp_mesh is None:
         kv_flat = kv_full.reshape((L * NBp,) + kv_full.shape[2:])
         sc_flat = (sc_full.reshape((L * NBp,) + sc_full.shape[2:])
                    if int8_cache else None)
@@ -398,6 +584,10 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
                     q_g[:, 0], kv_full, sc_full,
                     tables, seq_lens, jnp.int32(li), block_size=blk_sz,
                     interpret=ragged_interpret)
+            elif sp_mesh is not None:
+                acc_f, m_f, l_f = paged_decode_sp(
+                    q_g[:, 0], kv_full, sc_full, tables, seq_lens, li,
+                    sp_mesh)
             else:
                 acc_f, m_f, l_f = paged_decode_xla(
                     q_g[:, 0], kv_flat, sc_flat,
@@ -459,19 +649,26 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     # ONE pool write for the whole burst: K/V land at seq_lens..+n-1.
     # On the single-device kernel path this is the Pallas block-RMW
     # writer (XLA's serial per-row scatter cost ~0.67 ms/step here).
-    pools = write_kv_window(
-        pools, kbuf, vbuf,
-        ksb if int8_cache else None,
-        vsb if int8_cache else None,
-        tables, seq_lens, None, use_kernel=use_kernel,
-        interpret=ragged_interpret)
+    if sp_mesh is not None:
+        pools = write_kv_window_sp(
+            pools, kbuf, vbuf,
+            ksb if int8_cache else None,
+            vsb if int8_cache else None,
+            tables, seq_lens, None, sp_mesh)
+    else:
+        pools = write_kv_window(
+            pools, kbuf, vbuf,
+            ksb if int8_cache else None,
+            vsb if int8_cache else None,
+            tables, seq_lens, None, use_kernel=use_kernel,
+            interpret=ragged_interpret)
     return toks, pools
 
 
 def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
                         tables, active, prefix_blocks: int,
                         cfg: LlamaConfig, use_kernel: bool = False,
-                        interpret: bool = False) -> Tuple:
+                        interpret: bool = False, sp_mesh=None) -> Tuple:
     """Continuation prefill into the paged pools: write `chunk` tokens at
     per-slot offsets write_pos, attending over the blocks already written
     (gathered densely from the pool via the block tables — prefill is
@@ -517,11 +714,16 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
         # gather the written prefix (all scatters defer to the end, so the
         # gather reads pre-chunk pool state; the chunk's own K/V join via
         # the dense within-window term)
-        kvp = pools['kv'][li][tbl_p]              # (B, P, 2, BLK, KVDh)
+        if sp_mesh is not None:
+            kvp, scp = gather_prefix_sp(
+                pools['kv'], pools.get('kv_scale'), tbl_p, li, sp_mesh)
+        else:
+            kvp = pools['kv'][li][tbl_p]          # (B, P, 2, BLK, KVDh)
+            scp = (pools['kv_scale'][li][tbl_p]   # (B, P, 2, KV, BLK)
+                   if int8_cache else None)
         kp = kvp[:, :, 0].reshape(B, Sp, KV, Dh)
         vp = kvp[:, :, 1].reshape(B, Sp, KV, Dh)
         if int8_cache:
-            scp = pools['kv_scale'][li][tbl_p]    # (B, P, 2, KV, BLK)
             kps = scp[:, :, 0].transpose(0, 2, 1, 3).reshape(B, KV, Sp)
             vps = scp[:, :, 1].transpose(0, 2, 1, 3).reshape(B, KV, Sp)
         k_layers.append(k_q)
@@ -560,12 +762,15 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
         h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
         x = x + mlp(h, layer, cfg)
 
-    pools = write_kv_window(
+    writer = (functools.partial(write_kv_window_sp, mesh=sp_mesh)
+              if sp_mesh is not None else
+              functools.partial(write_kv_window, use_kernel=use_kernel,
+                                interpret=interpret))
+    pools = writer(
         pools, jnp.stack(k_layers), jnp.stack(v_layers),
         jnp.stack(ks_layers).transpose(0, 1, 3, 2) if int8_cache else None,
         jnp.stack(vs_layers).transpose(0, 1, 3, 2) if int8_cache else None,
-        tables, write_pos, active, use_kernel=use_kernel,
-        interpret=interpret)
+        tables, write_pos, active)
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'], pallas=pall)
     return logits.astype(jnp.float32), pools

@@ -237,3 +237,99 @@ def test_pp_paged_logits_match_single_device_prefill():
     kv_got = np.asarray(got_pools['kv'])[:, 1:5]
     assert np.max(np.abs(kv_ref.astype(np.int32) -
                          kv_got.astype(np.int32))) <= 1
+
+
+# ------------------------------------------------------- paged KV + sp ----
+
+def test_sp_paged_engine_generates():
+    """paged_kv on an 'sp' mesh: pools shard the BLOCK axis (per-chip pool
+    memory NB/n_sp); reads/writes run under shard_map (paged.py)."""
+    cfg = _paged_cfg()
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=0),
+                        mesh=_mesh([('sp', 4)]))
+    assert eng.cache['kv'].sharding.spec[1] == 'sp'
+    reqs = _run_engine(eng)
+    assert all(r.done and len(r.generated) == 6 for r in reqs)
+
+
+def test_sp_paged_decode_triple_matches_unsharded():
+    """paged_decode_sp must reproduce paged_decode_xla's attention
+    output. The merge over disjoint key sets is exact in exact
+    arithmetic, but each shard rounds p = exp(s - m_local) to bf16
+    against its LOCAL max before the value einsum — so the oracle is the
+    NORMALIZED output at bf16 tolerance, not bit equality of triples."""
+    from ppq_tpu.serving.paged import paged_decode_sp, paged_decode_xla
+    rng = np.random.RandomState(0)
+    L, NB, BLKs, KV, Dh, B, MB = 2, 8, 128, 2, 64, 3, 2
+    mesh = _mesh([('sp', 4)])
+    kv_pool = jnp.asarray(
+        rng.randint(-127, 128, (L, NB, 2, BLKs, KV * Dh)), jnp.int8)
+    kv_scale = jnp.asarray(
+        rng.rand(L, NB, 2, KV, BLKs).astype(np.float32) * 0.02)
+    # tables deliberately hit blocks on DIFFERENT shards (nb_local=2)
+    tables = jnp.asarray([[1, 6], [3, 4], [7, 2]], jnp.int32)
+    seq_lens = jnp.asarray([200, 129, 256], jnp.int32)
+    q = jnp.asarray(rng.randn(B, KV, 4, Dh).astype(np.float32))
+
+    flat_kv = kv_pool.reshape((L * NB,) + kv_pool.shape[2:])
+    flat_sc = kv_scale.reshape((L * NB,) + kv_scale.shape[2:])
+    for li in range(L):
+        ra, rm, rl = paged_decode_xla(q, flat_kv, flat_sc,
+                                      tables + li * NB, seq_lens)
+        ga, gm, gl = paged_decode_sp(q, kv_pool, kv_scale, tables,
+                                     seq_lens, li, mesh)
+        ref = np.asarray(ra / rl[..., None])
+        got = np.asarray(ga / gl[..., None])
+        np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+        # the global max itself is position-local math: tight agreement
+        np.testing.assert_allclose(np.asarray(gm), np.asarray(rm),
+                                   rtol=1e-2)
+
+
+def test_sp_paged_logits_match_single_device():
+    """Generation oracle: the sp-sharded paged engine tracks the
+    single-device paged engine (which needs kernel-supported shapes:
+    head_dim 128) on the first greedy tokens."""
+    cfg = LlamaConfig(vocab_size=97, d_model=256, n_layers=2, n_heads=2,
+                      n_kv_heads=2, d_ff=256, max_seq_len=128,
+                      max_batch=4, weight_bits=8, prefill_buckets=(16,))
+    cfg.paged_kv = True
+    cfg.kv_block_size = 128
+    cfg.ragged_interpret = True      # CPU: interpreted Pallas kernels
+    params = init_llama_params(cfg, seed=2)
+    rng = np.random.RandomState(3)
+    prompts = [rng.randint(1, 96, 12).tolist() for _ in range(3)]
+
+    def gen(mesh):
+        eng = ServingEngine(cfg, params, mesh=mesh)
+        reqs = [Request(i, p, max_new_tokens=8)
+                for i, p in enumerate(prompts)]
+        eng.run(reqs, sync_every=4)
+        return [r.generated for r in reqs]
+
+    ref = gen(None)
+    got = gen(_mesh([('sp', 4)]))
+    # greedy ties under bf16 cross-compilation can flip a tail token;
+    # demand agreement on the first tokens of every sequence
+    for r, g in zip(ref, got):
+        assert r[:3] == g[:3], (r, g)
+
+
+def test_sp_paged_chunked_prefill_long_prompt():
+    """Chunked paged prefill through the sp shard_map gather: a prompt
+    beyond every bucket streams into the sharded pool."""
+    cfg = _paged_cfg()
+    cfg.prefill_buckets = (16,)
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=4),
+                        mesh=_mesh([('sp', 4)]))
+    rng = np.random.RandomState(5)
+    reqs = [Request(0, rng.randint(1, 96, 50).tolist(), max_new_tokens=4)]
+    eng.run(reqs, sync_every=4)
+    assert reqs[0].done and len(reqs[0].generated) == 4
+
+
+def test_sp_paged_rejects_mixed_axes():
+    cfg = _paged_cfg()
+    with pytest.raises(NotImplementedError):
+        ServingEngine(cfg, init_llama_params(cfg, seed=0),
+                      mesh=_mesh([('dp', 2), ('sp', 2)]))

@@ -119,3 +119,35 @@ def test_unet_lite_int8():
     from ppq_tpu.zoo import unet_lite
     fn = lambda: unet_lite(in_size=32)
     quantize_and_check(fn, (1, 3, 32, 32), snr_limit=0.05)
+
+
+def test_se_resnet_lite_int8():
+    """SE attention (GAP->Gemm->Sigmoid->Mul gate) quantizes e2e; the Mul
+    gate keeps its activation TQC."""
+    from ppq_tpu.zoo import se_resnet_lite
+    fn = lambda: se_resnet_lite(num_classes=10, input_shape=(1, 3, 32, 32))
+    graph = quantize_and_check(fn, (1, 3, 32, 32), snr_limit=0.1)
+    assert any(op.type == 'Sigmoid' for op in graph.operations.values())
+
+
+def test_resnext_lite_int8():
+    """Grouped (non-depthwise) convs keep per-channel weight quant."""
+    from ppq_tpu.zoo import resnext_lite
+    fn = lambda: resnext_lite(num_classes=10, input_shape=(1, 3, 32, 32),
+                              cardinality=4)
+    graph = quantize_and_check(fn, (1, 3, 32, 32), snr_limit=0.1)
+    grouped = [op for op in graph.operations.values()
+               if op.type == 'Conv' and int(op.attributes.get('group', 1))
+               not in (1,)]
+    assert grouped, 'resnext_lite must contain grouped convs'
+
+
+def test_shufflenet_v2_lite_int8():
+    """Split/Concat + channel-shuffle Reshape-Transpose-Reshape chains
+    survive quantization and execute correctly."""
+    from ppq_tpu.zoo import shufflenet_v2_lite
+    fn = lambda: shufflenet_v2_lite(num_classes=10,
+                                    input_shape=(1, 3, 32, 32))
+    graph = quantize_and_check(fn, (1, 3, 32, 32), snr_limit=0.1)
+    types = {op.type for op in graph.operations.values()}
+    assert {'Split', 'Concat', 'Transpose'} <= types
