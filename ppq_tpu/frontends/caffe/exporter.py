@@ -172,14 +172,134 @@ class CaffeExporter(GraphExporter):
                           'Abs': 'AbsVal', 'Dropout': 'Dropout'}[t]
             return
         if t == 'Resize':
-            layer.type = 'Upsample'
-            scales_var = next(
-                (v for v in op.inputs[2:3] if v.is_parameter), None)
-            zoom = 2
-            if scales_var is not None and scales_var.has_value and \
-                    np.asarray(scales_var.value).size >= 4:
-                zoom = int(np.asarray(scales_var.value).reshape(-1)[2])
-            layer.upsample_param.scale = zoom
+            mode = str(op.attributes.get('mode', b'nearest'))
+            if 'nearest' in mode:
+                # parser round-trip target: NNUpsample (PPL proto)
+                layer.type = 'NNUpsample'
+                scales_var = next(
+                    (v for v in op.inputs[2:3] if v.is_parameter), None)
+                zoom = 2
+                if scales_var is not None and scales_var.has_value and \
+                        np.asarray(scales_var.value).size >= 4:
+                    zoom = int(np.asarray(scales_var.value).reshape(-1)[2])
+                layer.nn_upsample_param.resize = zoom
+            else:
+                layer.type = 'Interp'
+                scales_var = next(
+                    (v for v in op.inputs[2:3] if v.is_parameter), None)
+                if scales_var is not None and scales_var.has_value and \
+                        np.asarray(scales_var.value).size >= 4:
+                    layer.interp_param.zoom_factor = int(
+                        np.asarray(scales_var.value).reshape(-1)[2])
+            return
+        if t == 'PRelu':
+            layer.type = 'PReLU'
+            slope = np.asarray(params[0].value).reshape(-1)
+            _set_blob(layer.blobs.add(), slope)
+            return
+        if t == 'Clip':
+            lo = float(np.asarray(params[0].value)) if params else 0.0
+            hi = float(np.asarray(params[1].value)) if len(params) > 1 \
+                else 6.0
+            if lo == 0.0 and hi == 6.0:
+                layer.type = 'ReLU6'
+            else:
+                layer.type = 'Clip'
+                layer.clip_param.min = lo
+                layer.clip_param.max = hi
+            return
+        if t == 'Pad':
+            mode = op.attributes.get('mode', b'constant')
+            mode = mode.decode() if isinstance(mode, bytes) else str(mode)
+            layer.type = 'ReflectionPad' if mode == 'reflect' else 'Pad'
+            pads = (np.asarray(params[0].value).reshape(-1)
+                    if params else np.zeros(8, np.int64))
+            if pads.size >= 8:               # NCHW onnx layout
+                layer.pad_param.pad_h = int(pads[2])
+                layer.pad_param.pad_w = int(pads[3])
+            layer.pad_param.mode = 1 if mode == 'reflect' else 0
+            return
+        if t == 'Split':
+            # caffe 'Slice' == onnx Split along an axis
+            layer.type = 'Slice'
+            layer.slice_param.axis = int(op.attributes.get('axis', 1))
+            sizes = op.attributes.get('split')
+            if sizes is None and params:
+                sizes = [int(s) for s in
+                         np.asarray(params[0].value).reshape(-1)]
+            if sizes:
+                pts = np.cumsum([int(s) for s in sizes])[:-1]
+                layer.slice_param.slice_point.extend(int(p) for p in pts)
+            return
+        if t == 'Pow':
+            layer.type = 'Power'
+            exp = (float(np.asarray(params[0].value).reshape(-1)[0])
+                   if params else 1.0)
+            layer.power_param.power = exp
+            layer.power_param.scale = 1.0
+            layer.power_param.shift = 0.0
+            return
+        if t == 'ReduceMean':
+            layer.type = 'Reduce'
+            axes = op.attributes.get('axes', [1])
+            layer.reduce_param.axis = int(axes[0] if isinstance(
+                axes, (list, tuple)) else axes)
+            return
+        if t == 'ReduceL2':
+            layer.type = 'ReduceL2'
+            return
+        if t in ('HardSwish', 'HardSigmoid'):
+            layer.type = 'HSwish' if t == 'HardSwish' else 'HSigmoid'
+            return
+        if t == 'InstanceNormalization':
+            layer.type = 'InstanceNorm'
+            scale = np.asarray(params[0].value) if params else None
+            layer.instance_norm_param.eps = float(
+                op.attributes.get('epsilon', 1e-5))
+            if scale is not None:
+                layer.instance_norm_param.num_features = int(scale.size)
+                layer.instance_norm_param.affine = True
+                _set_blob(layer.blobs.add(), scale)
+                if len(params) > 1:
+                    _set_blob(layer.blobs.add(), params[1].value)
+            return
+        if t == 'Tile':
+            layer.type = 'Tile'
+            reps = (np.asarray(params[0].value).reshape(-1)
+                    if params else np.ones(1, np.int64))
+            hot = [i for i, r in enumerate(reps) if int(r) != 1] or [0]
+            layer.tile_param.axis = int(hot[0])
+            layer.tile_param.tiles = int(reps[hot[0]])
+            return
+        if t == 'ChannelShuffle':
+            layer.type = 'ChannelShuffle'
+            layer.channel_shuffle_param.group = int(
+                op.attributes.get('group', 1))
+            return
+        if t in ('SpaceToDepth', 'DepthToSpace'):
+            block = int(op.attributes.get('blocksize', 1))
+            if t == 'SpaceToDepth':
+                layer.type = 'SubpixelDown'
+                layer.subpixel_down_param.downsample = block
+            else:
+                layer.type = 'SubpixelUp'
+                layer.subpixel_up_param.upsample = block
+            return
+        if t == 'ArgMax':
+            layer.type = 'ArgMax'
+            layer.argmax_param.axis = int(op.attributes.get('axis', 1))
+            layer.argmax_param.top_k = 1
+            return
+        if t in ('MatMul', 'Sub', 'Div') and not params:
+            layer.type = t
+            return
+        if t == 'Mul' and params:
+            # Mul with a parameter gate/weight — caffe Scale layer
+            layer.type = 'Scale'
+            layer.scale_param.axis = 1
+            layer.scale_param.bias_term = False
+            _set_blob(layer.blobs.add(),
+                      np.asarray(params[0].value).reshape(-1))
             return
 
         ppq_warning(f'Caffe exporter: op type {t!r} has no native caffe '

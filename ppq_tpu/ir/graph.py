@@ -269,11 +269,15 @@ class BaseGraph:
 
     def topological_sort(self) -> List[Operation]:
         """Kahn's algorithm (ppq/IR/base/graph.py:333-361)."""
+        # in-degree counts UNIQUE upstream producers (not edges): the
+        # relaxation below decrements once per producer, and an op may
+        # consume several outputs of the same producer (e.g. both halves
+        # of a Split feeding one Concat)
         in_deg = {name: 0 for name in self.operations}
         for op in self.operations.values():
-            for var in op.inputs:
-                if var.source_op is not None and var.source_op.name in self.operations:
-                    in_deg[op.name] += 1
+            in_deg[op.name] = sum(
+                1 for up in self.get_upstream_operations(op)
+                if up.name in self.operations)
         ready = [self.operations[n] for n, d in sorted(in_deg.items()) if d == 0]
         order: List[Operation] = []
         while ready:

@@ -236,3 +236,44 @@ layer {
     b = np.random.RandomState(2).randn(4, 3).astype(np.float32)
     out = np.asarray(TPUExecutor(g).forward({'a': a, 'b': b})[0])
     np.testing.assert_allclose(out, np.tile(a @ b, (2, 1)), rtol=1e-5)
+
+
+def test_caffe_export_extended_layers_roundtrip(tmp_path):
+    """Exporter coverage for the reference's wider layer set
+    (caffe_export_utils.py:22+): PRelu/ReLU6/Pad/Split/Pow/HardSwish/
+    Tile/ChannelShuffle/SpaceToDepth/DepthToSpace/ArgMax export to their
+    caffe layer types and parse back to an EXECUTABLE graph whose output
+    matches the original."""
+    from ppq_tpu.zoo import NetBuilder
+    b = NetBuilder('wide', seed=7)
+    x = b.input('data', (1, 8, 8, 8))
+    y = b.op('PRelu', [x, b.param(np.full((1, 8, 1, 1), 0.1, np.float32))])
+    y = b.relu6(y)
+    y = b.op('Pad', [y, b.iparam(np.asarray([0, 0, 1, 1, 0, 0, 1, 1]))],
+             mode='reflect')
+    y = b.op('SpaceToDepth', [y], blocksize=2)     # (1, 32, 5, 5)
+    y = b.op('DepthToSpace', [y], blocksize=2)     # back to (1, 8, 10, 10)
+    y = b.op('ChannelShuffle', [y], group=2)
+    y = b.op('HardSwish', [y])
+    lo, hi = b.op('Split', [y], n_out=2, axis=1)
+    y = b.concat([lo, hi], axis=1)
+    y = b.op('Pow', [y, b.param(np.asarray(2.0, np.float32))])
+    y = b.op('Mul', [y, b.param(np.full((1, 8, 1, 1), 0.5, np.float32))])
+    out = b.op('ArgMax', [y], axis=1, keepdims=1)
+    b.output(out)
+    g = b.g
+
+    xv = np.random.RandomState(11).randn(1, 8, 8, 8).astype(np.float32)
+    ref = np.asarray(TPUExecutor(g).forward(xv)[0])
+
+    path = str(tmp_path / 'wide.prototxt')
+    CaffeExporter().export(path, g)
+    text = open(path).read()
+    for lt in ('PReLU', 'ReLU6', 'ReflectionPad', 'SubpixelDown',
+               'SubpixelUp', 'ChannelShuffle', 'HSwish', 'Slice',
+               'Power', 'Scale', 'ArgMax'):
+        assert f'type: "{lt}"' in text, f'missing caffe layer type {lt}'
+
+    g2 = load_caffe_graph(path, str(tmp_path / 'wide.caffemodel'))
+    got = np.asarray(TPUExecutor(g2).forward(xv)[0])
+    np.testing.assert_array_equal(got.reshape(-1), ref.reshape(-1))

@@ -246,3 +246,24 @@ class TestQuantable:
         assert all(c.state == QuantizationStates.FP32 for c in qop.config)
         qop.restore_quantize_state()
         assert all(c.state == QuantizationStates.ACTIVATED for c in qop.config)
+
+
+def test_topological_sort_multi_edge_same_producer():
+    """An op consuming SEVERAL outputs of one producer (both halves of a
+    Split feeding one Concat) must sort: in-degree counts unique
+    producers, matching the per-producer relaxation (regression: edge
+    counting left Concat permanently blocked)."""
+    import numpy as np
+    from ppq_tpu.zoo import NetBuilder
+    b = NetBuilder('splitjoin', seed=0)
+    x = b.input('x', (1, 8, 4, 4))
+    lo, hi = b.op('Split', [x], n_out=2, axis=1)
+    y = b.concat([lo, hi], axis=1)
+    b.output(y)
+    order = [op.name for op in b.g.topological_sort()]
+    assert len(order) == 2 and order[0].startswith('split')
+    # and it executes
+    from ppq_tpu import TPUExecutor
+    xv = np.random.RandomState(0).randn(1, 8, 4, 4).astype(np.float32)
+    out = np.asarray(TPUExecutor(b.g).forward(xv)[0])
+    np.testing.assert_allclose(out, xv, atol=0)
