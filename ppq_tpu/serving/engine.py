@@ -223,11 +223,10 @@ class ServingEngine:
             if mesh is not None and mesh.size > 1:
                 shape = dict(mesh.shape)
                 if shape.get('sp', 1) > 1:
-                    if shape.get('tp', 1) > 1 or shape.get('pp', 1) > 1 \
-                            or shape.get('dp', 1) > 1:
+                    if shape.get('pp', 1) > 1 or shape.get('dp', 1) > 1:
                         raise NotImplementedError(
-                            'paged_kv + sp composes with no other axis '
-                            'yet (sp-only meshes supported)')
+                            'paged_kv + sp composes with tp only '
+                            '(sp or sp x tp meshes)')
                     self._paged_sp_mesh = mesh
                 if shape.get('pp', 1) > 1 and \
                         cfg.n_layers % shape['pp'] != 0:
@@ -275,6 +274,19 @@ class ServingEngine:
                 pools = {k: jax.device_put(
                     v, NamedSharding(self.mesh, P('pp')))
                     for k, v in pools.items()}
+            elif getattr(self, '_paged_sp_mesh', None) is not None:
+                # 'sp' (optionally x 'tp'): shard the BLOCK axis — per-
+                # chip pool memory is NB/n_sp (the long-context capacity
+                # win; reads/writes go through the shard_map paths in
+                # paged.py) — and the kv-head axes over 'tp' when present
+                mesh = self.mesh
+                tp = ('tp' if dict(mesh.shape).get('tp', 1) > 1 else None)
+                spec = {'kv': NamedSharding(
+                            mesh, P(None, 'sp', None, None, tp)),
+                        'kv_scale': NamedSharding(
+                            mesh, P(None, 'sp', None, tp, None))}
+                pools = {k: jax.device_put(v, spec[k])
+                         for k, v in pools.items()}
             elif self.mesh is not None and \
                     dict(self.mesh.shape).get('tp', 1) > 1:
                 # shard pools over the kv-head axis (KV major in the
@@ -287,13 +299,6 @@ class ServingEngine:
                             mesh, P(None, None, None, 'tp', None))}
                 pools = {k: jax.device_put(v, spec[k])
                          for k, v in pools.items()}
-            elif getattr(self, '_paged_sp_mesh', None) is not None:
-                # 'sp': shard the BLOCK axis — per-chip pool memory is
-                # NB/n_sp (the long-context capacity win; reads/writes go
-                # through the shard_map paths in paged.py)
-                pools = {k: jax.device_put(
-                    v, NamedSharding(self.mesh, P(None, 'sp')))
-                    for k, v in pools.items()}
             elif self.mesh is not None and self.mesh.size > 1:
                 pools = {k: jax.device_put(
                     v, NamedSharding(self.mesh, P()))

@@ -248,6 +248,14 @@ def _sp_size(mesh) -> int:
     return dict(mesh.shape).get('sp', 1)
 
 
+def _tp_name(mesh):
+    """'tp' when the sp mesh also tensor-parallelizes kv heads (sp x tp
+    composition: blocks shard over 'sp', the KV*Dh / KV axes over 'tp';
+    the flash-triple merge stays an sp-only collective, tp partitioning
+    is purely local head slicing)."""
+    return 'tp' if dict(mesh.shape).get('tp', 1) > 1 else None
+
+
 def paged_decode_sp(q, kv_pool, kv_scale, tables, seq_lens, layer, mesh):
     """Flash-decoding read over an 'sp'-sharded pool: returns the same
     (acc, m, l) triple as paged_decode_xla on the unsharded pool, exactly
@@ -280,12 +288,17 @@ def paged_decode_sp(q, kv_pool, kv_scale, tables, seq_lens, layer, mesh):
         return (jax.lax.psum(acc * w[..., None], 'sp'), m_g,
                 jax.lax.psum(l * w, 'sp'))
 
-    pool_spec = P(None, 'sp')
-    specs = (P(), P(), P(), pool_spec) + ((pool_spec,) if has_sc else ())
+    tp = _tp_name(mesh)
+    # pool (L, NB, 2, BLK, KV*Dh); scale (L, NB, 2, KV, BLK);
+    # q (B, KV, rep, Dh); triple: acc (B, KV, rep, Dh), m/l (B, KV, rep)
+    pool_spec = P(None, 'sp', None, None, tp)
+    sc_spec = P(None, 'sp', None, tp)
+    q_spec = P(None, tp)
+    specs = (q_spec, P(), P(), pool_spec) + ((sc_spec,) if has_sc else ())
     args = (q, tables, seq_lens, kv_pool) + \
         ((kv_scale,) if has_sc else ())
     fn = shard_map(local, mesh=mesh, in_specs=specs,
-                   out_specs=(P(), P(), P()))
+                   out_specs=(q_spec, q_spec, q_spec))
     return fn(*args)
 
 
@@ -315,14 +328,20 @@ def write_kv_window_sp(pools, k_all, v_all, ks_all, vs_all, tables,
             tables, write_pos, act, blk_offset=off)
         return (out['kv'],) + ((out['kv_scale'],) if opt else ())
 
-    pool_spec = P(None, 'sp')
+    tp = _tp_name(mesh)
+    # pool (L, NB, 2, BLK, KV*Dh); scale pool (L, NB, 2, KV, BLK);
+    # k/v_all (L, B, T, KV, Dh); ks/vs_all transposed (L, B, KV, T)
+    pool_spec = P(None, 'sp', None, None, tp)
+    scp_spec = P(None, 'sp', None, tp)
+    kv_spec = P(None, None, None, tp)
+    sct_spec = P(None, None, tp)
     rep = P()
-    specs = (rep,) * 5 + (pool_spec,) + \
-        ((pool_spec, rep, rep) if has_sc else ())
+    specs = (kv_spec, kv_spec, rep, rep, rep, pool_spec) + \
+        ((scp_spec, sct_spec, sct_spec) if has_sc else ())
     args = (k_all, v_all, tables, write_pos, active, pools['kv']) + \
         ((pools['kv_scale'], ks_all, vs_all) if has_sc else ())
     fn = shard_map(local, mesh=mesh, in_specs=specs,
-                   out_specs=(pool_spec,) + ((pool_spec,) if has_sc
+                   out_specs=(pool_spec,) + ((scp_spec,) if has_sc
                                              else ()))
     res = fn(*args)
     out = dict(pools)
@@ -360,11 +379,16 @@ def gather_prefix_sp(kv_pool, kv_scale, tbl_p, layer, mesh):
         scp = jnp.where(inb[:, :, None, None, None], scp, 0.0)
         return kvp, jax.lax.psum(scp, 'sp')
 
-    pool_spec = P(None, 'sp')
-    specs = (P(), pool_spec) + ((pool_spec,) if has_sc else ())
+    tp = _tp_name(mesh)
+    pool_spec = P(None, 'sp', None, None, tp)
+    scp_spec = P(None, 'sp', None, tp)
+    # gathered prefix (B, P, 2, BLK, KV*Dh); scales (B, P, 2, KV, BLK)
+    out_kv = P(None, None, None, None, tp)
+    out_sc = P(None, None, None, tp)
+    specs = (P(), pool_spec) + ((scp_spec,) if has_sc else ())
     args = (tbl_p, kv_pool) + ((kv_scale,) if has_sc else ())
     fn = shard_map(local, mesh=mesh, in_specs=specs,
-                   out_specs=(P(), P()) if has_sc else (P(),))
+                   out_specs=(out_kv, out_sc) if has_sc else (out_kv,))
     res = fn(*args)
     kvp = res[0].astype(kv_pool.dtype)
     return kvp, (res[1] if has_sc else None)

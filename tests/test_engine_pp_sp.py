@@ -333,3 +333,37 @@ def test_sp_paged_rejects_mixed_axes():
     with pytest.raises(NotImplementedError):
         ServingEngine(cfg, init_llama_params(cfg, seed=0),
                       mesh=_mesh([('dp', 2), ('sp', 2)]))
+
+
+def test_sp_tp_paged_engine_generates():
+    """paged_kv on an 'sp' x 'tp' mesh: blocks shard over sp, kv heads
+    over tp; the flash-triple merge stays an sp-only collective."""
+    cfg = _paged_cfg(vocab_size=128)   # vocab divisible by tp
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=6),
+                        mesh=_mesh([('sp', 4), ('tp', 2)]))
+    spec = eng.cache['kv'].sharding.spec
+    assert spec[1] == 'sp' and spec[4] == 'tp', spec
+    reqs = _run_engine(eng)
+    assert all(r.done and len(r.generated) == 6 for r in reqs)
+
+
+def test_sp_tp_paged_decode_triple_matches_unsharded():
+    from ppq_tpu.serving.paged import paged_decode_sp, paged_decode_xla
+    rng = np.random.RandomState(4)
+    L, NB, BLKs, KV, Dh, B, MB = 2, 8, 128, 2, 64, 3, 2
+    mesh = _mesh([('sp', 4), ('tp', 2)])
+    kv_pool = jnp.asarray(
+        rng.randint(-127, 128, (L, NB, 2, BLKs, KV * Dh)), jnp.int8)
+    kv_scale = jnp.asarray(
+        rng.rand(L, NB, 2, KV, BLKs).astype(np.float32) * 0.02)
+    tables = jnp.asarray([[1, 6], [3, 4], [7, 2]], jnp.int32)
+    seq_lens = jnp.asarray([200, 129, 256], jnp.int32)
+    q = jnp.asarray(rng.randn(B, KV, 4, Dh).astype(np.float32))
+    flat_kv = kv_pool.reshape((L * NB,) + kv_pool.shape[2:])
+    flat_sc = kv_scale.reshape((L * NB,) + kv_scale.shape[2:])
+    ra, rm, rl = paged_decode_xla(q, flat_kv, flat_sc, tables, seq_lens)
+    ga, gm, gl = paged_decode_sp(q, kv_pool, kv_scale, tables, seq_lens,
+                                 0, mesh)
+    np.testing.assert_allclose(np.asarray(ga / gl[..., None]),
+                               np.asarray(ra / rl[..., None]),
+                               atol=2e-2, rtol=2e-2)
