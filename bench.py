@@ -39,7 +39,36 @@ def _throughput(run, x, batch, iters=20):
     return batch * iters / (time.perf_counter() - t0)
 
 
+def _device_watchdog(timeout_s: float = 300.0):
+    """Fail HONESTLY if the accelerator never comes up. On this machine
+    the axon tunnel can wedge so hard that jax.devices() blocks forever
+    (even platform registration dials it); a bench that hangs records a
+    stall instead of a result. Probe backend init under a hard deadline
+    and emit an explicit-error JSON line if it never completes."""
+    import threading
+
+    def probe():
+        import jax
+        jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(json.dumps({
+            'metric': 'resnet18_int8_sim_throughput', 'value': 0.0,
+            'unit': 'images/sec', 'vs_baseline': 0.0,
+            'error': f'accelerator backend failed to initialize within '
+                     f'{timeout_s:.0f}s (axon tunnel down); see '
+                     f'RESULTS.md for the last on-chip validated numbers',
+        }))
+        sys.stdout.flush()
+        import os
+        os._exit(2)
+
+
 def main():
+    _device_watchdog()
     import jax
     # persistent XLA compilation cache: the resnet/LLM programs compile once
     # per machine, later bench runs start in seconds
