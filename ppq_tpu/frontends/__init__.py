@@ -54,9 +54,9 @@ def _register_default_exporters():
               TargetPlatform.METAX_INT8_C, TargetPlatform.METAX_INT8_T,
               TargetPlatform.GRAPHCORE_FP8):
         EXPORTER_COLLECTION.setdefault(p, ONNXRuntimeExporter)
-    from .qtable import (AscendExporter, MNNExporter, NCNNExporter,
-                         NXPExporter, PPLExporter, RKNNExporter,
-                         SNPEExporter, TengineExporter)
+    from .qtable import (AscendExporter, ExtensionExporter, MNNExporter,
+                         NCNNExporter, NXPExporter, PPLExporter,
+                         RKNNExporter, SNPEExporter, TengineExporter)
     EXPORTER_COLLECTION.setdefault(TargetPlatform.NCNN_INT8, NCNNExporter)
     EXPORTER_COLLECTION.setdefault(TargetPlatform.MNN_INT8, MNNExporter)
     EXPORTER_COLLECTION.setdefault(TargetPlatform.SNPE_INT8, SNPEExporter)
@@ -65,6 +65,8 @@ def _register_default_exporters():
     EXPORTER_COLLECTION.setdefault(TargetPlatform.ASCEND_INT8, AscendExporter)
     EXPORTER_COLLECTION.setdefault(TargetPlatform.NXP_INT8, NXPExporter)
     EXPORTER_COLLECTION.setdefault(TargetPlatform.FPGA_INT8, NXPExporter)
+    EXPORTER_COLLECTION.setdefault(TargetPlatform.EXTENSION,
+                                   ExtensionExporter)
     from .tensorrt import TensorRTExporter_JSON, TensorRTExporter_QDQ
     EXPORTER_COLLECTION[TargetPlatform.TRT_INT8] = TensorRTExporter_QDQ
     EXPORTER_COLLECTION.setdefault(TargetPlatform.PPL_CUDA_INT8

@@ -236,3 +236,28 @@ class PPLExporter(_TableExporter):
             }
         with open(path, 'w') as f:
             json.dump({'quant_info': quant_info}, f, indent=2)
+
+
+class ExtensionExporter(_TableExporter):
+    """User-extensible exporter stub (reference: ppq/parser/extension.py
+    ExtensionExporter — "rewrite function export in order to dump ppq
+    graph to disk"). The sample behavior matches the reference: every
+    exportable TQC's quant params land in a plain txt next to an fp32
+    ONNX model. Subclass and override write_table (or export) for a
+    custom backend format; register with
+    ppq_tpu.lib.register_network_exporter(platform=TargetPlatform.EXTENSION).
+    """
+
+    table_suffix = '_quant_params.txt'
+
+    def write_table(self, graph: BaseGraph, path: str):
+        lines = []
+        for name, is_param, op, cfg in collect_exportable(graph):
+            scale = np.atleast_1d(np.asarray(cfg.scale, np.float64))
+            offset = np.atleast_1d(np.asarray(cfg.offset, np.float64))
+            lines.append(f'{name}\tbits={cfg.num_of_bits}\t'
+                         f'policy={cfg.policy.to_dict()}\t'
+                         f'scale={scale.tolist()}\t'
+                         f'offset={offset.tolist()}')
+        with open(path, 'w') as f:
+            f.write('\n'.join(lines) + '\n')

@@ -205,3 +205,29 @@ def test_caffe_dsp_exporters_embed_ranges(tmp_path):
     SNPECaffeExporter().export(str(tmp_path / 'snpe.prototxt'), graph)
     enc = json.load(open(str(tmp_path / 'snpe_encodings.json')))
     assert enc['activation_encodings']
+
+
+def test_extension_exporter(quantized):
+    """TargetPlatform.EXTENSION ships a working sample exporter
+    (reference parser/extension.py): quant params of every exportable
+    TQC land in a txt sidecar; subclasses override write_table."""
+    graph, _, tmp = quantized
+    from ppq_tpu.core import TargetPlatform
+    from ppq_tpu.frontends import EXPORTER_COLLECTION
+    from ppq_tpu.frontends.qtable import ExtensionExporter
+    assert EXPORTER_COLLECTION[TargetPlatform.EXTENSION] is \
+        ExtensionExporter
+    path = str(tmp / 'ext.onnx')
+    ExtensionExporter().export(path, graph)
+    sidecar = str(tmp / 'ext_quant_params.txt')
+    assert os.path.exists(sidecar)
+    body = open(sidecar).read()
+    assert 'bits=8' in body and 'scale=' in body and 'offset=' in body
+
+    class MyExporter(ExtensionExporter):
+        def write_table(self, graph, path):
+            with open(path, 'w') as f:
+                f.write('custom')
+
+    MyExporter().export(str(tmp / 'ext2.onnx'), graph)
+    assert open(str(tmp / 'ext2_quant_params.txt')).read() == 'custom'
