@@ -1221,6 +1221,43 @@ def DequantizeLinear_forward(op, values, ctx=None):
     return (x - zp) * scale
 
 
+def _floating_qdq_params(op, x, values):
+    scale = jnp.asarray(values[1], jnp.float32)
+    zp = (jnp.asarray(values[2], jnp.float32) if _present(values, 2)
+          else jnp.zeros((), jnp.float32))
+    axis = attr(op, 'axis', None)
+    if scale.ndim > 0 and scale.size > 1 and axis is not None:
+        shape = [1] * x.ndim
+        shape[int(axis)] = -1
+        scale = scale.reshape(shape)
+        zp = zp.reshape(shape)
+    return scale, zp
+
+
+def QuantizeFloating_forward(op, values, ctx=None):
+    """ppq floating QDQ dialect (reference onnxruntime_exporter.py:113):
+    y = clip(fp8_round(x / scale + offset), min, max) kept in float32 —
+    there is no guaranteed fp8 initializer type at the exported opset."""
+    from ...quantization.qfunction import _generic_float_round
+    ASSERT_NUM_OF_INPUT(op, values, 2, 3)
+    x = jnp.asarray(values[0], jnp.float32)
+    scale, zp = _floating_qdq_params(op, x, values)
+    exponent = int(attr(op, 'exponent', 4))
+    mantissa = int(attr(op, 'mantissa', 3))
+    lo = float(attr(op, 'min', -448.0))
+    hi = float(attr(op, 'max', 448.0))
+    q = _generic_float_round(x / scale + zp, exponent, mantissa)
+    return jnp.clip(q, lo, hi)
+
+
+def DequantizeFloating_forward(op, values, ctx=None):
+    """Inverse of QuantizeFloating: y = (x - offset) * scale."""
+    ASSERT_NUM_OF_INPUT(op, values, 2, 3)
+    x = jnp.asarray(values[0], jnp.float32)
+    scale, zp = _floating_qdq_params(op, x, values)
+    return (x - zp) * scale
+
+
 # ---------------------------------------------------- vendor / alias ops ---
 
 def AdaptiveAvgPool2d_forward(op, values, ctx=None):
@@ -1355,6 +1392,8 @@ DEFAULT_BACKEND_TABLE: Dict[str, Callable] = {
     'Dropout': Dropout_forward, 'Constant': Constant_forward,
     'PPQDeviceSwitch': PPQDeviceSwitch_forward,
     'QuantizeLinear': QuantizeLinear_forward,
+    'QuantizeFloating': QuantizeFloating_forward,
+    'DequantizeFloating': DequantizeFloating_forward,
     'DequantizeLinear': DequantizeLinear_forward,
     # vendor / alias ops (reference table parity)
     'AdaptiveAvgPool2d': AdaptiveAvgPool2d_forward,

@@ -40,8 +40,13 @@ class QDQHelper:
     def _qparam_vars(self, cfg: TensorQuantizationConfig
                      ) -> Tuple[Variable, Variable]:
         scale = np.asarray(cfg.scale, np.float32)
-        np_dt, _ = self._zp_dtype(cfg)
-        offset = np.asarray(np.round(cfg.offset), np.int64).astype(np_dt)
+        if cfg.policy.floating:
+            # floating QDQ dialect: float32 offset (reference
+            # onnxruntime_exporter.py:116)
+            offset = np.asarray(cfg.offset, np.float32)
+        else:
+            np_dt, _ = self._zp_dtype(cfg)
+            offset = np.asarray(np.round(cfg.offset), np.int64).astype(np_dt)
         if not cfg.policy.per_channel:
             scale = scale.reshape(())
             offset = offset.reshape(())
@@ -66,13 +71,25 @@ class QDQHelper:
         q_out = g.create_variable(self._mkname(f'{var.name}_q'))
         dq_out = g.create_variable(self._mkname(f'{var.name}_dq'))
 
+        q_type, dq_type = 'QuantizeLinear', 'DequantizeLinear'
+        if cfg.policy.floating:
+            # FP8 configs export the reference's floating QDQ dialect
+            # (onnxruntime_exporter.py:113 QuantizeFloating): custom ops
+            # carrying min/max/exponent/mantissa
+            q_type, dq_type = 'QuantizeFloating', 'DequantizeFloating'
+            attrs = dict(attrs, min=float(cfg.quant_min),
+                         max=float(cfg.quant_max),
+                         exponent=int(cfg.exponent_bits),
+                         mantissa=int(cfg.num_of_bits - 1
+                                      - cfg.exponent_bits))
+
         old_dests = [d for d in var.dest_ops]
-        q_op = g.create_operation('QuantizeLinear',
-                                  name=self._mkname(f'{var.name}_QuantizeLinear'),
+        q_op = g.create_operation(q_type,
+                                  name=self._mkname(f'{var.name}_{q_type}'),
                                   attributes=dict(attrs),
                                   inputs=[var, s_var, z_var], outputs=[q_out])
-        dq_op = g.create_operation('DequantizeLinear',
-                                   name=self._mkname(f'{var.name}_DequantizeLinear'),
+        dq_op = g.create_operation(dq_type,
+                                   name=self._mkname(f'{var.name}_{dq_type}'),
                                    attributes=dict(attrs),
                                    inputs=[q_out, s_var, z_var],
                                    outputs=[dq_out])
@@ -90,8 +107,15 @@ class QDQHelper:
 
     def insert_dq_on_parameter(self, var: Variable,
                                cfg: TensorQuantizationConfig):
-        """Replace fp32 weight with int initializer + DequantizeLinear."""
+        """Replace fp32 weight with int initializer + DequantizeLinear.
+        Floating (FP8) configs keep the fp32 initializer and wrap it in a
+        QuantizeFloating -> DequantizeFloating pair instead (the ONNX
+        standard has no fp8 initializer the target opset guarantees; the
+        reference exports the same floating QDQ dialect)."""
         g = self.graph
+        if cfg.policy.floating:
+            self.insert_qdq_on_activation(var, cfg)
+            return
         int_value = ppq_quant_toint(np.asarray(var.value), cfg)
         np_dt, ir_dt = self._zp_dtype(cfg)
         if cfg.num_of_bits == 8:

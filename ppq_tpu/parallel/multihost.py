@@ -27,7 +27,7 @@ module runs unchanged from a laptop to a multi-slice pod.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np

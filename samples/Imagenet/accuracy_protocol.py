@@ -135,6 +135,110 @@ def mobilenet_v2_t(num_classes=10):
     return nn.Sequential(*layers)
 
 
+class SEBlock(nn.Module):
+    """Squeeze-excitation gate (SE-ResNet, reference README.md:185 row)."""
+
+    def __init__(self, c, r=8):
+        super().__init__()
+        self.pool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Sequential(
+            nn.Conv2d(c, max(4, c // r), 1), nn.ReLU(inplace=True),
+            nn.Conv2d(max(4, c // r), c, 1), nn.Sigmoid())
+
+    def forward(self, x):
+        return x * self.fc(self.pool(x))
+
+
+class SEBasicBlock(BasicBlock):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__(cin, cout, stride)
+        self.se = SEBlock(cout)
+
+    def forward(self, x):
+        idn = x if self.down is None else self.down(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.se(self.bn2(self.conv2(out)))
+        return self.relu(out + idn)
+
+
+def se_resnet_t(num_classes=10):
+    """SE-ResNet: the resnet18_t layout with squeeze-excitation gates
+    ([1,1,1,1] blocks — digits saturate quickly; the quantization-facing
+    pattern is the GAP→1x1→Sigmoid→Mul gate, not depth)."""
+    layers = [nn.Conv2d(3, 32, 3, 1, 1, bias=False), nn.BatchNorm2d(32),
+              nn.ReLU(inplace=True)]
+    cin = 32
+    for cout, stride in ((32, 1), (64, 2), (128, 2), (256, 2)):
+        layers.append(SEBasicBlock(cin, cout, stride))
+        cin = cout
+    layers += [nn.AdaptiveAvgPool2d(1), nn.Flatten(),
+               nn.Linear(256, num_classes)]
+    return nn.Sequential(*layers)
+
+
+def _channel_shuffle(x, groups):
+    b, c, h, w = x.shape
+    # -1 batch: keeps the exported Reshape batch-agnostic (the protocol
+    # calibrates at batch 32 and evaluates at batch 64)
+    x = x.view(-1, groups, c // groups, h, w)
+    x = x.transpose(1, 2).contiguous()
+    return x.view(-1, c, h, w)
+
+
+class ShuffleUnit(nn.Module):
+    """ShuffleNetV2 basic unit (reference README.md:186 row): channel
+    split, right-branch 1x1→dw3x3→1x1, concat, shuffle."""
+
+    def __init__(self, c):
+        super().__init__()
+        half = c // 2
+        self.branch = nn.Sequential(
+            nn.Conv2d(half, half, 1, bias=False), nn.BatchNorm2d(half),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(half, half, 3, 1, 1, groups=half, bias=False),
+            nn.BatchNorm2d(half),
+            nn.Conv2d(half, half, 1, bias=False), nn.BatchNorm2d(half),
+            nn.ReLU(inplace=True))
+
+    def forward(self, x):
+        lo, hi = x.chunk(2, dim=1)
+        return _channel_shuffle(
+            torch.cat([lo, self.branch(hi)], dim=1), 2)
+
+
+class ShuffleDown(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        half = cout // 2
+        self.left = nn.Sequential(
+            nn.Conv2d(cin, cin, 3, 2, 1, groups=cin, bias=False),
+            nn.BatchNorm2d(cin),
+            nn.Conv2d(cin, half, 1, bias=False), nn.BatchNorm2d(half),
+            nn.ReLU(inplace=True))
+        self.right = nn.Sequential(
+            nn.Conv2d(cin, half, 1, bias=False), nn.BatchNorm2d(half),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(half, half, 3, 2, 1, groups=half, bias=False),
+            nn.BatchNorm2d(half),
+            nn.Conv2d(half, half, 1, bias=False), nn.BatchNorm2d(half),
+            nn.ReLU(inplace=True))
+
+    def forward(self, x):
+        return _channel_shuffle(
+            torch.cat([self.left(x), self.right(x)], dim=1), 2)
+
+
+def shufflenet_v2_t(num_classes=10):
+    layers = [nn.Conv2d(3, 24, 3, 1, 1, bias=False), nn.BatchNorm2d(24),
+              nn.ReLU(inplace=True),
+              ShuffleDown(24, 48), ShuffleUnit(48),
+              ShuffleDown(48, 96), ShuffleUnit(96),
+              nn.Conv2d(96, 256, 1, bias=False), nn.BatchNorm2d(256),
+              nn.ReLU(inplace=True), nn.AdaptiveAvgPool2d(1),
+              nn.Flatten(), nn.Linear(256, num_classes)]
+    return nn.Sequential(*layers)
+
+
 # ------------------------------------------------------------- protocol ----
 def train(model, xtr, ytr, epochs=8, batch=64, lr=1e-3, seed=0):
     torch.manual_seed(seed)
@@ -207,6 +311,10 @@ def main():
     rows = [run_model('ResNet-18 (32x32 stem)', resnet18_t,
                       epochs=6, quick=quick),
             run_model('MobileNetV2 (32x32 stem)', mobilenet_v2_t,
+                      epochs=10, quick=quick),
+            run_model('SE-ResNet (32x32 stem)', se_resnet_t,
+                      epochs=6, quick=quick),
+            run_model('ShuffleNetV2 (32x32 stem)', shufflenet_v2_t,
                       epochs=10, quick=quick)]
     out = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                         'accuracy_results.json')

@@ -97,3 +97,35 @@ def test_opset13_attribute_conversion(tmp_path):
             assert 'axes' not in op.attributes and \
                 'split' not in op.attributes, \
                 f'{op.type} still carries opset<13 attributes'
+
+
+def test_fp8_floating_qdq_export_roundtrip(tmp_path):
+    """FP8 configs export the floating QDQ dialect (reference
+    onnxruntime_exporter.py:113 QuantizeFloating/DequantizeFloating with
+    min/max/exponent/mantissa, float32 offsets, fp32 initializers kept)
+    and the re-loaded model reproduces the FP8 simulation."""
+    from ppq_tpu import QuantizationSettingFactory, TPUExecutor
+    b = NetBuilder('fp8net', 2)
+    x = b.input('x', [1, 4, 8, 8])
+    y = b.relu(b.conv(x, 4, 8, 3))
+    y = b.gemm(b.flatten(b.gap(y)), 8, 5)
+    b.output(y)
+    g = b.g
+    rng = np.random.RandomState(1)
+    loader = [rng.randn(1, 4, 8, 8).astype(np.float32) for _ in range(2)]
+    quantize_graph(g, loader, calib_steps=2,
+                   platform=TargetPlatform.TPU_FP8,
+                   setting=QuantizationSettingFactory.fp8_setting(),
+                   verbose=False)
+    sim = np.asarray(TPUExecutor(g).forward(loader[0])[0])
+
+    path = str(tmp_path / 'fp8.onnx')
+    export_ppq_graph(g, TargetPlatform.TPU_FP8, path)
+    re = load_onnx_graph(path)
+    types = {op.type for op in re.operations.values()}
+    assert 'QuantizeFloating' in types and 'DequantizeFloating' in types
+    qf = next(op for op in re.operations.values()
+              if op.type == 'QuantizeFloating')
+    assert {'min', 'max', 'exponent', 'mantissa'} <= set(qf.attributes)
+    got = np.asarray(TPUExecutor(re).forward(loader[0])[0])
+    np.testing.assert_allclose(got, sim, rtol=1e-4, atol=1e-5)
