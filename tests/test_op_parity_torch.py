@@ -183,3 +183,50 @@ def test_softmax_grid_sample_roialign_exist():
     want = F.softmax(torch.from_numpy(x), dim=-1).numpy()
     got = run_op('Softmax', [x], axis=-1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_prelu_vs_torch():
+    x = RNG.randn(2, 6, 5, 5).astype(np.float32)
+    slope = (RNG.rand(1, 6, 1, 1).astype(np.float32) * 0.5)
+    got = run_op('PRelu', [x, slope])
+    ref = F.prelu(torch.from_numpy(x),
+                  torch.from_numpy(slope.reshape(-1))).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_hardswish_hardsigmoid_vs_torch():
+    x = (RNG.randn(3, 17).astype(np.float32) * 4)
+    np.testing.assert_allclose(
+        run_op('HardSwish', [x]),
+        F.hardswish(torch.from_numpy(x)).numpy(), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        run_op('HardSigmoid', [x], alpha=1 / 6, beta=0.5),
+        F.hardsigmoid(torch.from_numpy(x)).numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_instancenorm_vs_torch():
+    x = RNG.randn(2, 4, 9, 7).astype(np.float32)
+    w = RNG.rand(4).astype(np.float32) + 0.5
+    b = RNG.randn(4).astype(np.float32)
+    got = run_op('InstanceNormalization', [x, w, b], epsilon=1e-5)
+    ref = F.instance_norm(torch.from_numpy(x), weight=torch.from_numpy(w),
+                          bias=torch.from_numpy(b), eps=1e-5).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_space_depth_roundtrip_vs_torch():
+    x = RNG.randn(2, 4, 6, 6).astype(np.float32)
+    s2d = run_op('SpaceToDepth', [x], blocksize=2)
+    ref = F.pixel_unshuffle(torch.from_numpy(x), 2).numpy()
+    # ONNX SpaceToDepth uses DCR-style ordering; torch pixel_unshuffle is
+    # CRD — both must invert through their own inverse exactly
+    d2s = run_op('DepthToSpace', [s2d], blocksize=2, mode='DCR')
+    np.testing.assert_allclose(d2s, x, atol=0)
+    assert s2d.shape == ref.shape
+
+
+def test_channel_shuffle_vs_torch():
+    x = RNG.randn(2, 8, 4, 4).astype(np.float32)
+    got = run_op('ChannelShuffle', [x], group=4)
+    ref = torch.channel_shuffle(torch.from_numpy(x), 4).numpy()
+    np.testing.assert_allclose(got, ref, atol=0)
