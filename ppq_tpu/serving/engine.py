@@ -503,14 +503,28 @@ class ServingEngine:
         from .paged import prefill_chunk_paged
         cfg = self.cfg
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill_chunk(params, pools, tokens, write_pos, tables, active):
-            logits, pools = prefill_chunk_paged(
-                params, pools, tokens, write_pos, tables, active,
-                prefix_blocks, cfg, use_kernel=self._paged_kernel,
-                interpret=cfg.ragged_interpret,
-                sp_mesh=self._paged_sp_mesh)
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32), pools
+        if self._pp:
+            from .pipeline import prefill_chunk_staged_paged
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def prefill_chunk(params, pools, tokens, write_pos, tables,
+                              active):
+                logits, pools = prefill_chunk_staged_paged(
+                    params, pools, tokens, write_pos, tables, active,
+                    prefix_blocks, cfg, self.mesh, 'pp')
+                return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                        pools)
+        else:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def prefill_chunk(params, pools, tokens, write_pos, tables,
+                              active):
+                logits, pools = prefill_chunk_paged(
+                    params, pools, tokens, write_pos, tables, active,
+                    prefix_blocks, cfg, use_kernel=self._paged_kernel,
+                    interpret=cfg.ragged_interpret,
+                    sp_mesh=self._paged_sp_mesh)
+                return (jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                        pools)
         self._prefill[key] = prefill_chunk
         return prefill_chunk
 
@@ -523,13 +537,6 @@ class ServingEngine:
         B = self.cfg.max_batch
         chunk = self.cfg.prefill_buckets[-1]
         n = len(req.prompt)
-        if self._pp:
-            # continuation chunks attend over the existing pool — the
-            # staged paged READ path exists only for decode bursts; size
-            # prefill_buckets to cover the longest prompt on pp meshes
-            raise NotImplementedError(
-                'chunked prefill with paged_kv on a pp mesh: add a larger '
-                'prefill bucket instead')
         if n >= self.cfg.max_seq_len:
             raise ValueError(f'prompt length {n} exceeds max_seq_len '
                              f'{self.cfg.max_seq_len}')

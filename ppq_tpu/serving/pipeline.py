@@ -716,3 +716,183 @@ def burst_forward_staged_paged(params: Dict, pools: Dict, tokens, seq_lens,
     return fn(layers, pools, tokens, seq_lens,
               jnp.asarray(tables, jnp.int32), keys, params['embed'],
               params['final_norm'], params['lm_head'])
+
+
+def prefill_chunk_staged_paged(params: Dict, pools: Dict, tokens, write_pos,
+                               tables, active, prefix_blocks: int, cfg,
+                               mesh: Mesh, axis_name: str = 'pp',
+                               microbatches: Optional[int] = None):
+    """Pipeline-parallel twin of paged.prefill_chunk_paged: continuation
+    prefill writing `chunk` tokens at per-slot offsets write_pos while
+    attending over the already-written prefix. The prefix gather is
+    STAGE-LOCAL — pools shard the layer axis over 'pp', and each stage
+    only reads its own layers' slabs — so no cross-stage pool traffic is
+    needed beyond the activation ring.
+
+    tokens (B, chunk); write_pos (B,); active (B,) bool;
+    prefix_blocks: static bound on the gathered prefix width.
+    Returns (logits (B, chunk, vocab) f32, pools)."""
+    from .model import (_kv_quant, mlp, qmatmul, rms_norm, rope_apply,
+                        rope_tables)
+    from .paged import pool_block_size, scatter_kv_all
+
+    B, T = tokens.shape
+    H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rep = H // KV
+    int8_cache = cfg.kv_cache_bits == 8
+    n_stage = mesh.shape[axis_name]
+    M = microbatches or n_stage
+    assert B % M == 0
+    mb = B // M
+    pool_dt = pools['kv'].dtype
+    BLK = pool_block_size(pools)
+    Sp = prefix_blocks * BLK
+
+    x = params['embed'][tokens]                              # (B, T, D)
+    x_mb = x.reshape((M, mb) + x.shape[1:])
+    positions = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])  # (T, T)
+    slot_ids = jnp.arange(Sp)[None, None, None, None, :]
+    # every chunk query sees exactly the prefix [0, write_pos); the
+    # chunk's own tokens join via the within-chunk causal term
+    pfx_mask = slot_ids < write_pos[:, None, None, None, None]  # (B,1,1,1,Sp)
+    tbl_p = jnp.asarray(tables, jnp.int32)[:, :prefix_blocks]   # (B, P)
+    layers = params['layers']
+    p_spec = jax.tree.map(lambda _: P(axis_name), layers)
+    pool_spec = jax.tree.map(lambda _: P(axis_name), pools)
+
+    def stage(local_layers, local_pools, x_all, tbl_p, tables, write_pos,
+              active_all):
+        idx = jax.lax.axis_index(axis_name)
+        n_dev = jax.lax.psum(1, axis_name)
+        L_local = jax.tree.leaves(local_layers)[0].shape[0]
+        perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+        r_cos, r_sin = rope_tables(positions, cfg.rope_theta, Dh)
+
+        kcol = jnp.zeros((L_local, B, T, KV, Dh), pool_dt)
+        vcol = jnp.zeros((L_local, B, T, KV, Dh), pool_dt)
+        kscol = jnp.zeros((L_local, B, T, KV), jnp.float32)
+        vscol = jnp.zeros((L_local, B, T, KV), jnp.float32)
+
+        def run_stage(xin, cols, tick):
+            kcol, vcol, kscol, vscol = cols
+            mb_idx = jnp.clip(tick - idx, 0, M - 1)
+            valid = jnp.logical_and(tick - idx >= 0, tick - idx < M)
+            row0 = mb_idx * mb
+
+            def rows(a):
+                return jax.lax.dynamic_slice_in_dim(a, row0, mb, 0)
+
+            h = xin
+            rc, rs = rows(r_cos), rows(r_sin)
+            tbl_rows = rows(tbl_p)                        # (mb, P)
+            pm_rows = rows(pfx_mask)                      # (mb,1,1,1,Sp)
+            for li in range(L_local):
+                layer = jax.tree.map(lambda a: a[li], local_layers)
+                hh = rms_norm(h, layer['attn_norm'], cfg.rms_eps)
+                q = qmatmul(hh, layer['wq']).reshape(mb, T, H, Dh)
+                k = qmatmul(hh, layer['wk']).reshape(mb, T, KV, Dh)
+                v = qmatmul(hh, layer['wv']).reshape(mb, T, KV, Dh)
+                q = rope_apply(q, rc, rs)
+                k = rope_apply(k, rc, rs)
+                if int8_cache:
+                    k_q, k_s = _kv_quant(k)
+                    v_q, v_s = _kv_quant(v)
+                else:
+                    k_q, v_q = k.astype(pool_dt), v.astype(pool_dt)
+                    k_s = v_s = None
+
+                def masked_dus(buf, val, idx4):
+                    cur = jax.lax.dynamic_slice(buf, idx4, val.shape)
+                    return jax.lax.dynamic_update_slice(
+                        buf, jnp.where(valid, val, cur), idx4)
+
+                kcol = masked_dus(kcol, k_q[None], (li, row0, 0, 0, 0))
+                vcol = masked_dus(vcol, v_q[None], (li, row0, 0, 0, 0))
+                if int8_cache:
+                    kscol = masked_dus(kscol, k_s[None], (li, row0, 0, 0))
+                    vscol = masked_dus(vscol, v_s[None], (li, row0, 0, 0))
+
+                # stage-local prefix gather (pre-chunk pool state: all
+                # scatters defer to the stage end)
+                kvp = local_pools['kv'][li][tbl_rows]  # (mb,P,2,BLK,KVDh)
+                kp = kvp[:, :, 0].reshape(mb, Sp, KV, Dh)
+                vp = kvp[:, :, 1].reshape(mb, Sp, KV, Dh)
+                if int8_cache:
+                    scp = local_pools['kv_scale'][li][tbl_rows]
+                    kps = scp[:, :, 0].transpose(0, 2, 1, 3).reshape(
+                        mb, KV, Sp)
+                    vps = scp[:, :, 1].transpose(0, 2, 1, 3).reshape(
+                        mb, KV, Sp)
+
+                q_g = q.reshape(mb, T, KV, rep, Dh).astype(jnp.bfloat16)
+                lp = jnp.einsum('btkrd,bskd->bkrts', q_g,
+                                kp.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+                if int8_cache:
+                    lp = lp * kps[:, :, None, None, :]
+                lp = jnp.where(pm_rows, lp / np.sqrt(Dh), -1e30)
+                lc = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
+                                k_q.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+                if int8_cache:
+                    lc = lc * k_s.transpose(0, 2, 1)[:, :, None, None, :]
+                lc = jnp.where(causal[None, None, None],
+                               lc / np.sqrt(Dh), -1e30)
+                probs = jax.nn.softmax(
+                    jnp.concatenate([lp, lc], axis=-1), axis=-1)
+                pp_, pc = probs[..., :Sp], probs[..., Sp:]
+                if int8_cache:
+                    pp_ = pp_ * vps[:, :, None, None, :]
+                    pc = pc * v_s.transpose(0, 2, 1)[:, :, None, None, :]
+                ctx = jnp.einsum('bkrts,bskd->btkrd',
+                                 pp_.astype(jnp.bfloat16),
+                                 vp.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+                ctx = ctx + jnp.einsum('bkrtj,bjkd->btkrd',
+                                       pc.astype(jnp.bfloat16),
+                                       v_q.astype(jnp.bfloat16),
+                                       preferred_element_type=jnp.float32)
+                ctx = ctx.reshape(mb, T, H * Dh).astype(h.dtype)
+                h = h + qmatmul(ctx, layer['wo'])
+                hh = rms_norm(h, layer['mlp_norm'], cfg.rms_eps)
+                h = h + mlp(hh, layer, cfg)
+            return h, (kcol, vcol, kscol, vscol)
+
+        buf = jnp.zeros_like(x_all[0])
+        out = jnp.zeros_like(x_all)
+        cols = (kcol, vcol, kscol, vscol)
+        for t in range(M + n_stage - 1):
+            feed = x_all[t] if t < M else jnp.zeros_like(x_all[0])
+            xin = jnp.where(jnp.equal(idx, 0), feed, buf)
+            y, cols = run_stage(xin, cols, t)
+            done_i = t - n_stage + 1
+            if 0 <= done_i < M:
+                is_last = jnp.equal(idx, n_dev - 1)
+                out = out.at[done_i].set(jnp.where(is_last, y, out[done_i]))
+            buf = jax.lax.ppermute(y, axis_name, perm)
+        is_last = jnp.equal(idx, n_dev - 1)
+        out = jax.lax.psum(
+            jnp.where(is_last, out, jnp.zeros_like(out)), axis_name)
+
+        kcol, vcol, kscol, vscol = cols
+        new_pools = scatter_kv_all(
+            local_pools, kcol, vcol,
+            kscol if int8_cache else None,
+            vscol if int8_cache else None,
+            tables, write_pos, active_all)
+        return out, new_pools
+
+    fn = shard_map(stage, mesh=mesh,
+                   in_specs=(p_spec, pool_spec, P(), P(), P(), P(), P()),
+                   out_specs=(P(), pool_spec))
+    if active is None:
+        active = jnp.ones((B,), bool)
+    out, pools = fn(layers, pools, x_mb, tbl_p,
+                    jnp.asarray(tables, jnp.int32),
+                    jnp.asarray(write_pos, jnp.int32), active)
+    from .model import qmatmul, rms_norm
+    x = out.reshape((B, T) + out.shape[3:])
+    x = rms_norm(x, params['final_norm'], cfg.rms_eps)
+    logits = qmatmul(x, params['lm_head'])
+    return logits.astype(jnp.float32), pools

@@ -367,3 +367,65 @@ def test_sp_tp_paged_decode_triple_matches_unsharded():
     np.testing.assert_allclose(np.asarray(ga / gl[..., None]),
                                np.asarray(ra / rl[..., None]),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_pp_paged_chunked_prefill_long_prompt():
+    """Chunked paged prefill on a 'pp' mesh (prefill_chunk_staged_paged):
+    an over-bucket prompt streams into the stage-sharded pools."""
+    cfg = _paged_cfg()
+    cfg.prefill_buckets = (16,)
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=7),
+                        mesh=_mesh([('pp', 2)]))
+    rng = np.random.RandomState(8)
+    reqs = [Request(0, rng.randint(1, 96, 50).tolist(), max_new_tokens=4)]
+    eng.run(reqs, sync_every=4)
+    assert reqs[0].done and len(reqs[0].generated) == 4
+
+
+def test_pp_paged_chunk_logits_match_single_device():
+    """Teacher-forced oracle: staged chunked paged prefill logits track
+    the single-device chunked prefill within bf16 tolerance, and the
+    written pool blocks agree to ±1 int8 level."""
+    from ppq_tpu.serving.paged import (init_paged_pools, prefill_paged,
+                                       prefill_chunk_paged)
+    from ppq_tpu.serving.pipeline import (prefill_chunk_staged_paged,
+                                          prefill_staged_paged,
+                                          stack_layer_params)
+    cfg = _paged_cfg()
+    params = init_llama_params(cfg, seed=9)
+    sp = dict(params)
+    sp['layers'] = stack_layer_params(params['layers'])
+    mesh = _mesh([('pp', 2)])
+    rng = np.random.RandomState(10)
+    B, T0, T1 = 4, 16, 8
+    toks0 = jnp.asarray(rng.randint(1, 96, (B, T0)), jnp.int32)
+    toks1 = jnp.asarray(rng.randint(1, 96, (B, T1)), jnp.int32)
+    lengths = jnp.full((B,), T0, jnp.int32)
+    active = jnp.ones((B,), bool)
+    NBLK = B * (cfg.max_seq_len // cfg.kv_block_size) + 1
+    tables = np.zeros((B, cfg.max_seq_len // cfg.kv_block_size), np.int32)
+    for s in range(B):
+        tables[s, 0] = s + 1
+    tables = jnp.asarray(tables)
+    wp = jnp.full((B,), T0, jnp.int32)
+
+    # reference: single-device initial + continuation chunk
+    pools = init_paged_pools(cfg, NBLK)
+    _, pools = prefill_paged(params, pools, toks0, lengths, tables,
+                             active, cfg)
+    ref_logits, ref_pools = prefill_chunk_paged(
+        params, pools, toks1, wp, tables, active, 1, cfg)
+
+    # staged: same two steps over the pp mesh
+    pools2 = init_paged_pools(cfg, NBLK)
+    _, pools2 = prefill_staged_paged(sp, pools2, toks0, lengths, tables,
+                                     active, cfg, mesh, 'pp')
+    got_logits, got_pools = prefill_chunk_staged_paged(
+        sp, pools2, toks1, wp, tables, active, 1, cfg, mesh, 'pp')
+
+    scale = float(jnp.abs(ref_logits).max())
+    assert float(jnp.abs(got_logits - ref_logits).max()) < \
+        TOL * max(scale, 1.0)
+    kv_ref = np.asarray(ref_pools['kv'])[:, 1:5].astype(np.int32)
+    kv_got = np.asarray(got_pools['kv'])[:, 1:5].astype(np.int32)
+    assert np.max(np.abs(kv_ref - kv_got)) <= 1
