@@ -69,33 +69,86 @@ def init_paged_pools(cfg: LlamaConfig, num_blocks: int) -> Dict:
 
 class BlockAllocator:
     """Host-side free-list over pool rows [1, num_blocks) — row 0 is the
-    trash block. Tracks each slot's logical->physical block list."""
+    trash block. Tracks each slot's logical->physical block list.
+
+    ensure()/release()/tables() run on every admit, retire, and burst —
+    the serving scheduler's hot loop — so the implementation is the
+    native C++ allocator (csrc/allocator.cc via ctypes) when the
+    toolchain is available; this pure-Python twin is the CI fallback and
+    the parity reference (tests/test_native_allocator.py pins
+    bit-identical allocation order). Force the Python path with
+    native=False or PPQ_TPU_NATIVE_ALLOC=0."""
 
     def __init__(self, num_blocks: int, max_batch: int, max_blocks_per_seq:
-                 int, block_size: int = BLK):
+                 int, block_size: int = BLK, native: bool = None):
         self.num_blocks = num_blocks
-        self.free: List[int] = list(range(num_blocks - 1, 0, -1))
-        self.slot_blocks: List[List[int]] = [[] for _ in range(max_batch)]
+        self.max_batch = max_batch
         self.max_blocks_per_seq = max_blocks_per_seq
         self.block_size = block_size
+        self._nlib = None
+        self._handle = 0
+        if native is None:
+            import os
+            native = os.environ.get('PPQ_TPU_NATIVE_ALLOC', '1') != '0'
+        if native:
+            from ..utils.native import native_alloc
+            lib = native_alloc()
+            if lib is not None:
+                self._nlib = lib
+                self._handle = lib.create(num_blocks, max_batch,
+                                          max_blocks_per_seq, block_size)
+                if self._handle == 0:
+                    self._nlib = None
+        if self._nlib is None:
+            self.free: List[int] = list(range(num_blocks - 1, 0, -1))
+            self.slot_blocks: List[List[int]] = [
+                [] for _ in range(max_batch)]
+
+    def __del__(self):
+        try:
+            if self._nlib is not None and self._handle:
+                self._nlib.destroy(self._handle)
+        except Exception:
+            pass
 
     @property
     def free_blocks(self) -> int:
+        if self._nlib is not None:
+            return self._nlib.free_blocks(self._handle)
         return len(self.free)
 
     def ensure(self, slot: int, tokens: int) -> None:
         """Grow slot's block list to cover `tokens` positions."""
+        if self._nlib is not None:
+            rc = self._nlib.ensure(self._handle, slot, tokens)
+            if rc == -2:
+                need = -(-tokens // self.block_size)
+                raise ValueError(f'sequence needs {need} blocks > '
+                                 f'max {self.max_blocks_per_seq}')
+            if rc == -1:
+                raise MemoryError('KV block pool exhausted')
+            if rc != 0:
+                raise RuntimeError(f'native allocator ensure rc={rc}')
+            return
         need = -(-tokens // self.block_size)
         if need > self.max_blocks_per_seq:
             raise ValueError(f'sequence needs {need} blocks > '
                              f'max {self.max_blocks_per_seq}')
         have = self.slot_blocks[slot]
+        before = len(have)
         while len(have) < need:
             if not self.free:
+                # all-or-nothing like the native allocator: roll back so
+                # a failed admit leaves the slot untouched
+                while len(have) > before:
+                    self.free.append(have.pop())
                 raise MemoryError('KV block pool exhausted')
             have.append(self.free.pop())
 
     def release(self, slot: int) -> None:
+        if self._nlib is not None:
+            self._nlib.release(self._handle, slot)
+            return
         blocks = self.slot_blocks[slot]
         self.free.extend(reversed(blocks))
         self.slot_blocks[slot] = []
@@ -103,6 +156,9 @@ class BlockAllocator:
     def tables(self) -> np.ndarray:
         """(B, MB) int32 device-ready tables; unallocated entries point at
         the trash block 0."""
+        if self._nlib is not None:
+            return self._nlib.tables(self._handle, self.max_batch,
+                                     self.max_blocks_per_seq)
         B = len(self.slot_blocks)
         t = np.zeros((B, self.max_blocks_per_seq), np.int32)
         for s, blocks in enumerate(self.slot_blocks):

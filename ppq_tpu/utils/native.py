@@ -103,3 +103,97 @@ def native_solvers() -> Optional[NativeSolvers]:
                         f'falling back to numpy solvers.')
             return None
     return _lib_cache
+
+
+# ------------------------------------------------- paged-KV allocator ------
+
+_ALLOC_SRC = os.path.join(os.path.dirname(_SRC), 'allocator.cc')
+_ALLOC_SO = os.path.join(_BUILD_DIR, 'libppq_tpu_alloc.so')
+_alloc_cache: Optional['NativeAllocLib'] = None
+_alloc_failed = False
+
+
+class NativeAllocLib:
+    """ctypes surface over csrc/allocator.cc (paged-KV block allocator —
+    the serving scheduler's hot loop in native code)."""
+
+    def __init__(self, path: str):
+        lib = ctypes.CDLL(path)
+        i64, i32 = ctypes.c_int64, ctypes.c_int32
+        lib.pkv_create.restype = i64
+        lib.pkv_create.argtypes = [i64, i64, i64, i64]
+        lib.pkv_destroy.restype = None
+        lib.pkv_destroy.argtypes = [i64]
+        lib.pkv_ensure.restype = i32
+        lib.pkv_ensure.argtypes = [i64, i64, i64]
+        lib.pkv_release.restype = i32
+        lib.pkv_release.argtypes = [i64, i64]
+        lib.pkv_free_blocks.restype = i64
+        lib.pkv_free_blocks.argtypes = [i64]
+        lib.pkv_slot_blocks.restype = i64
+        lib.pkv_slot_blocks.argtypes = [i64, i64]
+        lib.pkv_tables.restype = i32
+        lib.pkv_tables.argtypes = [i64, ctypes.POINTER(i32)]
+        self._lib = lib
+
+    def create(self, num_blocks, max_batch, max_blocks_per_seq,
+               block_size) -> int:
+        return int(self._lib.pkv_create(num_blocks, max_batch,
+                                        max_blocks_per_seq, block_size))
+
+    def destroy(self, handle: int):
+        self._lib.pkv_destroy(handle)
+
+    def ensure(self, handle: int, slot: int, tokens: int) -> int:
+        return int(self._lib.pkv_ensure(handle, slot, tokens))
+
+    def release(self, handle: int, slot: int) -> int:
+        return int(self._lib.pkv_release(handle, slot))
+
+    def free_blocks(self, handle: int) -> int:
+        return int(self._lib.pkv_free_blocks(handle))
+
+    def slot_blocks(self, handle: int, slot: int) -> int:
+        return int(self._lib.pkv_slot_blocks(handle, slot))
+
+    def tables(self, handle: int, max_batch: int,
+               max_blocks_per_seq: int) -> np.ndarray:
+        out = np.zeros((max_batch, max_blocks_per_seq), np.int32)
+        rc = self._lib.pkv_tables(
+            handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if rc != 0:
+            raise RuntimeError(f'pkv_tables failed rc={rc}')
+        return out
+
+
+def _build_alloc() -> str:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_ALLOC_SO) and \
+            os.path.getmtime(_ALLOC_SO) >= os.path.getmtime(_ALLOC_SRC):
+        return _ALLOC_SO
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', _ALLOC_SRC,
+           '-o', _ALLOC_SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _ALLOC_SO
+
+
+def native_alloc() -> Optional[NativeAllocLib]:
+    """Build-once, cached loader for the block-allocator library. Returns
+    None when the toolchain is unavailable (callers fall back to the
+    Python twin in serving/paged.py)."""
+    global _alloc_cache, _alloc_failed
+    if _alloc_cache is not None:
+        return _alloc_cache
+    if _alloc_failed:
+        return None
+    with _lock:
+        if _alloc_cache is not None:
+            return _alloc_cache
+        try:
+            _alloc_cache = NativeAllocLib(_build_alloc())
+        except Exception as e:
+            _alloc_failed = True
+            ppq_warning(f'native allocator build failed ({e}); '
+                        f'falling back to the Python block allocator.')
+            return None
+    return _alloc_cache
