@@ -23,8 +23,10 @@ EXPORT_PLATFORM = TargetPlatform.TPU_INT8
 def load_calibration_dataset():
     data_dir = os.path.join(WORKING_DIRECTORY, 'data')
     if os.path.isdir(data_dir):
-        files = sorted(os.listdir(data_dir))[:CALIBRATION_BATCHES]
-        return [np.load(os.path.join(data_dir, f)) for f in files]
+        # prefetching native npy loader (falls back to np.load)
+        from ppq_tpu.utils.dataio import load_calibration_dir
+        return list(load_calibration_dir(data_dir,
+                                         limit=CALIBRATION_BATCHES))
     print('no calibration data found — using random calibration '
           '(accuracy will be meaningless).')
     return [np.random.randn(*INPUT_SHAPE).astype(np.float32)

@@ -197,3 +197,67 @@ def native_alloc() -> Optional[NativeAllocLib]:
                         f'falling back to the Python block allocator.')
             return None
     return _alloc_cache
+
+
+# ------------------------------------------------ prefetching npy loader ---
+
+_DL_SRC = os.path.join(os.path.dirname(_SRC), 'dataloader.cc')
+_DL_SO = os.path.join(_BUILD_DIR, 'libppq_tpu_dataio.so')
+_dl_cache: Optional['NativeDataLib'] = None
+_dl_failed = False
+
+
+class NativeDataLib:
+    """ctypes surface over csrc/dataloader.cc (threaded npy prefetcher)."""
+
+    def __init__(self, path: str):
+        lib = ctypes.CDLL(path)
+        i64, i32 = ctypes.c_int64, ctypes.c_int32
+        lib.dl_create.restype = i64
+        lib.dl_create.argtypes = [i64, i64]
+        lib.dl_submit.restype = i64
+        lib.dl_submit.argtypes = [i64, ctypes.c_char_p]
+        lib.dl_next_meta.restype = i32
+        lib.dl_next_meta.argtypes = [i64, ctypes.POINTER(i64),
+                                     ctypes.POINTER(i32),
+                                     ctypes.POINTER(i32),
+                                     ctypes.POINTER(i32),
+                                     ctypes.POINTER(i64)]
+        lib.dl_next_copy.restype = i32
+        lib.dl_next_copy.argtypes = [i64, ctypes.POINTER(ctypes.c_uint8)]
+        lib.dl_close.restype = None
+        lib.dl_close.argtypes = [i64]
+        self._lib = lib
+
+
+def _build_dataio() -> str:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_DL_SO) and \
+            os.path.getmtime(_DL_SO) >= os.path.getmtime(_DL_SRC):
+        return _DL_SO
+    cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', '-pthread',
+           _DL_SRC, '-o', _DL_SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _DL_SO
+
+
+def native_dataio() -> Optional[NativeDataLib]:
+    """Build-once, cached loader for the npy prefetcher. Returns None
+    when the toolchain is unavailable (utils/dataio.py falls back to
+    np.load)."""
+    global _dl_cache, _dl_failed
+    if _dl_cache is not None:
+        return _dl_cache
+    if _dl_failed:
+        return None
+    with _lock:
+        if _dl_cache is not None:
+            return _dl_cache
+        try:
+            _dl_cache = NativeDataLib(_build_dataio())
+        except Exception as e:
+            _dl_failed = True
+            ppq_warning(f'native dataio build failed ({e}); '
+                        f'falling back to np.load.')
+            return None
+    return _dl_cache

@@ -25,9 +25,15 @@ SHAPE = (8, 3, 224, 224)
 def load_batches():
     if _os.path.isdir(DATA_DIR):
         xs = sorted(f for f in _os.listdir(DATA_DIR) if f.endswith('_x.npy'))
-        return [(np.load(_os.path.join(DATA_DIR, f)),
-                 np.load(_os.path.join(DATA_DIR, f.replace('_x', '_y'))))
-                for f in xs[:BATCHES]]
+        xs = xs[:BATCHES]
+        # interleave x/y through the prefetching native npy loader
+        from ppq_tpu.utils.dataio import NpyLoader
+        paths = []
+        for f in xs:
+            paths.append(_os.path.join(DATA_DIR, f))
+            paths.append(_os.path.join(DATA_DIR, f.replace('_x', '_y')))
+        arrs = list(NpyLoader(paths, prefetch=8))
+        return list(zip(arrs[0::2], arrs[1::2]))
     rng = np.random.RandomState(0)
     return [(rng.randn(*SHAPE).astype(np.float32),
              rng.randint(0, 1000, SHAPE[0])) for _ in range(BATCHES)]
