@@ -517,8 +517,17 @@ def Concat_forward(op, values, ctx=None):
 def Split_forward(op, values, ctx=None):
     x = jnp.asarray(values[0])
     axis = int(attr(op, 'axis', 0))
+    sizes = None
     if _present(values, 1):
         sizes = [int(s) for s in _np(values[1]).reshape(-1)]
+    elif attr(op, 'split', None) is not None:
+        # legacy opset<13 attribute; the caffe frontend also uses it with
+        # a -1 tail (caffe slice_point doesn't record the last extent)
+        sizes = [int(s) for s in attr(op, 'split')]
+    if sizes is not None:
+        if any(s < 0 for s in sizes):
+            rem = int(x.shape[axis]) - sum(s for s in sizes if s >= 0)
+            sizes = [s if s >= 0 else rem for s in sizes]
         idx = np.cumsum(sizes)[:-1]
         return tuple(jnp.split(x, idx, axis=axis))
     n_out = len(op.outputs) if op.outputs else int(attr(op, 'num_outputs', 2))

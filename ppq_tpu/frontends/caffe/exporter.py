@@ -185,12 +185,29 @@ class CaffeExporter(GraphExporter):
                 layer.nn_upsample_param.resize = zoom
             else:
                 layer.type = 'Interp'
+                zoom = None
                 scales_var = next(
                     (v for v in op.inputs[2:3] if v.is_parameter), None)
                 if scales_var is not None and scales_var.has_value and \
                         np.asarray(scales_var.value).size >= 4:
-                    layer.interp_param.zoom_factor = int(
-                        np.asarray(scales_var.value).reshape(-1)[2])
+                    zoom = int(np.asarray(scales_var.value).reshape(-1)[2])
+                elif len(op.inputs) > 3 and op.inputs[3].is_parameter \
+                        and op.inputs[3].has_value:
+                    # sizes-driven Resize: emit absolute height/width
+                    # (interp_param.zoom_factor defaults to 1 — leaving
+                    # it unset would silently export an identity resize)
+                    sizes = np.asarray(op.inputs[3].value).reshape(-1)
+                    if sizes.size >= 4:
+                        layer.interp_param.height = int(sizes[2])
+                        layer.interp_param.width = int(sizes[3])
+                        return
+                if zoom is None:
+                    ppq_warning(
+                        f'Caffe exporter: Resize {op.name} has neither a '
+                        f'concrete scales nor sizes input; Interp '
+                        f'zoom_factor defaults to 1 (identity).')
+                else:
+                    layer.interp_param.zoom_factor = zoom
             return
         if t == 'PRelu':
             layer.type = 'PReLU'
@@ -198,9 +215,18 @@ class CaffeExporter(GraphExporter):
             _set_blob(layer.blobs.add(), slope)
             return
         if t == 'Clip':
-            lo = float(np.asarray(params[0].value)) if params else 0.0
-            hi = float(np.asarray(params[1].value)) if len(params) > 1 \
-                else 6.0
+            # bounds live positionally in inputs[1:3] (either may be an
+            # absent optional), or as opset-6 attributes
+            lo, hi = -3.4e38, 3.4e38
+            if 'min' in op.attributes:
+                lo = float(op.attributes['min'])
+            if 'max' in op.attributes:
+                hi = float(op.attributes['max'])
+            ins = list(op.inputs)
+            if len(ins) > 1 and ins[1] is not None and ins[1].has_value:
+                lo = float(np.asarray(ins[1].value))
+            if len(ins) > 2 and ins[2] is not None and ins[2].has_value:
+                hi = float(np.asarray(ins[2].value))
             if lo == 0.0 and hi == 6.0:
                 layer.type = 'ReLU6'
             else:
@@ -215,8 +241,20 @@ class CaffeExporter(GraphExporter):
             pads = (np.asarray(params[0].value).reshape(-1)
                     if params else np.zeros(8, np.int64))
             if pads.size >= 8:               # NCHW onnx layout
-                layer.pad_param.pad_h = int(pads[2])
-                layer.pad_param.pad_w = int(pads[3])
+                # caffe pad_param is SYMMETRIC per spatial axis; ONNX
+                # begin/end pads that differ (or N/C pads) cannot be
+                # represented — warn instead of silently dropping them
+                if (int(pads[2]) != int(pads[6]) or
+                        int(pads[3]) != int(pads[7]) or
+                        any(int(p) for p in (pads[0], pads[1],
+                                             pads[4], pads[5]))):
+                    ppq_warning(
+                        f'Caffe exporter: Pad {op.name} has asymmetric '
+                        f'or batch/channel pads {pads.tolist()}; caffe '
+                        f'pad_param is symmetric H/W only — exporting '
+                        f'max(begin, end) per spatial axis.')
+                layer.pad_param.pad_h = int(max(pads[2], pads[6]))
+                layer.pad_param.pad_w = int(max(pads[3], pads[7]))
             layer.pad_param.mode = 1 if mode == 'reflect' else 0
             return
         if t == 'Split':
@@ -240,11 +278,25 @@ class CaffeExporter(GraphExporter):
             layer.power_param.shift = 0.0
             return
         if t == 'ReduceMean':
-            layer.type = 'Reduce'
             axes = op.attributes.get('axes', [1])
-            layer.reduce_param.axis = int(axes[0] if isinstance(
-                axes, (list, tuple)) else axes)
-            return
+            if not isinstance(axes, (list, tuple)):
+                axes = [axes]
+            keepdims = int(op.attributes.get('keepdims', 1))
+            if len(axes) != 1 or keepdims:
+                # caffe Reduce is single-axis, keepdims=0 (the reference
+                # exporter asserts the same, caffe_export_utils.py:244);
+                # fall through to the custom-layer path with a warning
+                # rather than exporting silently-wrong semantics
+                ppq_warning(
+                    f'Caffe exporter: ReduceMean {op.name} with '
+                    f'axes={list(axes)} keepdims={keepdims} does not map '
+                    f'to caffe Reduce (single axis, keepdims=0); '
+                    f'exporting as a custom layer.')
+            else:
+                layer.type = 'Reduce'
+                layer.reduce_param.axis = int(axes[0])
+                # mode stays 0: the PPL proto's ReduceOp { MEAN = 0 }
+                return
         if t == 'ReduceL2':
             layer.type = 'ReduceL2'
             return
@@ -264,13 +316,21 @@ class CaffeExporter(GraphExporter):
                     _set_blob(layer.blobs.add(), params[1].value)
             return
         if t == 'Tile':
-            layer.type = 'Tile'
             reps = (np.asarray(params[0].value).reshape(-1)
                     if params else np.ones(1, np.int64))
             hot = [i for i, r in enumerate(reps) if int(r) != 1] or [0]
-            layer.tile_param.axis = int(hot[0])
-            layer.tile_param.tiles = int(reps[hot[0]])
-            return
+            if len(hot) > 1:
+                # caffe Tile repeats exactly one axis; multi-axis repeats
+                # fall through to the custom-layer path with a warning
+                ppq_warning(
+                    f'Caffe exporter: Tile {op.name} repeats multiple '
+                    f'axes {reps.tolist()}; caffe tile_param is single '
+                    f'axis — exporting as a custom layer.')
+            else:
+                layer.type = 'Tile'
+                layer.tile_param.axis = int(hot[0])
+                layer.tile_param.tiles = int(reps[hot[0]])
+                return
         if t == 'ChannelShuffle':
             layer.type = 'ChannelShuffle'
             layer.channel_shuffle_param.group = int(

@@ -312,20 +312,37 @@ class CaffeParser(GraphBuilder):
             return
 
         if t in ('Interp', 'Upsample'):
+            roi = self._param(g, f'{name}_roi', np.zeros(0, np.float32))
+            mode = 'linear' if t == 'Interp' else 'nearest'
+            attrs = {'mode': mode,
+                     'coordinate_transformation_mode':
+                         'align_corners' if t == 'Interp'
+                         else 'asymmetric'}
+            if t == 'Interp' and (int(layer.interp_param.height) or
+                                  int(layer.interp_param.width)):
+                # absolute-size Interp (sizes-driven Resize round-trip):
+                # emit a sizes input (empty scales placeholder)
+                shp = bottoms[0].shape or [1, 1, 1, 1]
+                sizes = self._param(
+                    g, f'{name}_sizes',
+                    np.asarray([int(shp[0]), int(shp[1]),
+                                int(layer.interp_param.height),
+                                int(layer.interp_param.width)], np.int64))
+                scales = self._param(g, f'{name}_scales',
+                                     np.zeros(0, np.float32))
+                g.create_operation(
+                    'Resize', name=name, attributes=attrs,
+                    inputs=[bottoms[0], roi, scales, sizes],
+                    outputs=make_tops(1))
+                return
             if t == 'Interp':
                 zoom = int(layer.interp_param.zoom_factor)
             else:
                 zoom = int(layer.upsample_param.scale)
             scales = self._param(g, f'{name}_scales',
                                  np.asarray([1, 1, zoom, zoom], np.float32))
-            roi = self._param(g, f'{name}_roi', np.zeros(0, np.float32))
-            mode = 'linear' if t == 'Interp' else 'nearest'
             g.create_operation(
-                'Resize', name=name,
-                attributes={'mode': mode,
-                            'coordinate_transformation_mode':
-                                'align_corners' if t == 'Interp'
-                                else 'asymmetric'},
+                'Resize', name=name, attributes=attrs,
                 inputs=[bottoms[0], roi, scales], outputs=make_tops(1))
             return
 
@@ -340,9 +357,11 @@ class CaffeParser(GraphBuilder):
                 for sp in p.slice_point:
                     sizes.append(int(sp) - prev)
                     prev = int(sp)
-                sizes.append(-1)  # resolved at runtime by Split
-                # ONNX Split wants explicit sizes; leave the last to runtime
-                # by omitting the split input when uneven
+                # the last chunk's extent isn't in the proto; -1 resolves
+                # against the concrete axis dim at execution
+                # (Split_forward 'split' attribute)
+                sizes.append(-1)
+                attrs['split'] = sizes
             g.create_operation('Split', name=name, attributes=attrs,
                                inputs=inputs, outputs=make_tops(n_out))
             return
@@ -451,6 +470,8 @@ class CaffeParser(GraphBuilder):
             if t == 'ReduceL2':
                 op_type, axis = 'ReduceL2', 1
             else:
+                # PPL proto dialect: ReduceOp { MEAN = 0 } — mode 0 IS
+                # mean (reference caffe.proto:2013)
                 op_type = 'ReduceMean'
                 axis = int(layer.reduce_param.axis)
             g.create_operation(op_type, name=name,

@@ -891,7 +891,6 @@ def prefill_chunk_staged_paged(params: Dict, pools: Dict, tokens, write_pos,
     out, pools = fn(layers, pools, x_mb, tbl_p,
                     jnp.asarray(tables, jnp.int32),
                     jnp.asarray(write_pos, jnp.int32), active)
-    from .model import qmatmul, rms_norm
     x = out.reshape((B, T) + out.shape[3:])
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'])

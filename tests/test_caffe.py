@@ -277,3 +277,64 @@ def test_caffe_export_extended_layers_roundtrip(tmp_path):
     g2 = load_caffe_graph(path, str(tmp_path / 'wide.caffemodel'))
     got = np.asarray(TPUExecutor(g2).forward(xv)[0])
     np.testing.assert_array_equal(got.reshape(-1), ref.reshape(-1))
+
+
+def test_caffe_uneven_split_roundtrip(tmp_path):
+    """Uneven ONNX Split exports slice_point and parses back to the SAME
+    sizes (regression: the parser computed sizes then discarded them,
+    silently producing an equal split)."""
+    from ppq_tpu.zoo import NetBuilder
+    b = NetBuilder('uneven', seed=0)
+    x = b.input('data', (1, 8, 4, 4))
+    lo, hi = b.op('Split', [x, b.iparam(np.asarray([3, 5]))], n_out=2,
+                  axis=1)
+    b.output(b.concat([hi, lo], axis=1))
+    g = b.g
+    xv = np.random.RandomState(0).randn(1, 8, 4, 4).astype(np.float32)
+    ref = np.asarray(TPUExecutor(g).forward(xv)[0])
+    path = str(tmp_path / 'uneven.prototxt')
+    CaffeExporter().export(path, g)
+    assert 'slice_point: 3' in open(path).read()
+    g2 = load_caffe_graph(path, str(tmp_path / 'uneven.caffemodel'))
+    got = np.asarray(TPUExecutor(g2).forward(xv)[0])
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_caffe_sizes_resize_roundtrip(tmp_path):
+    """Linear Resize driven by a SIZES input exports Interp
+    height/width (regression: zoom_factor defaulted to 1 → identity)."""
+    from ppq_tpu.zoo import NetBuilder
+    b = NetBuilder('interp', seed=0)
+    x = b.input('data', (1, 2, 4, 4))
+    roi = b.param(np.zeros(0, np.float32))
+    scales = b.param(np.zeros(0, np.float32))
+    sizes = b.iparam(np.asarray([1, 2, 8, 8]))
+    y = b.op('Resize', [x, roi, scales, sizes], mode='linear',
+             coordinate_transformation_mode='align_corners')
+    b.output(y)
+    g = b.g
+    xv = np.random.RandomState(1).randn(1, 2, 4, 4).astype(np.float32)
+    ref = np.asarray(TPUExecutor(g).forward(xv)[0])
+    assert ref.shape == (1, 2, 8, 8)
+    path = str(tmp_path / 'interp.prototxt')
+    CaffeExporter().export(path, g)
+    txt = open(path).read()
+    assert 'height: 8' in txt and 'width: 8' in txt
+    g2 = load_caffe_graph(path, str(tmp_path / 'interp.caffemodel'))
+    got = np.asarray(TPUExecutor(g2).forward(xv)[0])
+    assert got.shape == (1, 2, 8, 8)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_caffe_identity_clip_not_relu6(tmp_path):
+    """Clip with no bounds (opset-11 identity) must NOT export ReLU6
+    (regression: missing optional inputs defaulted to [0, 6])."""
+    from ppq_tpu.zoo import NetBuilder
+    b = NetBuilder('clip_id', seed=0)
+    x = b.input('data', (1, 4))
+    y = b.op('Clip', [x])
+    b.output(y)
+    path = str(tmp_path / 'clip.prototxt')
+    CaffeExporter().export(path, b.g)
+    txt = open(path).read()
+    assert 'ReLU6' not in txt and 'type: "Clip"' in txt

@@ -80,3 +80,26 @@ def test_load_calibration_dir_feeds_quantizer(tmp_path):
     from ppq_tpu.ir import QuantableOperation
     assert any(isinstance(op, QuantableOperation)
                for op in g.operations.values())
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason='no native toolchain')
+def test_loader_is_reiterable(tmp_path):
+    """quantize_graph peeks one batch then iterates again — both passes
+    must see batch 0 first (regression: the native session was single
+    use and the second pass broke or mispaired)."""
+    arrays = [np.full((2, 2), i, np.float32) for i in range(5)]
+    paths = _write_batches(tmp_path, arrays)
+    dl = NpyLoader(paths, prefetch=2, threads=2, native=True)
+    first = next(iter(dl))
+    assert float(first[0, 0]) == 0.0
+    again = list(dl)
+    assert len(again) == 5
+    for i, g in enumerate(again):
+        assert float(g[0, 0]) == float(i)
+
+
+def test_load_calibration_dir_limit_zero(tmp_path):
+    _write_batches(tmp_path, [np.zeros((1,), np.float32)] * 3)
+    from ppq_tpu.utils.dataio import load_calibration_dir
+    assert list(load_calibration_dir(str(tmp_path), limit=0)) == []
+    assert len(list(load_calibration_dir(str(tmp_path), limit=2))) == 2
