@@ -32,6 +32,7 @@ class LlamaConfig:
 
     # quantization
     weight_bits: int = 8            # 8 | 4 | 16 (16 = bf16, no quant)
+    weight_quant_method: str = 'minmax'   # 'minmax' | 'mse' scale search
     kv_cache_bits: int = 8          # 8 | 16
     act_dtype: str = 'bfloat16'
 

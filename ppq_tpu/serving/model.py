@@ -36,13 +36,42 @@ Params = Dict[str, Any]
 
 # ============================================================ weight quant ==
 
-def quantize_weight(w: np.ndarray, bits: int) -> Dict[str, np.ndarray]:
-    """Per-output-channel symmetric weight quantization. w: (in, out)."""
+def _mse_weight_scale(w: np.ndarray, qmax: int, n_grid: int = 32,
+                      shrink: float = 0.5) -> np.ndarray:
+    """Per-channel MSE-optimal symmetric scale: grid-search shrink
+    factors of the absmax range and keep each channel's reconstruction-
+    MSE minimizer (the toolkit's DirectMSEObserver recipe applied to
+    weights — clipping a heavy tail trades saturation error for finer
+    resolution everywhere else; biggest payoff at 4 bits)."""
+    absmax = np.maximum(np.abs(w).max(axis=0), 1e-8)        # (out,)
+    best_s = absmax / qmax
+    best_err = np.full(w.shape[1], np.inf)
+    for g in range(n_grid):
+        f = 1.0 - shrink * g / n_grid                       # 1.0 → 0.5+
+        s = absmax * f / qmax
+        q = np.clip(np.round(w / s), -qmax - 1, qmax)
+        err = np.mean((q * s - w) ** 2, axis=0)
+        take = err < best_err
+        best_err = np.where(take, err, best_err)
+        best_s = np.where(take, s, best_s)
+    return best_s
+
+
+def quantize_weight(w: np.ndarray, bits: int,
+                    method: str = 'minmax') -> Dict[str, np.ndarray]:
+    """Per-output-channel symmetric weight quantization. w: (in, out).
+    method: 'minmax' (absmax range) or 'mse' (per-channel grid search
+    for the reconstruction-MSE-optimal clipped range)."""
     if bits >= 16:
         return {'w': jnp.asarray(w, jnp.bfloat16)}
     qmax = (1 << (bits - 1)) - 1
-    absmax = np.maximum(np.abs(w).max(axis=0), 1e-8)       # (out,)
-    scale = (absmax / qmax).astype(np.float32)
+    if method == 'mse':
+        scale = _mse_weight_scale(w, qmax).astype(np.float32)
+    elif method == 'minmax':
+        absmax = np.maximum(np.abs(w).max(axis=0), 1e-8)    # (out,)
+        scale = (absmax / qmax).astype(np.float32)
+    else:
+        raise ValueError(f'unknown weight quant method {method!r}')
     q = np.clip(np.round(w / scale), -qmax - 1, qmax).astype(np.int8)
     if bits == 4:
         # split-half packing (kernels/qmm.py): byte row r holds w[r] in the
@@ -115,11 +144,12 @@ def init_llama_params(cfg: LlamaConfig, seed: int = 0,
     D, H, KV, Dh, F = (cfg.d_model, cfg.n_heads, cfg.n_kv_heads,
                        cfg.head_dim, cfg.d_ff)
     bits = cfg.weight_bits if quantized else 16
+    method = getattr(cfg, 'weight_quant_method', 'minmax')
 
     def dense(i, o):
         w = rng.standard_normal((i, o), dtype=np.float32) \
             * np.float32(1.0 / np.sqrt(i))
-        return quantize_weight(w, bits)
+        return quantize_weight(w, bits, method=method)
 
     params: Params = {
         'embed': jnp.asarray(
@@ -206,14 +236,18 @@ def project_qkv(h, layer, cfg: LlamaConfig, pall: bool):
     return q, k, v
 
 
-def quantize_llama_params(params: Params, cfg: LlamaConfig) -> Params:
+def quantize_llama_params(params: Params, cfg: LlamaConfig,
+                          method: str = None) -> Params:
     """PTQ an existing bf16 param tree through the framework's weight-quant
-    math (per-channel symmetric, framework TQC semantics)."""
+    math (per-channel symmetric, framework TQC semantics). method:
+    'minmax' | 'mse' (defaults to cfg.weight_quant_method)."""
+    method = method or getattr(cfg, 'weight_quant_method', 'minmax')
+
     def q(wq):
         if 'w' not in wq:
             return wq
         return quantize_weight(np.asarray(wq['w'], np.float32),
-                               cfg.weight_bits)
+                               cfg.weight_bits, method=method)
     out = dict(params)
     out['lm_head'] = q(params['lm_head'])
     out['layers'] = [{k: (q(v) if isinstance(v, dict) else v)

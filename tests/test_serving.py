@@ -592,3 +592,68 @@ class TestPagedMultiDevice:
         reqs = [Request(0, prompt, max_new_tokens=5)]
         eng.run(reqs, sync_every=4)
         assert len(reqs[0].generated) == 5
+
+
+class TestWeightQuantMethods:
+    """MSE-optimal per-channel weight scales (quantize_weight
+    method='mse'): the toolkit's DirectMSEObserver recipe applied to
+    serving weights — clipping heavy tails must strictly reduce int4
+    reconstruction error and never hurt int8."""
+
+    def _w(self, seed=0):
+        rng = np.random.RandomState(seed)
+        w = rng.randn(256, 128).astype(np.float32)
+        # heavy-tailed outliers: the case minmax handles worst
+        w[rng.randint(0, 256, 40), rng.randint(0, 128, 40)] *= 12.0
+        return w
+
+    @staticmethod
+    def _recon(w, wq):
+        from ppq_tpu.serving.model import _unpack_int4
+        if 'w_packed' in wq:
+            q = np.asarray(_unpack_int4(wq['w_packed']), np.float32)
+        else:
+            q = np.asarray(wq['w_int'], np.float32)
+        return q * np.asarray(wq['scale'])
+
+    def test_mse_beats_minmax_int4(self):
+        from ppq_tpu.serving.model import quantize_weight
+        w = self._w()
+        e_mm = np.mean((self._recon(w, quantize_weight(w, 4)) - w) ** 2)
+        e_mse = np.mean((self._recon(
+            w, quantize_weight(w, 4, method='mse')) - w) ** 2)
+        assert e_mse < e_mm * 0.9, (e_mse, e_mm)
+
+    def test_mse_never_worse_int8(self):
+        from ppq_tpu.serving.model import quantize_weight
+        w = self._w(1)
+        e_mm = np.mean((self._recon(w, quantize_weight(w, 8)) - w) ** 2)
+        e_mse = np.mean((self._recon(
+            w, quantize_weight(w, 8, method='mse')) - w) ** 2)
+        assert e_mse <= e_mm * 1.0 + 1e-12
+
+    def test_engine_generates_with_mse_weights(self):
+        cfg = LlamaConfig(vocab_size=97, d_model=64, n_layers=2,
+                          n_heads=4, n_kv_heads=2, d_ff=128,
+                          max_seq_len=64, max_batch=2, weight_bits=4,
+                          prefill_buckets=(16,))
+        cfg.weight_quant_method = 'mse'
+        eng = ServingEngine(cfg, init_llama_params(cfg, seed=0))
+        reqs = [Request(0, [3, 1, 4, 1, 5], max_new_tokens=4)]
+        eng.run(reqs)
+        assert reqs[0].done and len(reqs[0].generated) == 4
+
+    def test_quantize_llama_params_method_plumbs(self):
+        from ppq_tpu.serving.model import quantize_llama_params
+        cfg = LlamaConfig(vocab_size=64, d_model=32, n_layers=1,
+                          n_heads=2, n_kv_heads=2, d_ff=64,
+                          max_seq_len=32, max_batch=1, weight_bits=4)
+        fp = init_llama_params(cfg, seed=0, quantized=False)
+        q_mm = quantize_llama_params(fp, cfg, method='minmax')
+        q_ms = quantize_llama_params(fp, cfg, method='mse')
+        w = np.asarray(fp['layers'][0]['w_gate']['w'], np.float32)
+        e_mm = np.mean((self._recon(w, q_mm['layers'][0]['w_gate'])
+                        - w) ** 2)
+        e_ms = np.mean((self._recon(w, q_ms['layers'][0]['w_gate'])
+                        - w) ** 2)
+        assert e_ms <= e_mm + 1e-12
