@@ -1,4 +1,5 @@
 from .awq import awq_quantize_llama_params
+from .gptq import gptq_quantize_llama_params
 from .config import LlamaConfig
 from .engine import Request, ServingEngine
 from .model import init_llama_params, quantize_llama_params
@@ -7,5 +8,6 @@ from .ring_attention import reference_attention, sequence_parallel_attention
 
 __all__ = ['LlamaConfig', 'ServingEngine', 'init_llama_params',
            'quantize_llama_params', 'awq_quantize_llama_params',
+           'gptq_quantize_llama_params',
            'sequence_parallel_attention', 'reference_attention',
            'BlockAllocator', 'init_paged_pools']

@@ -35,11 +35,16 @@ from .model import (Params, mlp, qmatmul, quantize_weight, rms_norm,
                     rope_apply, rope_tables)
 
 
-def capture_norm_inputs(params: Params, cfg: LlamaConfig, tokens
+def capture_norm_inputs(params: Params, cfg: LlamaConfig, tokens,
+                        full: bool = False
                         ) -> List[Dict[str, np.ndarray]]:
     """Run a float forward over a (B, T) token sample and capture each
     layer's attn_norm / mlp_norm OUTPUTS (the linear groups' inputs).
-    Causal within the window (prefill semantics, no cache)."""
+    Causal within the window (prefill semantics, no cache).
+
+    full=True additionally captures the wo input ('ctx': attention
+    context) and the w_down input ('act': silu(gate)*up) — GPTQ needs
+    every linear's input statistics, not just the foldable groups."""
     B, T = tokens.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     rep = H // KV
@@ -65,10 +70,19 @@ def capture_norm_inputs(params: Params, cfg: LlamaConfig, tokens
         p = jax.nn.softmax(s, axis=-1)
         ctx = jnp.einsum('bkrtj,bjkd->btkrd', p.astype(x.dtype), v,
                          preferred_element_type=jnp.float32)
-        x = x + qmatmul(ctx.reshape(B, T, H * Dh).astype(x.dtype),
-                        layer['wo'])
+        ctx = ctx.reshape(B, T, H * Dh).astype(x.dtype)
+        if full:
+            cap['ctx'] = np.asarray(ctx, np.float32).reshape(-1,
+                                                             H * Dh)
+        x = x + qmatmul(ctx, layer['wo'])
         h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
         cap['mlp'] = np.asarray(h, np.float32).reshape(-1, x.shape[-1])
+        if full:
+            g = qmatmul(h, layer['w_gate'])
+            u = qmatmul(h, layer['w_up'])
+            act = jax.nn.silu(g.astype(jnp.float32)) * u
+            cap['act'] = np.asarray(act, np.float32).reshape(
+                -1, act.shape[-1])
         x = x + mlp(h, layer, cfg)
         caps.append(cap)
     return caps
