@@ -19,7 +19,12 @@ from ppq_tpu.serving.engine import Request
 cfg = LlamaConfig(d_model=2048, n_layers=16, n_heads=16, n_kv_heads=8,
                   d_ff=5632, vocab_size=32000, max_seq_len=1024,
                   max_batch=8, weight_bits=8, kv_cache_bits=8)
-params = init_llama_params(cfg, seed=0)   # or quantize_llama_params(bf16_tree, cfg)
+params = init_llama_params(cfg, seed=0)
+# Real checkpoints + calibrated weight-only quantization:
+#   from ppq_tpu.serving import load_hf_llama, awq_quantize_llama_params
+#   cfg, fp = load_hf_llama('/path/to/llama', quantize=False)
+#   params = awq_quantize_llama_params(fp, cfg, calib_tokens)   # or gptq_
+#   (or quantize_llama_params(fp, cfg, method='mse') without calibration)
 
 # single chip
 engine = ServingEngine(cfg, params)
