@@ -35,6 +35,10 @@ class LlamaConfig:
     weight_quant_method: str = 'minmax'   # 'minmax' | 'mse' scale search
     kv_cache_bits: int = 8          # 8 | 16
     act_dtype: str = 'bfloat16'
+    # W8A8 prefill: per-token int8 activations + int8 weights on the
+    # MXU's int8 pipe (2x bf16 peak on v5e) for multi-token windows;
+    # single-token decode stays weight-only (HBM-bound)
+    act_bits: int = 16              # 16 (bf16 acts) | 8 (W8A8 prefill)
 
     # serving
     max_batch: int = 8

@@ -95,8 +95,17 @@ def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
 _PALLAS_QMM_MAX_X_BYTES = 2 * 1024 * 1024
 
 
+def _a8_quant(x: jnp.ndarray):
+    """Per-token (last-axis) symmetric int8 activation quantization."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(ax, 1e-6) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray],
-            pallas: bool = False) -> jnp.ndarray:
+            pallas: bool = False, a8: bool = False) -> jnp.ndarray:
     """x @ dequant(w).
 
     pallas=True routes supported shapes through the fused dequant-matmul
@@ -105,7 +114,25 @@ def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray],
     dot — but inside a decode burst XLA hoists it out of the scan and
     re-reads a materialized bf16 copy every step (2x the weight traffic;
     measured ~2x slower per matmul on v5e at decode batch sizes).
+
+    a8=True (W8A8): per-token int8 activation quant and an int8 x int8 →
+    int32 dot — the MXU's int8 pipe runs at 2x bf16 peak on v5e, the win
+    for COMPUTE-BOUND prefill (decode is HBM-bound and keeps the
+    weight-only path). Output rescales by row_scale x per-channel weight
+    scale; engine paths enable it via cfg.act_bits == 8 on windows with
+    more than one token (the decision is shape-static, so each jitted
+    program picks one path).
     """
+    if a8 and 'w' not in wq and x.shape[-2] > 1:
+        q, sx = _a8_quant(x)
+        w_int = (wq['w_int'] if 'w_int' in wq
+                 else _unpack_int4(wq['w_packed']))
+        acc = jax.lax.dot_general(
+            q, w_int, (((q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * sx \
+            * wq['scale'].astype(jnp.float32)
+        return out.astype(x.dtype)
     lead = x.shape[:-1]
     D = x.shape[-1]
     R = int(np.prod(lead)) if lead else 1
@@ -224,15 +251,16 @@ def project_qkv(h, layer, cfg: LlamaConfig, pall: bool):
     weight when present, else the separate projections."""
     B, T, _ = h.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    a8 = getattr(cfg, 'act_bits', 16) == 8
     if 'wqkv' in layer:
-        qkv = qmatmul(h, layer['wqkv'], pallas=pall)
+        qkv = qmatmul(h, layer['wqkv'], pallas=pall, a8=a8)
         q = qkv[..., :H * Dh].reshape(B, T, H, Dh)
         k = qkv[..., H * Dh:(H + KV) * Dh].reshape(B, T, KV, Dh)
         v = qkv[..., (H + KV) * Dh:].reshape(B, T, KV, Dh)
         return q, k, v
-    q = qmatmul(h, layer['wq'], pallas=pall).reshape(B, T, H, Dh)
-    k = qmatmul(h, layer['wk'], pallas=pall).reshape(B, T, KV, Dh)
-    v = qmatmul(h, layer['wv'], pallas=pall).reshape(B, T, KV, Dh)
+    q = qmatmul(h, layer['wq'], pallas=pall, a8=a8).reshape(B, T, H, Dh)
+    k = qmatmul(h, layer['wk'], pallas=pall, a8=a8).reshape(B, T, KV, Dh)
+    v = qmatmul(h, layer['wv'], pallas=pall, a8=a8).reshape(B, T, KV, Dh)
     return q, k, v
 
 
@@ -364,6 +392,7 @@ def attention(x, layer, cache_k, cache_v, cache_ks, cache_vs,
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     rep = H // KV
     pall = bool(getattr(cfg, 'use_pallas_matmul', False))
+    a8 = getattr(cfg, 'act_bits', 16) == 8
 
     q, k, v = project_qkv(x, layer, cfg, pall)
     q = rope(q, positions, cfg.rope_theta)
@@ -400,7 +429,7 @@ def attention(x, layer, cache_k, cache_v, cache_ks, cache_vs,
                      cache_v.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
     ctx = ctx.reshape(B, T, H * Dh).astype(x.dtype)
-    out = qmatmul(ctx, layer['wo'], pallas=pall)
+    out = qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
     return out, cache_k, cache_v, cache_ks, cache_vs
 
 
@@ -411,15 +440,16 @@ def mlp(x, layer, cfg=None):
                        top_k=cfg.top_k if cfg is not None else 2)
     pall = bool(getattr(cfg, 'use_pallas_matmul', False)) \
         if cfg is not None else False
+    a8 = (getattr(cfg, 'act_bits', 16) == 8) if cfg is not None else False
     if 'w_gateup' in layer:
-        gu = qmatmul(x, layer['w_gateup'], pallas=pall)
+        gu = qmatmul(x, layer['w_gateup'], pallas=pall, a8=a8)
         F = gu.shape[-1] // 2
         g, u = gu[..., :F], gu[..., F:]
     else:
-        g = qmatmul(x, layer['w_gate'], pallas=pall)
-        u = qmatmul(x, layer['w_up'], pallas=pall)
+        g = qmatmul(x, layer['w_gate'], pallas=pall, a8=a8)
+        u = qmatmul(x, layer['w_up'], pallas=pall, a8=a8)
     return qmatmul(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
-                   layer['w_down'], pallas=pall)
+                   layer['w_down'], pallas=pall, a8=a8)
 
 
 def decoder_layer(layer, ck, cv, cks, cvs, x, positions, write_pos, cfg,
@@ -489,6 +519,7 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         S = min(s_limit, S)
     int8_cache = cfg.kv_cache_bits == 8
     pall = bool(getattr(cfg, 'use_pallas_matmul', False))
+    a8 = getattr(cfg, 'act_bits', 16) == 8
 
     buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
     # per-layer buffer LEAVES (not one stacked array): inside the scan only
@@ -622,12 +653,12 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                                        vbuf[li].astype(jnp.bfloat16),
                                        preferred_element_type=jnp.float32)
             ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
-            x = x + qmatmul(ctx, layer['wo'], pallas=pall)
+            x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
             h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
             x = x + mlp(h, layer, cfg)
         x = rms_norm(x, params['final_norm'], cfg.rms_eps)
         logits = qmatmul(x, params['lm_head'],
-                         pallas=pall).astype(jnp.float32)
+                         pallas=pall, a8=a8).astype(jnp.float32)
         nxt = select_fn(logits[:, 0, :], key)
         return (nxt, tuple(kbuf), tuple(vbuf), tuple(ksb), tuple(vsb),
                 i + 1), nxt

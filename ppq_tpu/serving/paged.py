@@ -466,6 +466,7 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
     rep = H // KV
     int8_cache = cfg.kv_cache_bits == 8
     pall = bool(getattr(cfg, 'use_pallas_matmul', False))
+    a8 = getattr(cfg, 'act_bits', 16) == 8
     positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None],
                                  (B, T))
     x = params['embed'][tokens]
@@ -506,7 +507,7 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
                          v_q.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
         ctx = ctx.reshape(B, T, H * Dh).astype(x.dtype)
-        x = x + qmatmul(ctx, layer['wo'], pallas=pall)
+        x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
         h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
         x = x + mlp(h, layer, cfg)
 
@@ -522,7 +523,7 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
         jnp.stack(vs_layers).transpose(0, 1, 3, 2) if int8_cache else None,
         tables, write_pos, active)
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
-    logits = qmatmul(x, params['lm_head'], pallas=pall)
+    logits = qmatmul(x, params['lm_head'], pallas=pall, a8=a8)
     return logits.astype(jnp.float32), pools
 
 
@@ -604,6 +605,7 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     rep = H // KV
     int8_cache = cfg.kv_cache_bits == 8
     pall = bool(getattr(cfg, 'use_pallas_matmul', False))
+    a8 = getattr(cfg, 'act_bits', 16) == 8
     buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
     blk_sz = pool_block_size(pools)
 
@@ -704,7 +706,7 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
             ctx = merge_attention([(acc_f, m_f, l_f), (acc_b, m_b, l_b),
                                    (acc_s, m_s, l_s)])
             ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
-            x = x + qmatmul(ctx, layer['wo'], pallas=pall)
+            x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
             h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
             x = x + mlp(h, layer, cfg)
         # ONE buffer update per kind: all layers' new columns land at i
@@ -719,7 +721,7 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
                 vsb, jnp.stack(vs_new).transpose(0, 1, 3, 2), (0, 0, 0, i))
         x = rms_norm(x, params['final_norm'], cfg.rms_eps)
         logits = qmatmul(x, params['lm_head'],
-                         pallas=pall).astype(jnp.float32)
+                         pallas=pall, a8=a8).astype(jnp.float32)
         nxt = select_fn(logits[:, 0, :], key)
         return (nxt, kbuf, vbuf, ksb, vsb, i + 1), nxt
 
@@ -764,6 +766,7 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
     rep = H // KV
     int8_cache = cfg.kv_cache_bits == 8
     pall = bool(getattr(cfg, 'use_pallas_matmul', False))
+    a8 = getattr(cfg, 'act_bits', 16) == 8
     Sp = prefix_blocks * pool_block_size(pools)
     positions = write_pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
     x = params['embed'][tokens]
@@ -838,7 +841,7 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
                                v_q.astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
         ctx = ctx.reshape(B, T, H * Dh).astype(x.dtype)
-        x = x + qmatmul(ctx, layer['wo'], pallas=pall)
+        x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
         h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
         x = x + mlp(h, layer, cfg)
 
@@ -852,5 +855,5 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
         jnp.stack(vs_layers).transpose(0, 1, 3, 2) if int8_cache else None,
         tables, write_pos, active)
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
-    logits = qmatmul(x, params['lm_head'], pallas=pall)
+    logits = qmatmul(x, params['lm_head'], pallas=pall, a8=a8)
     return logits.astype(jnp.float32), pools

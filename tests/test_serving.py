@@ -657,3 +657,62 @@ class TestWeightQuantMethods:
         e_ms = np.mean((self._recon(w, q_ms['layers'][0]['w_gate'])
                         - w) ** 2)
         assert e_ms <= e_mm + 1e-12
+
+
+class TestW8A8Prefill:
+    """cfg.act_bits=8: per-token int8 activations into int8-weight dots
+    on multi-token windows (prefill); decode windows (T=1) keep the
+    weight-only path by shape gating."""
+
+    def _cfg(self, **kw):
+        base = dict(vocab_size=97, d_model=64, n_layers=2, n_heads=4,
+                    n_kv_heads=2, d_ff=128, max_seq_len=64, max_batch=2,
+                    weight_bits=8, prefill_buckets=(16,))
+        base.update(kw)
+        return LlamaConfig(**base)
+
+    def test_qmatmul_a8_matches_bf16_within_tolerance(self):
+        from ppq_tpu.serving.model import qmatmul, quantize_weight
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4, 8, 64).astype(np.float32))
+        wq = quantize_weight(rng.randn(64, 32).astype(np.float32), 8)
+        ref = np.asarray(qmatmul(x, wq), np.float32)
+        got = np.asarray(qmatmul(x, wq, a8=True), np.float32)
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert float(np.abs(got - ref).max()) < 2e-2 * scale
+
+    def test_qmatmul_a8_shape_gate_single_token(self):
+        """T=1 windows bypass the a8 path (bit-identical to a8=False)."""
+        from ppq_tpu.serving.model import qmatmul, quantize_weight
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(4, 1, 64).astype(np.float32))
+        wq = quantize_weight(rng.randn(64, 32).astype(np.float32), 8)
+        np.testing.assert_array_equal(
+            np.asarray(qmatmul(x, wq, a8=True)),
+            np.asarray(qmatmul(x, wq)))
+
+    def test_w8a8_prefill_logits_close_to_bf16_acts(self):
+        cfg8 = self._cfg(act_bits=8)
+        cfg16 = self._cfg()
+        params = init_llama_params(cfg16, seed=0)
+        rng = np.random.RandomState(0)
+        toks = jnp.asarray(rng.randint(1, 96, (2, 12)), jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(12, dtype=jnp.int32)[None],
+                               (2, 12))
+        c16 = init_kv_cache(cfg16, 2)
+        c8 = init_kv_cache(cfg8, 2)
+        wp = jnp.zeros((2,), jnp.int32)
+        sl = jnp.full((2,), 12, jnp.int32)
+        ref, _ = forward(params, c16, toks, pos, wp, sl, cfg16)
+        got, _ = forward(params, c8, toks, pos, wp, sl, cfg8)
+        ref, got = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert float(np.abs(got - ref).max()) < 8e-2 * scale
+
+    def test_w8a8_engine_generates_int8_and_int4(self):
+        for bits in (8, 4):
+            cfg = self._cfg(act_bits=8, weight_bits=bits)
+            eng = ServingEngine(cfg, init_llama_params(cfg, seed=1))
+            reqs = [Request(0, [3, 9, 27], max_new_tokens=4)]
+            eng.run(reqs)
+            assert reqs[0].done and len(reqs[0].generated) == 4
