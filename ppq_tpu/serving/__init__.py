@@ -1,4 +1,4 @@
-from .awq import awq_quantize_llama_params
+from .awq import awq_quantize_llama_params, smoothquant_llama_params
 from .gptq import gptq_quantize_llama_params
 from .config import LlamaConfig
 from .convert import (config_from_hf, load_hf_llama,
@@ -10,7 +10,7 @@ from .ring_attention import reference_attention, sequence_parallel_attention
 
 __all__ = ['LlamaConfig', 'ServingEngine', 'init_llama_params',
            'quantize_llama_params', 'awq_quantize_llama_params',
-           'gptq_quantize_llama_params',
+           'gptq_quantize_llama_params', 'smoothquant_llama_params',
            'sequence_parallel_attention', 'reference_attention',
            'BlockAllocator', 'init_paged_pools', 'config_from_hf',
            'load_hf_llama', 'params_from_hf_state_dict']

@@ -157,3 +157,52 @@ def awq_quantize_llama_params(params_fp: Params, cfg: LlamaConfig,
             np.asarray(out['lm_head']['w'], np.float32), bits,
             method='mse')
     return out
+
+
+def smoothquant_llama_params(params_fp: Params, cfg: LlamaConfig,
+                             tokens: np.ndarray,
+                             alpha: float = 0.5) -> Params:
+    """SmoothQuant (Xiao et al., 2022 — public method) for the W8A8
+    path (cfg.act_bits == 8): migrate activation outliers into the
+    weights with s_j = max|X_j|^alpha / max|W_j|^(1-alpha), folded
+    exactly into the preceding rms_norm gamma (same zero-cost fold as
+    AWQ — the difference is the objective: AWQ protects WEIGHT
+    quantization, SmoothQuant balances ACTIVATION quantization
+    difficulty against it). Weights then quantize with the mse scale
+    search; wo/w_down have no foldable predecessor and quantize plain.
+    """
+    caps = capture_norm_inputs(params_fp, cfg, tokens)
+    bits = cfg.weight_bits
+    out = dict(params_fp)
+    layers = []
+    for layer, cap in zip(params_fp['layers'], caps):
+        lay = dict(layer)
+        for key, gamma_key, wkeys in (
+                ('attn', 'attn_norm', ('wq', 'wk', 'wv')),
+                ('mlp', 'mlp_norm', ('w_gate', 'w_up'))):
+            if not all(k in lay and 'w' in lay[k] for k in wkeys):
+                continue
+            xs = cap[key]
+            ws = [np.asarray(lay[k]['w'], np.float32) for k in wkeys]
+            x_max = np.abs(xs).max(axis=0) + 1e-8              # (D,)
+            w_max = np.max([np.abs(w).max(axis=1) for w in ws],
+                           axis=0) + 1e-8                      # (D,)
+            s = (x_max ** alpha) / (w_max ** (1.0 - alpha))
+            s = np.maximum(s / np.exp(np.mean(np.log(s))), 1e-4)
+            lay[gamma_key] = jnp.asarray(
+                np.asarray(lay[gamma_key], np.float32) / s)
+            for k, w in zip(wkeys, ws):
+                lay[k] = quantize_weight(w * s[:, None], bits,
+                                         method='mse')
+        for k in ('wo', 'w_down'):
+            if k in lay and 'w' in lay[k]:
+                lay[k] = quantize_weight(
+                    np.asarray(lay[k]['w'], np.float32), bits,
+                    method='mse')
+        layers.append(lay)
+    out['layers'] = layers
+    if 'w' in out['lm_head']:
+        out['lm_head'] = quantize_weight(
+            np.asarray(out['lm_head']['w'], np.float32), bits,
+            method='mse')
+    return out

@@ -150,3 +150,38 @@ def test_gptq_engine_generates():
     reqs = [Request(0, [8, 6, 7], max_new_tokens=4)]
     eng.run(reqs)
     assert reqs[0].done and len(reqs[0].generated) == 4
+
+
+# ------------------------------------------------------- SmoothQuant ------
+
+def test_smoothquant_reduces_w8a8_logits_error():
+    """With W8A8 activations (cfg.act_bits=8) and outlier activation
+    channels, SmoothQuant's outlier migration must reduce logits error
+    vs quantizing the unsmoothed weights."""
+    from ppq_tpu.serving import smoothquant_llama_params
+    cfg = _cfg(bits=8, act_bits=8)
+    fp = _outlier_params(cfg, seed=5, boost=25.0)
+    rng = np.random.RandomState(5)
+    calib = rng.randint(1, 96, (4, 16)).astype(np.int32)
+    test = rng.randint(1, 96, (2, 12)).astype(np.int32)
+
+    cfg_ref = _cfg(bits=16)                    # bf16 weights + acts
+    ref = _logits(fp, cfg_ref, test)
+    plain = quantize_llama_params(fp, cfg, method='mse')
+    e_plain = np.mean((_logits(plain, cfg, test) - ref) ** 2)
+    sq = smoothquant_llama_params(fp, cfg, calib, alpha=0.5)
+    e_sq = np.mean((_logits(sq, cfg, test) - ref) ** 2)
+    assert e_sq < e_plain, (e_sq, e_plain)
+
+
+def test_smoothquant_engine_generates_w8a8():
+    from ppq_tpu.serving import smoothquant_llama_params
+    cfg = _cfg(bits=8, act_bits=8)
+    fp = _outlier_params(cfg, seed=6)
+    rng = np.random.RandomState(6)
+    params = smoothquant_llama_params(fp, cfg,
+                                      rng.randint(1, 96, (2, 16)))
+    eng = ServingEngine(cfg, params)
+    reqs = [Request(0, [11, 22, 33], max_new_tokens=4)]
+    eng.run(reqs)
+    assert reqs[0].done and len(reqs[0].generated) == 4
