@@ -35,6 +35,10 @@ struct Allocator {
     int64_t block_size = 0;
     std::vector<int32_t> free_list;               // LIFO, back = next out
     std::vector<std::vector<int32_t>> slot_blocks;
+    // reference counts (prefix caching): a block may be owned by several
+    // slots plus the engine's prefix cache; it returns to the free list
+    // only when the last reference drops
+    std::vector<int32_t> refs;
 };
 
 std::mutex g_mutex;
@@ -67,6 +71,7 @@ int64_t pkv_create(int64_t num_blocks, int64_t max_batch,
     for (int64_t b = num_blocks - 1; b >= 1; --b)
         a.free_list.push_back(static_cast<int32_t>(b));
     a.slot_blocks.assign(max_batch, {});
+    a.refs.assign(num_blocks, 0);
     return handle;
 }
 
@@ -93,26 +98,77 @@ int32_t pkv_ensure(int64_t handle, int64_t slot, int64_t tokens) {
             // after partial growth; the engine treats both as fatal, and
             // all-or-nothing is the safer contract)
             while (have.size() > before) {
+                a->refs[have.back()] = 0;
                 a->free_list.push_back(have.back());
                 have.pop_back();
             }
             return -1;
         }
         have.push_back(a->free_list.back());
+        a->refs[have.back()] = 1;
         a->free_list.pop_back();
     }
     return 0;
 }
 
-// Release all of `slot`'s blocks back to the pool (reverse order, so a
-// release-then-ensure round trip reuses the same ids like the twin).
+// Attach EXISTING blocks (a cached prefix) to the front of `slot`'s
+// list, taking one reference each. Blocks must be live (ref > 0) and
+// the slot's list empty (adoption happens at admit). rc 0 ok.
+int32_t pkv_adopt(int64_t handle, int64_t slot, const int32_t* blocks,
+                  int64_t n) {
+    std::lock_guard<std::mutex> lock(g_mutex);
+    Allocator* a = get(handle);
+    if (!a || slot < 0 || slot >= a->max_batch || !blocks) return -3;
+    if (!a->slot_blocks[slot].empty()) return -4;
+    if (n > a->max_blocks_per_seq) return -2;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t b = blocks[i];
+        if (b < 1 || b >= a->num_blocks || a->refs[b] <= 0) return -5;
+    }
+    auto& have = a->slot_blocks[slot];
+    for (int64_t i = 0; i < n; ++i) {
+        have.push_back(blocks[i]);
+        ++a->refs[blocks[i]];
+    }
+    return 0;
+}
+
+// Take / drop standalone references (the prefix cache's own holds —
+// not tied to any slot). Blocks free when the LAST reference drops.
+int32_t pkv_retain(int64_t handle, const int32_t* blocks, int64_t n) {
+    std::lock_guard<std::mutex> lock(g_mutex);
+    Allocator* a = get(handle);
+    if (!a || !blocks) return -3;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t b = blocks[i];
+        if (b < 1 || b >= a->num_blocks || a->refs[b] <= 0) return -5;
+    }
+    for (int64_t i = 0; i < n; ++i) ++a->refs[blocks[i]];
+    return 0;
+}
+
+int32_t pkv_unref(int64_t handle, const int32_t* blocks, int64_t n) {
+    std::lock_guard<std::mutex> lock(g_mutex);
+    Allocator* a = get(handle);
+    if (!a || !blocks) return -3;
+    for (int64_t i = n - 1; i >= 0; --i) {
+        int32_t b = blocks[i];
+        if (b < 1 || b >= a->num_blocks || a->refs[b] <= 0) return -5;
+        if (--a->refs[b] == 0) a->free_list.push_back(b);
+    }
+    return 0;
+}
+
+// Release all of `slot`'s references; blocks with no remaining owners
+// return to the pool (reverse order, so a release-then-ensure round
+// trip reuses the same ids like the twin).
 int32_t pkv_release(int64_t handle, int64_t slot) {
     std::lock_guard<std::mutex> lock(g_mutex);
     Allocator* a = get(handle);
     if (!a || slot < 0 || slot >= a->max_batch) return -3;
     auto& blocks = a->slot_blocks[slot];
     for (auto it = blocks.rbegin(); it != blocks.rend(); ++it)
-        a->free_list.push_back(*it);
+        if (--a->refs[*it] == 0) a->free_list.push_back(*it);
     blocks.clear();
     return 0;
 }

@@ -43,6 +43,9 @@ class LlamaConfig:
     # serving
     max_batch: int = 8
     prefill_buckets: tuple = (128, 512, 2048)
+    # automatic prefix caching (paged_kv only): max cached pool blocks
+    # indexed by prompt-prefix digest; 0 disables
+    prefix_cache_blocks: int = 0
 
     # Pallas fast paths (None = auto-resolve at engine build: TPU backend,
     # unsharded single-device mesh, supported shapes). use_pallas_matmul

@@ -250,6 +250,14 @@ class ServingEngine:
             self._alloc = BlockAllocator(n_blocks, cfg.max_batch,
                                          mb_per_seq, block_size=BLK)
         self.cache = self._new_cache()
+        # automatic prefix caching: requests sharing a prompt prefix
+        # adopt the cached pool blocks and only prefill the tail
+        self.prefix_cache = None
+        if self._paged and getattr(cfg, 'prefix_cache_blocks', 0):
+            from .paged import PrefixCache
+            self.prefix_cache = PrefixCache(
+                self._alloc, self._alloc.block_size,
+                cfg.prefix_cache_blocks)
         B = cfg.max_batch
         self.slot_len = np.zeros(B, np.int64)        # tokens in cache per slot
         self.slot_req: List[Optional[Request]] = [None] * B
@@ -561,6 +569,54 @@ class ServingEngine:
                                   tables, jnp.asarray(active))
         self.slot_req[slot] = req
         self.slot_len[slot] = n
+        if self.prefix_cache is not None:
+            self.prefix_cache.insert(req.prompt,
+                                     self._alloc.slot_block_ids(slot))
+        return last[slot, n - 1 - offsets[-1]]
+
+    def _admit_prefix_shared(self, req: Request, slot: int,
+                             shared: List[int]):
+        """Admit a request whose prompt prefix is already in the pool
+        (PrefixCache hit): adopt the cached blocks and chunk-prefill only
+        the tail — the skipped blocks' K/V are never recomputed. Exact:
+        block content depends only on token ids at absolute positions.
+        Returns the first generated token as a DEVICE scalar."""
+        cfg = self.cfg
+        BLK = self._alloc.block_size
+        B = cfg.max_batch
+        chunk = cfg.prefill_buckets[-1]
+        n = len(req.prompt)
+        base = len(shared) * BLK
+        self._alloc.adopt(slot, shared)
+        self._alloc.ensure(slot, n)
+        tables = jnp.asarray(self._alloc.tables())
+        active = np.zeros(B, bool)
+        active[slot] = True
+        # stream [base, n) in fixed-width windows; the final window's
+        # padding past n writes junk into positions >= n, which decode
+        # overwrites at seq_lens == n before ever reading them
+        offsets = list(range(base, n, chunk))
+        last = None
+        for off in offsets:
+            pb = 1
+            while pb < max(1, -(-off // BLK)):
+                pb *= 2
+            pb = min(pb, tables.shape[1])
+            fn = self._prefill_chunk_paged_fn(chunk, pb)
+            toks = np.zeros((B, chunk), np.int32)
+            window = req.prompt[off: off + chunk]
+            toks[slot, :len(window)] = window
+            write_pos = np.zeros(B, np.int32)
+            write_pos[slot] = off
+            last, self.cache = fn(self.params, self.cache,
+                                  jnp.asarray(toks),
+                                  jnp.asarray(write_pos), tables,
+                                  jnp.asarray(active))
+        self.slot_req[slot] = req
+        self.slot_len[slot] = n
+        if self.prefix_cache is not None:
+            self.prefix_cache.insert(req.prompt,
+                                     self._alloc.slot_block_ids(slot))
         return last[slot, n - 1 - offsets[-1]]
 
     def _build_decode_burst_paged(self, n_steps: int):
@@ -653,6 +709,20 @@ class ServingEngine:
     def _admit_batch(self, admits):
         """admits: list of (slot, Request) — one masked batched prefill."""
         B = self.cfg.max_batch
+        if self._paged and self.prefix_cache is not None:
+            # prefix-cache hits take the shared-adopt path (tail-only
+            # prefill); misses fall through to the batched admit below
+            rest = []
+            for slot, req in admits:
+                shared = self.prefix_cache.match(req.prompt)
+                if shared:
+                    tok = self._admit_prefix_shared(req, slot, shared)
+                    req.generated.append(int(np.asarray(tok)))
+                else:
+                    rest.append((slot, req))
+            if not rest:
+                return
+            admits = rest
         longest = max(len(r.prompt) for _, r in admits)
         if self._paged:
             if self._bucket_for(longest) == -1:
@@ -684,6 +754,9 @@ class ServingEngine:
                 self.slot_req[slot] = req
                 self.slot_len[slot] = len(req.prompt)
                 req.generated.append(int(last[slot]))
+                if self.prefix_cache is not None:
+                    self.prefix_cache.insert(
+                        req.prompt, self._alloc.slot_block_ids(slot))
             return
         if self._bucket_for(longest) == -1:
             # split: chunked path for over-bucket prompts, batched for rest
@@ -814,6 +887,19 @@ class ServingEngine:
             for slot in range(B):
                 if self.slot_req[slot] is None and waiting:
                     admits.append((slot, waiting.pop(0)))
+            if admits and self._paged and self.prefix_cache is not None:
+                # prefix-cache hits adopt cached blocks; tail-only prefill
+                rest = []
+                for slot, req in admits:
+                    shared = self.prefix_cache.match(req.prompt)
+                    if shared:
+                        tok = self._admit_prefix_shared(req, slot, shared)
+                        cur_tok = cur_tok.at[slot].set(tok)
+                        vcount[id(req)] = 1
+                        downloads.append(('prefill_scalar', tok, req))
+                    else:
+                        rest.append((slot, req))
+                admits = rest
             if admits:
                 long_admits = [(s, r) for s, r in admits
                                if self._bucket_for(len(r.prompt)) == -1]
@@ -846,6 +932,11 @@ class ServingEngine:
                             jnp.asarray(lengths),
                             jnp.asarray(self._alloc.tables()),
                             jnp.asarray(mask))
+                        if self.prefix_cache is not None:
+                            for slot, req in short_admits:
+                                self.prefix_cache.insert(
+                                    req.prompt,
+                                    self._alloc.slot_block_ids(slot))
                     else:
                         fn = self._prefill_fn(bucket)
                         last, self.cache = fn(self.params, self.cache,

@@ -103,6 +103,7 @@ class BlockAllocator:
             self.free: List[int] = list(range(num_blocks - 1, 0, -1))
             self.slot_blocks: List[List[int]] = [
                 [] for _ in range(max_batch)]
+            self._refs: List[int] = [0] * num_blocks
 
     def __del__(self):
         try:
@@ -141,16 +142,66 @@ class BlockAllocator:
                 # all-or-nothing like the native allocator: roll back so
                 # a failed admit leaves the slot untouched
                 while len(have) > before:
-                    self.free.append(have.pop())
+                    b = have.pop()
+                    self._refs[b] = 0
+                    self.free.append(b)
                 raise MemoryError('KV block pool exhausted')
             have.append(self.free.pop())
+            self._refs[have[-1]] = 1
+
+    def adopt(self, slot: int, blocks) -> None:
+        """Attach EXISTING (live) blocks — a cached prefix — to the
+        front of an EMPTY slot's list, taking one reference each."""
+        if self._nlib is not None:
+            rc = self._nlib.adopt(self._handle, slot, list(blocks))
+            if rc != 0:
+                raise RuntimeError(f'native allocator adopt rc={rc}')
+            return
+        assert not self.slot_blocks[slot], 'adopt needs an empty slot'
+        for b in blocks:
+            assert self._refs[b] > 0, f'adopting dead block {b}'
+            self.slot_blocks[slot].append(int(b))
+            self._refs[b] += 1
+
+    def retain(self, blocks) -> None:
+        """Standalone references (the prefix cache's own holds)."""
+        if self._nlib is not None:
+            rc = self._nlib.retain(self._handle, list(blocks))
+            if rc != 0:
+                raise RuntimeError(f'native allocator retain rc={rc}')
+            return
+        for b in blocks:
+            assert self._refs[b] > 0
+            self._refs[b] += 1
+
+    def unref(self, blocks) -> None:
+        if self._nlib is not None:
+            rc = self._nlib.unref(self._handle, list(blocks))
+            if rc != 0:
+                raise RuntimeError(f'native allocator unref rc={rc}')
+            return
+        for b in reversed(list(blocks)):
+            self._refs[b] -= 1
+            if self._refs[b] == 0:
+                self.free.append(int(b))
+
+    def slot_block_ids(self, slot: int) -> List[int]:
+        """The slot's current block list (device table row prefix)."""
+        if self._nlib is not None:
+            n = self._nlib.slot_blocks(self._handle, slot)
+            return [int(b) for b in
+                    self._nlib.tables(self._handle, self.max_batch,
+                                      self.max_blocks_per_seq)[slot][:n]]
+        return list(self.slot_blocks[slot])
 
     def release(self, slot: int) -> None:
         if self._nlib is not None:
             self._nlib.release(self._handle, slot)
             return
-        blocks = self.slot_blocks[slot]
-        self.free.extend(reversed(blocks))
+        for b in reversed(self.slot_blocks[slot]):
+            self._refs[b] -= 1
+            if self._refs[b] == 0:
+                self.free.append(b)
         self.slot_blocks[slot] = []
 
     def tables(self) -> np.ndarray:
@@ -857,3 +908,82 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'], pallas=pall, a8=a8)
     return logits.astype(jnp.float32), pools
+
+
+# ------------------------------------------------------ prefix caching -----
+
+class PrefixCache:
+    """Automatic prefix caching over the shared block pool (the vLLM
+    feature): FULL prompt blocks are indexed by a digest of their token
+    prefix, and a later request with the same prefix ADOPTS the cached
+    blocks instead of recomputing their K/V — admit cost drops to the
+    un-cached tail. Exact by construction: a block's K/V depend only on
+    the token ids at its absolute positions (rope is absolute), so
+    identical prefixes produce identical blocks.
+
+    Entries hold their own pool reference (BlockAllocator.retain), so a
+    cached block survives its originating request; eviction is LRU over
+    chain links (evicting a middle link just shortens future matches).
+    Keys are sha1 digests of the full token prefix — content-verified,
+    not position-truncated, so collisions are cryptographically
+    negligible rather than `hash()`-likely."""
+
+    def __init__(self, alloc: 'BlockAllocator', block_size: int,
+                 max_blocks: int):
+        from collections import OrderedDict
+        self.alloc = alloc
+        self.blk = int(block_size)
+        self.max = int(max_blocks)
+        self.index: Dict[bytes, int] = {}
+        self._lru = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def _digest(prompt, n_tokens: int) -> bytes:
+        import hashlib
+        arr = np.asarray(prompt[:n_tokens], np.int64)
+        return hashlib.sha1(arr.tobytes()).digest()
+
+    def match(self, prompt) -> List[int]:
+        """Longest cached block chain covering full blocks of
+        prompt[:-1] (at least one tail token always stays live so the
+        admit produces next-token logits)."""
+        usable = (len(prompt) - 1) // self.blk
+        blocks: List[int] = []
+        for i in range(usable):
+            k = self._digest(prompt, (i + 1) * self.blk)
+            b = self.index.get(k)
+            if b is None:
+                break
+            blocks.append(b)
+            self._lru.move_to_end(k)
+        if blocks:
+            self.hits += 1
+        else:
+            self.misses += 1
+        return blocks
+
+    def insert(self, prompt, slot_blocks: List[int]) -> None:
+        """Register a freshly prefilled slot's FULL blocks."""
+        full = len(prompt) // self.blk
+        for i in range(min(full, len(slot_blocks))):
+            k = self._digest(prompt, (i + 1) * self.blk)
+            if k in self.index:
+                continue
+            while len(self.index) >= self.max and self._lru:
+                old_k, old_b = self._lru.popitem(last=False)
+                del self.index[old_k]
+                self.alloc.unref([old_b])
+            if len(self.index) >= self.max:
+                break
+            b = int(slot_blocks[i])
+            self.alloc.retain([b])
+            self.index[k] = b
+            self._lru[k] = b
+
+    def clear(self) -> None:
+        for b in self.index.values():
+            self.alloc.unref([b])
+        self.index.clear()
+        self._lru.clear()

@@ -128,6 +128,12 @@ class NativeAllocLib:
         lib.pkv_ensure.argtypes = [i64, i64, i64]
         lib.pkv_release.restype = i32
         lib.pkv_release.argtypes = [i64, i64]
+        lib.pkv_adopt.restype = i32
+        lib.pkv_adopt.argtypes = [i64, i64, ctypes.POINTER(i32), i64]
+        lib.pkv_retain.restype = i32
+        lib.pkv_retain.argtypes = [i64, ctypes.POINTER(i32), i64]
+        lib.pkv_unref.restype = i32
+        lib.pkv_unref.argtypes = [i64, ctypes.POINTER(i32), i64]
         lib.pkv_free_blocks.restype = i64
         lib.pkv_free_blocks.argtypes = [i64]
         lib.pkv_slot_blocks.restype = i64
@@ -149,6 +155,24 @@ class NativeAllocLib:
 
     def release(self, handle: int, slot: int) -> int:
         return int(self._lib.pkv_release(handle, slot))
+
+    @staticmethod
+    def _blocks_arg(blocks):
+        arr = np.ascontiguousarray(blocks, np.int32)
+        return (arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(arr), arr)
+
+    def adopt(self, handle: int, slot: int, blocks) -> int:
+        ptr, n, _keep = self._blocks_arg(blocks)
+        return int(self._lib.pkv_adopt(handle, slot, ptr, n))
+
+    def retain(self, handle: int, blocks) -> int:
+        ptr, n, _keep = self._blocks_arg(blocks)
+        return int(self._lib.pkv_retain(handle, ptr, n))
+
+    def unref(self, handle: int, blocks) -> int:
+        ptr, n, _keep = self._blocks_arg(blocks)
+        return int(self._lib.pkv_unref(handle, ptr, n))
 
     def free_blocks(self, handle: int) -> int:
         return int(self._lib.pkv_free_blocks(handle))
