@@ -333,6 +333,191 @@ def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
     return acc, ml[..., 0], ml[..., 1]
 
 
+# ------------------------------------------------- grouped (multi-slot) ----
+# The per-(slot, block) grid step carries a fixed cost (DMA issue/wait,
+# index-map evaluation, loop bookkeeping) that dominates the fused kernel at
+# small fills: profiled at B=128 / fill=16 the kernel spends ~2.9 us per
+# grid step while the block's bytes need only ~0.3 us. The grouped variant
+# amortizes that fixed cost over G slots: the window is repacked BLOCK-MAJOR
+# (pool row j*B + b, so the G slots' rows for block j are contiguous) and
+# ONE grid step DMAs a (G, 2, BLK, KV*Dh) slab, then runs the same per-slot
+# online-softmax updates in an unrolled loop. Compute and bytes are
+# unchanged; grid steps (and their fixed cost) drop by G.
+
+def _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache):
+    R = KV * rep
+
+    def kernel(lens_ref, _glens_ref, qb_ref, kv_ref, sc_ref,
+               acc_o, ml_o, accw_s, ms, ls):
+        bg = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(bg == 0, j == 0))
+        def _():
+            # one-time: uninitialized VMEM may hold NaN bit patterns that
+            # would survive the corr=0 first-block rescale as NaN*0
+            accw_s[:] = jnp.zeros_like(accw_s)
+
+        @pl.when(j == 0)
+        def _():
+            ms[:] = jnp.full_like(ms, NEG_INF)
+            ls[:] = jnp.zeros_like(ls)
+
+        inv_sqrt = np.float32(1.0 / np.sqrt(Dh))
+        for g in range(G):
+            n_valid = lens_ref[bg * G + g] - j * BLK
+            rows = slice(g * R, (g + 1) * R)
+
+            @pl.when(n_valid > 0)
+            def _(g=g, n_valid=n_valid, rows=rows):
+                lane = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 1)
+                mask = lane < n_valid
+                s = jax.lax.dot_general(
+                    qb_ref[g], kv_ref[g, 0].astype(jnp.bfloat16),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # (R, BLK)
+                if int8_cache:
+                    ks = jnp.broadcast_to(sc_ref[g, 0][:, None, :],
+                                          (KV, rep, BLK)).reshape(R, BLK)
+                    s = s * ks
+                s = jnp.where(mask, s * inv_sqrt, NEG_INF)
+                m_new = jnp.maximum(ms[rows],
+                                    jnp.max(s, axis=1, keepdims=True))
+                corr = jnp.exp(ms[rows] - m_new)                 # (R, 1)
+                p = jnp.exp(s - m_new)                           # (R, BLK)
+                ls[rows] = ls[rows] * corr + jnp.sum(p, axis=1,
+                                                     keepdims=True)
+                if int8_cache:
+                    vs = jnp.broadcast_to(sc_ref[g, 1][:, None, :],
+                                          (KV, rep, BLK)).reshape(R, BLK)
+                    p = p * vs
+                pv = jnp.dot(p.astype(jnp.bfloat16),
+                             kv_ref[g, 1].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+                accw_s[rows] = accw_s[rows] * corr + pv
+                ms[rows] = m_new
+
+        @pl.when(j == MB - 1)
+        def _():
+            row_kv = jax.lax.broadcasted_iota(
+                jnp.int32, (R, KV * Dh), 0) // rep
+            col_kv = jax.lax.broadcasted_iota(
+                jnp.int32, (R, KV * Dh), 1) // Dh
+            diag = row_kv == col_kv
+            for g in range(G):
+                rows = slice(g * R, (g + 1) * R)
+                accd = jnp.where(diag, accw_s[rows], 0) \
+                    .reshape(R, KV, Dh).sum(axis=1)              # (R, Dh)
+                acc_o[g] = accd.reshape(KV, rep, Dh)
+                ml_o[g] = jnp.concatenate([ms[rows], ls[rows]],
+                                          axis=1).reshape(KV, rep, 2)
+    return kernel
+
+
+def blockmajor_window(cache_k, cache_v, cache_ks, cache_vs, cap, blk):
+    """Repack one layer's contiguous cache window [0, cap) into the grouped
+    kernel's BLOCK-MAJOR fused layout: kv (NBp*B, 2, BLK, KV*Dh) with pool
+    row j*B + b holding slot b's block j, scales (NBp*B, 2, KV, BLK) | None.
+    O(window) copy — burst callers do it once per burst."""
+    B, _, KV, Dh = cache_k.shape
+    nbp = cap // blk
+    k2 = cache_k[:, :cap].reshape(B, nbp, blk, KV * Dh)
+    v2 = cache_v[:, :cap].reshape(B, nbp, blk, KV * Dh)
+    kv = jnp.stack([k2, v2], axis=2).transpose(1, 0, 2, 3, 4) \
+        .reshape(nbp * B, 2, blk, KV * Dh)
+    sc = None
+    if cache_ks is not None:
+        ks2 = cache_ks[:, :cap].reshape(B, nbp, blk, KV) \
+            .transpose(0, 1, 3, 2)                       # (B,NBp,KV,BLK)
+        vs2 = cache_vs[:, :cap].reshape(B, nbp, blk, KV) \
+            .transpose(0, 1, 3, 2)
+        sc = jnp.stack([ks2, vs2], axis=2).transpose(1, 0, 2, 3, 4) \
+            .reshape(nbp * B, 2, KV, blk)
+    return kv, sc
+
+
+def grouped_group_size(batch: int, block_size: int) -> int:
+    """Largest G in {8,4,2,1} dividing batch with G*block_size <= 1024
+    (the VMEM budget: a (G, 2, BLK, KV*Dh) int8 slab double-buffered)."""
+    g = 8
+    while g > 1 and (batch % g or g * block_size > 1024):
+        g //= 2
+    return g
+
+
+@functools.partial(jax.jit, static_argnames=('block_size', 'group',
+                                              'interpret'))
+def paged_attention_decode_grouped(q, kv_bm, sc_bm, seq_lens, *,
+                                   block_size: int, group: int,
+                                   interpret: bool = False):
+    """Grouped-slot decode attention over a BLOCK-MAJOR contiguous window
+    (see blockmajor_window). Same (acc, m, l) contract and identical math
+    to paged_attention_decode_fused with identity tables; one grid step
+    serves `group` slots. Trailing blocks past every slot in a group clamp
+    their DMA row (no refetch); per-slot masks keep the math exact."""
+    B, KV, rep, Dh = q.shape
+    G = group
+    NBtot, two, BLK, KVDh = kv_bm.shape
+    assert two == 2 and BLK == block_size and KVDh == KV * Dh
+    assert B % G == 0 and NBtot % B == 0, (B, G, NBtot)
+    MB = NBtot // B
+    int8_cache = sc_bm is not None
+    if not int8_cache:
+        sc_bm = jnp.ones((G, 2, KV, BLK), jnp.float32)
+    BG = B // G
+    # group consensus fill: the DMA fetches through the group's deepest
+    # slot; shallower slots mask the surplus
+    glens = jnp.max(seq_lens.reshape(BG, G), axis=1)
+
+    def kv_idx(bg, j, lens, glens):
+        nb = jax.lax.div(glens[bg] + (BLK - 1), BLK)
+        jj = jnp.clip(j, 0, jnp.maximum(nb - 1, 0))
+        return (jj * BG + bg, 0, 0, 0)
+
+    def sc_idx(bg, j, lens, glens):
+        if not int8_cache:
+            return (0, 0, 0, 0)
+        return kv_idx(bg, j, lens, glens)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(BG, MB),
+        in_specs=[
+            pl.BlockSpec((G, KV * rep, KVDh),
+                         lambda bg, j, lens, glens: (bg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 2, BLK, KVDh), kv_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 2, KV, BLK), sc_idx,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, KV, rep, Dh),
+                         lambda bg, j, lens, glens: (bg, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, KV, rep, 2),
+                         lambda bg, j, lens, glens: (bg, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G * KV * rep, KVDh), jnp.float32),
+            pltpu.VMEM((G * KV * rep, 1), jnp.float32),
+            pltpu.VMEM((G * KV * rep, 1), jnp.float32),
+        ],
+    )
+    acc, ml = pl.pallas_call(
+        _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KV, rep, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((B, KV, rep, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seq_lens.astype(jnp.int32), glens.astype(jnp.int32),
+      build_qblock(q), kv_bm, sc_bm)
+    return acc, ml[..., 0], ml[..., 1]
+
+
 @functools.partial(jax.jit,
                    static_argnames=('block_size', 'interpret'))
 def paged_attention_decode(q, k_pool, v_pool, k_scale, v_scale,

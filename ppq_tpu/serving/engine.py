@@ -382,8 +382,10 @@ class ServingEngine:
         round-trip per burst. On a tunneled/remote accelerator the per-step
         sync dominates serving latency; bursting amortizes it (and trims
         dispatch overhead on local chips too)."""
-        # (with ragged attention s_limit only bounds the kernel's block-
-        # table width — per-slot reads are fill-adaptive regardless)
+        # s_limit bounds the ragged path too: it sets the repacked window
+        # and the kernel block size (cap // 2, floor 128) — with a FULL
+        # window the block floor is 512 slots, so a fill-16 slot still
+        # reads 512 tokens (4x waste); with the bucket it reads 128.
         if (n_steps, s_limit) in self._decode_burst:
             return self._decode_burst[(n_steps, s_limit)]
         cfg = self.cfg
@@ -398,7 +400,7 @@ class ServingEngine:
                 keys = jax.random.split(key, n_steps)
                 return burst_forward(params, cache, tokens, seq_lens,
                                      keys, cfg, self._select,
-                                     s_limit=None if ragged else s_limit,
+                                     s_limit=s_limit,
                                      ragged=ragged,
                                      ragged_interpret=cfg.ragged_interpret)
         else:

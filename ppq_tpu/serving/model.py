@@ -537,9 +537,12 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
     frozen_mask = slot_ids < seq_lens[:, None, None, None]   # (B,1,1,S)
 
     if ragged:
-        from ..kernels.paged_attention import (identity_block_tables,
+        from ..kernels.paged_attention import (blockmajor_window,
+                                               grouped_group_size,
+                                               identity_block_tables,
                                                merge_attention,
-                                               paged_attention_decode_fused)
+                                               paged_attention_decode_fused,
+                                               paged_attention_decode_grouped)
         Sf = cache['k'].shape[2]
         assert Sf % 128 == 0 and Dh % 128 == 0, (Sf, Dh)
         # only the window [0, cap) can hold tokens this burst — repack just
@@ -551,20 +554,35 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         # transactions); per-slot read granularity stays <= cap/2
         RBLK = max(128, min(512, cap // 2))
         NBp = cap // RBLK
-        tbl = identity_block_tables(B, cap, RBLK)
-        kv_pools, sc_pools = [], []
-        for li in range(L):
-            k2 = cache['k'][li, :, :cap].reshape(B * NBp, RBLK, KV * Dh)
-            v2 = cache['v'][li, :, :cap].reshape(B * NBp, RBLK, KV * Dh)
-            kv_pools.append(jnp.stack([k2, v2], axis=1))
-            if int8_cache:
-                ks2 = cache['k_scale'][li][:, :cap] \
-                    .reshape(B * NBp, RBLK, KV).transpose(0, 2, 1)
-                vs2 = cache['v_scale'][li][:, :cap] \
-                    .reshape(B * NBp, RBLK, KV).transpose(0, 2, 1)
-                sc_pools.append(jnp.stack([ks2, vs2], axis=1))
-            else:
-                sc_pools.append(None)
+        # grouped kernel: one grid step DMAs G slots' blocks from a
+        # BLOCK-MAJOR window — the per-grid-step fixed cost (the kernel's
+        # dominant cost at small fills) drops by G
+        G = grouped_group_size(B, RBLK)
+        if G > 1:
+            kv_pools, sc_pools = [], []
+            for li in range(L):
+                kv_bm, sc_bm = blockmajor_window(
+                    cache['k'][li], cache['v'][li],
+                    cache['k_scale'][li] if int8_cache else None,
+                    cache['v_scale'][li] if int8_cache else None,
+                    cap, RBLK)
+                kv_pools.append(kv_bm)
+                sc_pools.append(sc_bm)
+        else:
+            tbl = identity_block_tables(B, cap, RBLK)
+            kv_pools, sc_pools = [], []
+            for li in range(L):
+                k2 = cache['k'][li, :, :cap].reshape(B * NBp, RBLK, KV * Dh)
+                v2 = cache['v'][li, :, :cap].reshape(B * NBp, RBLK, KV * Dh)
+                kv_pools.append(jnp.stack([k2, v2], axis=1))
+                if int8_cache:
+                    ks2 = cache['k_scale'][li][:, :cap] \
+                        .reshape(B * NBp, RBLK, KV).transpose(0, 2, 1)
+                    vs2 = cache['v_scale'][li][:, :cap] \
+                        .reshape(B * NBp, RBLK, KV).transpose(0, 2, 1)
+                    sc_pools.append(jnp.stack([ks2, vs2], axis=1))
+                else:
+                    sc_pools.append(None)
 
     def step(carry, inp):
         cur_tok, kbuf, vbuf, ksb, vsb, i = carry
@@ -613,9 +631,16 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                 # (paged_attention_decode_buffered) measured ~6-10% SLOWER
                 # end-to-end on v5e and degraded O(n) with burst length —
                 # the XLA buffer einsum + merge is the faster composition.
-                acc_f, m_f, l_f = paged_attention_decode_fused(
-                    q_g[:, 0], kv_pools[li], sc_pools[li], tbl, seq_lens,
-                    block_size=RBLK, interpret=ragged_interpret)
+                if G > 1:
+                    acc_f, m_f, l_f = paged_attention_decode_grouped(
+                        q_g[:, 0], kv_pools[li], sc_pools[li], seq_lens,
+                        block_size=RBLK, group=G,
+                        interpret=ragged_interpret)
+                else:
+                    acc_f, m_f, l_f = paged_attention_decode_fused(
+                        q_g[:, 0], kv_pools[li], sc_pools[li], tbl,
+                        seq_lens, block_size=RBLK,
+                        interpret=ragged_interpret)
                 m_b = jnp.max(lb, axis=-1)                   # (B,KV,rep)
                 p_b = jnp.exp(lb - m_b[..., None])
                 l_b = jnp.sum(p_b, axis=-1)
@@ -666,32 +691,24 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
     (_, kbuf, vbuf, ksb, vsb, _), toks = jax.lax.scan(
         step, (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0)), keys)
 
-    # merge the burst buffer into the cache: one window write per layer
+    # merge the burst buffer into the cache: ONE double-vmapped window
+    # write over (L, B) per array. A per-layer loop of slice-out →
+    # window-write → dynamic_update_index_in_dim copies the whole layer
+    # slab twice per array (measured 0.5 ms/step amortized at B=64/n=32);
+    # the batched scatter writes only the O(L*B*n) window on the donated
+    # buffers.
+    def _merge(slabs, new):
+        return jax.vmap(
+            lambda s, nn: _window_write(s, nn, seq_lens, None))(slabs, new)
+
     new_cache = dict(cache)
-    ck_all, cv_all = cache['k'], cache['v']
-    ks_all = cache.get('k_scale')
-    vs_all = cache.get('v_scale')
-    for li in range(L):
-        ck_all = jax.lax.dynamic_update_index_in_dim(
-            ck_all, _window_write(ck_all[li], kbuf[li], seq_lens, None),
-            li, 0)
-        cv_all = jax.lax.dynamic_update_index_in_dim(
-            cv_all, _window_write(cv_all[li], vbuf[li], seq_lens, None),
-            li, 0)
-        if int8_cache:
-            ks_all = jax.lax.dynamic_update_index_in_dim(
-                ks_all, _window_write(ks_all[li],
-                                      ksb[li].transpose(0, 2, 1),
-                                      seq_lens, None), li, 0)
-            vs_all = jax.lax.dynamic_update_index_in_dim(
-                vs_all, _window_write(vs_all[li],
-                                      vsb[li].transpose(0, 2, 1),
-                                      seq_lens, None), li, 0)
-    new_cache['k'] = ck_all
-    new_cache['v'] = cv_all
-    if ks_all is not None:
-        new_cache['k_scale'] = ks_all
-        new_cache['v_scale'] = vs_all
+    new_cache['k'] = _merge(cache['k'], jnp.stack(kbuf))
+    new_cache['v'] = _merge(cache['v'], jnp.stack(vbuf))
+    if int8_cache:
+        new_cache['k_scale'] = _merge(
+            cache['k_scale'], jnp.stack(ksb).transpose(0, 1, 3, 2))
+        new_cache['v_scale'] = _merge(
+            cache['v_scale'], jnp.stack(vsb).transpose(0, 1, 3, 2))
     return toks, new_cache
 
 
