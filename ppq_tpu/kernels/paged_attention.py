@@ -436,11 +436,18 @@ def blockmajor_window(cache_k, cache_v, cache_ks, cache_vs, cap, blk):
     return kv, sc
 
 
-def grouped_group_size(batch: int, block_size: int) -> int:
-    """Largest G in {8,4,2,1} dividing batch with G*block_size <= 1024
-    (the VMEM budget: a (G, 2, BLK, KV*Dh) int8 slab double-buffered)."""
+def grouped_group_size(batch: int, block_size: int, kv_dh: int = 1024,
+                       itemsize: int = 1) -> int:
+    """Largest G in {8,4,2,1} dividing batch whose double-buffered
+    (G, 2, BLK, KV*Dh) cache slab stays within a 4 MiB VMEM allowance
+    (~25% of VMEM; the q block, scale slab and accumulators share the
+    rest). Budgeted in BYTES — pass kv_dh = n_kv_heads * head_dim and the
+    cache itemsize so models with wider KV rows (KV=16, Dh=256, bf16
+    caches) shrink G instead of blowing VMEM at G=8."""
+    budget = 4 * 1024 * 1024
+    slab_per_slot = 2 * 2 * block_size * kv_dh * itemsize  # k+v, 2 buffers
     g = 8
-    while g > 1 and (batch % g or g * block_size > 1024):
+    while g > 1 and (batch % g or g * slab_per_slot > budget):
         g //= 2
     return g
 

@@ -557,7 +557,8 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         # grouped kernel: one grid step DMAs G slots' blocks from a
         # BLOCK-MAJOR window — the per-grid-step fixed cost (the kernel's
         # dominant cost at small fills) drops by G
-        G = grouped_group_size(B, RBLK)
+        G = grouped_group_size(B, RBLK, kv_dh=KV * Dh,
+                               itemsize=1 if int8_cache else 2)
         if G > 1:
             kv_pools, sc_pools = [], []
             for li in range(L):

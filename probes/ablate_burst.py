@@ -218,9 +218,9 @@ def run(skip):
     return best / n * 1e3  # ms per step
 
 
-base = run(())
 import sys
 sel = sys.argv[1:] or None
+base = None      # lazily measured: selective runs skip the full-path cost
 for name, skip in (('full', ()),
                    ('dense_bucket', ('dense',)),
                    ('kernel_only_attn', ('buf',)),
@@ -238,5 +238,8 @@ for name, skip in (('full', ()),
               f"({d['tokens_per_sec']:.0f} tok/s)", flush=True)
         continue
     ms = run(skip)
+    if name == 'full':
+        base = ms                     # reuse: 'full' is not timed twice
+    delta = f'{base - ms:+7.3f}' if base is not None else '    n/a'
     print(f'{name:14s} {ms:7.3f} ms/step   (delta vs full '
-          f'{base - ms:+7.3f})', flush=True)
+          f'{delta})', flush=True)

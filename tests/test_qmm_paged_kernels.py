@@ -247,3 +247,68 @@ class TestPoolWriteKernel:
         out = write_kv_window(dict(pools), k2, v2, ks2, vs2, tables, wp2,
                               None, use_kernel=True, interpret=True)
         assert out['kv'].shape == pools['kv'].shape
+
+
+class TestGroupedDecodeAttention:
+    """ADVICE r2: the grouped kernel's consensus-clamp + per-slot masking
+    (glens = max over a group) only ever saw uniform fills in CI. Pin
+    parity against the per-slot fused kernel over MIXED fills inside a
+    group — including empty slots and block-boundary fills — at G=4/8."""
+
+    def _cache(self, int8, lens, S=512, KV=2, Dh=128):
+        rng = np.random.default_rng(11)
+        B = len(lens)
+        rep = 2
+        q = rng.standard_normal((B, KV, rep, Dh)).astype(np.float32) * 0.4
+        if int8:
+            ck = rng.integers(-127, 128, (B, S, KV, Dh)).astype(np.int8)
+            cv = rng.integers(-127, 128, (B, S, KV, Dh)).astype(np.int8)
+            cks = ((rng.random((B, S, KV)) + .5) * .02).astype(np.float32)
+            cvs = ((rng.random((B, S, KV)) + .5) * .02).astype(np.float32)
+        else:
+            ck = (rng.standard_normal((B, S, KV, Dh)) * .5).astype(
+                jnp.bfloat16)
+            cv = (rng.standard_normal((B, S, KV, Dh)) * .5).astype(
+                jnp.bfloat16)
+            cks = cvs = None
+        return (jnp.asarray(q), jnp.asarray(ck), jnp.asarray(cv),
+                None if cks is None else jnp.asarray(cks),
+                None if cvs is None else jnp.asarray(cvs),
+                jnp.asarray(lens, jnp.int32))
+
+    @pytest.mark.parametrize('int8', [True, False])
+    @pytest.mark.parametrize('G', [4, 8])
+    def test_grouped_matches_fused_mixed_fills(self, int8, G):
+        from ppq_tpu.kernels.paged_attention import (
+            blockmajor_window, paged_attention_decode_fused,
+            paged_attention_decode_grouped)
+        # mixed fills INSIDE each group: 0, block boundaries (128, 512),
+        # off-boundary (129), and a fill-at-cap slot grouped with fill 16
+        lens = [0, 16, 128, 129, 200, 384, 511, 512]
+        S, BLK, KV, Dh = 512, 128, 2, 128
+        q, ck, cv, cks, cvs, seq_lens = self._cache(int8, lens, S, KV, Dh)
+        B, NBp = len(lens), S // BLK
+
+        # grouped path over the block-major window
+        kv_bm, sc_bm = blockmajor_window(ck, cv, cks, cvs, S, BLK)
+        got = merge_attention([paged_attention_decode_grouped(
+            q, kv_bm, sc_bm, seq_lens, block_size=BLK, group=G,
+            interpret=True)])
+
+        # per-slot fused path over the identity (slot-major) layout
+        k2 = ck.reshape(B * NBp, BLK, KV * Dh)
+        v2 = cv.reshape(B * NBp, BLK, KV * Dh)
+        kv_pool = jnp.stack([k2, v2], axis=1)
+        sc_pool = None
+        if int8:
+            ks2 = cks.reshape(B * NBp, BLK, KV).transpose(0, 2, 1)
+            vs2 = cvs.reshape(B * NBp, BLK, KV).transpose(0, 2, 1)
+            sc_pool = jnp.stack([ks2, vs2], axis=1)
+        tbl = identity_block_tables(B, S, BLK)
+        want = merge_attention([paged_attention_decode_fused(
+            q, kv_pool, sc_pool, tbl, seq_lens, block_size=BLK,
+            interpret=True)])
+
+        got, want = np.asarray(got), np.asarray(want)
+        assert np.allclose(got[0], 0)            # empty slot → zero context
+        np.testing.assert_allclose(got[1:], want[1:], rtol=2e-3, atol=2e-4)
