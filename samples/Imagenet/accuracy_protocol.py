@@ -240,6 +240,68 @@ def shufflenet_v2_t(num_classes=10):
 
 
 # ------------------------------------------------------------- protocol ----
+class SRCNNt(nn.Module):
+    """SRCNN 9-5-5 (Dong et al.) — the reference's super-res row
+    (/root/reference/README.md:199: srcnn PSNR 27.88 INT8 vs 28.41 FP32,
+    Δ = 0.53 dB). Standard pre-upsampling formulation: input is the
+    bicubic-upscaled LR image, output the restored HR image."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 9, padding=4)
+        self.conv2 = nn.Conv2d(64, 32, 5, padding=2)
+        self.conv3 = nn.Conv2d(32, 3, 5, padding=2)
+
+    def forward(self, x):
+        x = torch.relu(self.conv1(x))
+        x = torch.relu(self.conv2(x))
+        return self.conv3(x)
+
+
+class UNetLite(nn.Module):
+    """Encoder-decoder segmentation net (skip connection + transposed-conv
+    upsampling) — the reference's segmentation row
+    (/root/reference/README.md:194: deeplabv3 mIoU 78.81 INT8 vs 79.12
+    FP32, Δ = 0.31pt)."""
+
+    def __init__(self, num_classes=2):
+        super().__init__()
+        self.enc1 = nn.Sequential(nn.Conv2d(3, 16, 3, padding=1),
+                                  nn.BatchNorm2d(16), nn.ReLU())
+        self.enc2 = nn.Sequential(nn.Conv2d(16, 32, 3, stride=2, padding=1),
+                                  nn.BatchNorm2d(32), nn.ReLU())
+        self.mid = nn.Sequential(nn.Conv2d(32, 32, 3, padding=1),
+                                 nn.BatchNorm2d(32), nn.ReLU())
+        self.up = nn.ConvTranspose2d(32, 16, 2, stride=2)
+        self.dec = nn.Sequential(nn.Conv2d(32, 16, 3, padding=1),
+                                 nn.BatchNorm2d(16), nn.ReLU())
+        self.head = nn.Conv2d(16, num_classes, 1)
+
+    def forward(self, x):
+        e1 = self.enc1(x)
+        e2 = self.enc2(e1)
+        m = self.mid(e2)
+        u = self.up(m)
+        d = self.dec(torch.cat([u, e1], dim=1))
+        return self.head(d)
+
+
+def make_sr_pairs(x):
+    """HR (N,3,32,32) → (bilinear-upscaled 2x-downsample input, HR target)."""
+    t = torch.from_numpy(x)
+    lr = torch.nn.functional.avg_pool2d(t, 2)
+    up = torch.nn.functional.interpolate(lr, scale_factor=2,
+                                         mode='bilinear',
+                                         align_corners=False)
+    return up.numpy(), x
+
+
+def make_seg_masks(x):
+    """Per-pixel stroke labels from the real digit scans: foreground =
+    ink (normalized intensity above background level)."""
+    return (x[:, 0] > -0.9).astype(np.int64)                 # (N, 32, 32)
+
+
 def train(model, xtr, ytr, epochs=8, batch=64, lr=1e-3, seed=0):
     torch.manual_seed(seed)
     opt = torch.optim.Adam(model.parameters(), lr=lr)
@@ -268,6 +330,115 @@ def top1(executor, x, y, batch=64):
         out = np.asarray(executor.forward(x[i:i + batch])[0])
         correct += int((out.argmax(-1) == y[i:i + batch]).sum())
     return 100.0 * correct / len(x)
+
+
+def train_dense(model, xtr, ttr, lossf, epochs=8, batch=64, lr=1e-3,
+                seed=0):
+    """Train on dense targets (images / masks) instead of class labels."""
+    torch.manual_seed(seed)
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    n = len(xtr)
+    model.train()
+    for ep in range(epochs):
+        perm = np.random.RandomState(seed + ep).permutation(n)
+        tot = 0.0
+        for i in range(0, n, batch):
+            idx = perm[i:i + batch]
+            opt.zero_grad()
+            out = model(torch.from_numpy(xtr[idx]))
+            loss = lossf(out, torch.from_numpy(ttr[idx]))
+            loss.backward()
+            opt.step()
+            tot += float(loss) * len(idx)
+        print(f'  epoch {ep + 1}/{epochs} loss {tot / n:.4f}', flush=True)
+    model.eval()
+    return model
+
+
+def psnr(executor, x, hr, batch=64, peak=2.0):
+    """PSNR in dB over the dataset (peak = value range of the normalized
+    images, [-1, 1] → 2.0)."""
+    se, cnt = 0.0, 0
+    for i in range(0, len(x), batch):
+        out = np.asarray(executor.forward(x[i:i + batch])[0])
+        se += float(((out - hr[i:i + batch]) ** 2).sum())
+        cnt += out.size
+    return 10.0 * np.log10(peak ** 2 / (se / cnt))
+
+
+def miou(executor, x, masks, num_classes=2, batch=64):
+    """Mean intersection-over-union over classes (the deeplab metric)."""
+    inter = np.zeros(num_classes)
+    union = np.zeros(num_classes)
+    for i in range(0, len(x), batch):
+        out = np.asarray(executor.forward(x[i:i + batch])[0])
+        pred = out.argmax(1)
+        gt = masks[i:i + batch]
+        for c in range(num_classes):
+            inter[c] += np.logical_and(pred == c, gt == c).sum()
+            union[c] += np.logical_or(pred == c, gt == c).sum()
+    return 100.0 * (inter / np.maximum(union, 1)).mean()
+
+
+def _quantize_for(model, calib_inputs, sample):
+    from ppq_tpu import TargetPlatform
+    from ppq_tpu.api import quantize_torch_model
+    from ppq_tpu.api.setting import QuantizationSettingFactory
+    loader = [calib_inputs[i:i + 32]
+              for i in range(0, len(calib_inputs), 32)]
+    setting = QuantizationSettingFactory.default_setting()
+    setting.dispatcher = 'conservative'
+    graph = quantize_torch_model(
+        model, loader, sample_input=torch.from_numpy(sample),
+        calib_steps=len(loader), platform=TargetPlatform.TPU_INT8,
+        setting=setting, verbose=False)
+    from ppq_tpu.ir.quantize import dequantize_graph
+    fp_graph = graph.copy(copy_value=True)
+    dequantize_graph(fp_graph)
+    return graph, fp_graph
+
+
+def run_srcnn(quick=False):
+    """Super-res family: Δ(PSNR) — reference srcnn row (32-image calib,
+    README.md:177 'calibration 32 imgs others')."""
+    from ppq_tpu import TPUExecutor
+    (xtr, _), (xte, _) = load_digits_32x32()
+    if quick:
+        xtr = xtr[:256]
+    in_tr, hr_tr = make_sr_pairs(xtr)
+    in_te, hr_te = make_sr_pairs(xte)
+    print(f'[SRCNN] training on {len(xtr)} real images…', flush=True)
+    model = train_dense(SRCNNt(), in_tr, hr_tr, nn.MSELoss(),
+                        epochs=1 if quick else 12, lr=5e-4)
+    graph, fp_graph = _quantize_for(model, in_tr[:32], in_tr[:32])
+    p_q = psnr(TPUExecutor(graph), in_te, hr_te)
+    p_f = psnr(TPUExecutor(fp_graph), in_te, hr_te)
+    print(f'[SRCNN] FP32 {p_f:.2f} dB  INT8-sim {p_q:.2f} dB  '
+          f'Δ {p_f - p_q:+.2f} dB', flush=True)
+    return {'model': 'SRCNN 9-5-5 (x2)', 'metric': 'PSNR dB',
+            'fp32': p_f, 'int8': p_q, 'delta': p_f - p_q,
+            'n_test': len(xte), 'n_calib': 32}
+
+
+def run_segmentation(quick=False):
+    """Segmentation family: Δ(mIoU) — reference deeplabv3 row (32-image
+    calibration per README.md:177)."""
+    from ppq_tpu import TPUExecutor
+    (xtr, _), (xte, _) = load_digits_32x32()
+    if quick:
+        xtr = xtr[:256]
+    mtr, mte = make_seg_masks(xtr), make_seg_masks(xte)
+    print(f'[UNet-lite] training on {len(xtr)} real images…', flush=True)
+    model = train_dense(UNetLite(), xtr, mtr, nn.CrossEntropyLoss(),
+                        epochs=1 if quick else 6)
+    graph, fp_graph = _quantize_for(model, xtr[:32], xtr[:32])
+    m_q = miou(TPUExecutor(graph), xte, mte)
+    m_f = miou(TPUExecutor(fp_graph), xte, mte)
+    print(f'[UNet-lite] FP32 {m_f:.2f} mIoU  INT8-sim {m_q:.2f}  '
+          f'Δ {m_f - m_q:+.2f}pt', flush=True)
+    return {'model': 'UNet-lite segmentation', 'metric': 'mIoU',
+            'fp32': m_f, 'int8': m_q, 'delta': m_f - m_q,
+            'n_test': len(xte), 'n_calib': 32}
 
 
 def run_model(name, model_fn, epochs, quick=False):
@@ -315,7 +486,9 @@ def main():
             run_model('SE-ResNet (32x32 stem)', se_resnet_t,
                       epochs=6, quick=quick),
             run_model('ShuffleNetV2 (32x32 stem)', shufflenet_v2_t,
-                      epochs=10, quick=quick)]
+                      epochs=10, quick=quick),
+            run_srcnn(quick=quick),
+            run_segmentation(quick=quick)]
     out = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                         'accuracy_results.json')
     import json
