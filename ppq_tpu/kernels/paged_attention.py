@@ -438,15 +438,17 @@ def blockmajor_window(cache_k, cache_v, cache_ks, cache_vs, cap, blk):
 
 def grouped_group_size(batch: int, block_size: int, kv_dh: int = 1024,
                        itemsize: int = 1) -> int:
-    """Largest G in {8,4,2,1} dividing batch whose double-buffered
-    (G, 2, BLK, KV*Dh) cache slab stays within a 4 MiB VMEM allowance
-    (~25% of VMEM; the q block, scale slab and accumulators share the
-    rest). Budgeted in BYTES — pass kv_dh = n_kv_heads * head_dim and the
-    cache itemsize so models with wider KV rows (KV=16, Dh=256, bf16
-    caches) shrink G instead of blowing VMEM at G=8."""
-    budget = 4 * 1024 * 1024
+    """Largest G in {16,8,4,2,1} dividing batch whose double-buffered
+    (G, 2, BLK, KV*Dh) cache slab stays within an 11 MiB VMEM allowance
+    (the q block, scale slab and accumulators need ~1.5 MiB more of the
+    16 MiB). Budgeted in BYTES — pass kv_dh = n_kv_heads * head_dim and
+    the cache itemsize so models with wider KV rows (KV=16, Dh=256, bf16
+    caches) shrink G instead of blowing VMEM. Bigger G = fewer grid
+    steps: the per-step fixed cost dominates at small fills (G=16 vs 8
+    measured 72 vs 140 us/call at fill 16, B=128 — probes/grouped_g16.py)."""
+    budget = 11 * 1024 * 1024
     slab_per_slot = 2 * 2 * block_size * kv_dh * itemsize  # k+v, 2 buffers
-    g = 8
+    g = 16
     while g > 1 and (batch % g or g * slab_per_slot > budget):
         g //= 2
     return g

@@ -41,32 +41,45 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# target VMEM bytes for one weight panel (double-buffered by the pipeline)
-_PANEL_BYTES = 2 * 1024 * 1024
+# VMEM budget for the whole kernel working set: double-buffered weight
+# panel + double-buffered (B, TF) f32 output + the resident activation.
+# 12 MiB of the 16 MiB scoped VMEM leaves headroom for Mosaic spills.
+# Bigger panels = fewer grid steps; per-grid-step fixed cost measured
+# ~1-2 us on v5e, so lm_head at TF=2048 (16 steps) runs 51.6 us vs
+# 84.3 us at TF=256 (125 steps) — probes/qmm_lmhead_ab.py.
+_VMEM_BUDGET = 12 * 1024 * 1024
+# legacy knob kept for callers that referenced it (per-panel cap)
+_PANEL_BYTES = 4 * 1024 * 1024
 
 
-def _pick_tf(d_bytes_per_col: int, f: int) -> int:
-    """Largest lane-aligned panel width TF dividing f with
-    d_bytes_per_col * TF <= _PANEL_BYTES (0 if f doesn't tile)."""
+def _pick_tf(d_bytes_per_col: int, f: int, b: int = 64,
+             x_bytes: int = 0) -> int:
+    """Largest lane-aligned panel width TF dividing f whose double-
+    buffered panel + output + resident activation fit _VMEM_BUDGET
+    (0 if f doesn't tile)."""
+    def fits(tf):
+        return (2 * (d_bytes_per_col * tf + b * tf * 4) + x_bytes
+                <= _VMEM_BUDGET and d_bytes_per_col * tf <= _PANEL_BYTES)
     best = 0
     tf = 128
     while tf <= f:
-        if f % tf == 0 and d_bytes_per_col * tf <= _PANEL_BYTES:
+        if f % tf == 0 and fits(tf):
             best = tf
         tf *= 2
-    if best == 0 and f % 128 == 0 and d_bytes_per_col * 128 <= _PANEL_BYTES:
+    if best == 0 and f % 128 == 0 and fits(128):
         best = 128
     return best
 
 
-def supports(d: int, f: int) -> bool:
-    return d % 256 == 0 and _pick_tf(d, f) > 0
+def supports(d: int, f: int, b: int = 64) -> bool:
+    return d % 256 == 0 and _pick_tf(d, f, b, x_bytes=b * d * 2) > 0
 
 
-def supports_int4(dp: int, f: int) -> bool:
+def supports_int4(dp: int, f: int, b: int = 64) -> bool:
     """dp = packed contraction depth (D // 2); mirrors qmm_int4's
     unpack-aware 4x panel budget."""
-    return dp % 256 == 0 and _pick_tf(dp * 4, f) > 0
+    return dp % 256 == 0 and _pick_tf(dp * 4, f, b,
+                                      x_bytes=b * dp * 2 * 2) > 0
 
 
 # ------------------------------------------------------------- int8 ------
@@ -83,8 +96,8 @@ def qmm_int8(x: jnp.ndarray, w_int: jnp.ndarray, scale: jnp.ndarray,
     """x: (B, D); w_int: (D, F) int8; scale: (F,) f32 → (B, F)."""
     B, D = x.shape
     F = w_int.shape[1]
-    TF = _pick_tf(D, F)
-    assert TF, (D, F)
+    TF = _pick_tf(D, F, B, x_bytes=B * D * 2)
+    assert TF, (D, F, B)
     return pl.pallas_call(
         _qmm8_kernel,
         grid=(F // TF,),
@@ -146,8 +159,8 @@ def qmm_int4(x: jnp.ndarray, w_packed: jnp.ndarray, scale: jnp.ndarray,
     # materializes an i32 copy of the panel plus two bf16 planes in VMEM
     # (Mosaic only legalizes shifts on i32), and a full-size panel OOMs
     # the 16MB scoped vmem at B=128
-    TF = _pick_tf(Dp * 4, F)
-    assert TF, (Dp, F)
+    TF = _pick_tf(Dp * 4, F, B, x_bytes=B * D * 2)
+    assert TF, (Dp, F, B)
     x2 = x.astype(jnp.bfloat16).reshape(B, 2, Dp)
     return pl.pallas_call(
         _qmm4_kernel,

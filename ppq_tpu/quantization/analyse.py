@@ -107,6 +107,77 @@ def graphwise_error_analyse(graph: BaseGraph, dataloader: Iterable,
     return report
 
 
+def quantzoo_error_analyse(graph: BaseGraph, dataloader: Iterable,
+                           collate_fn=None, steps: int = 8,
+                           verbose: bool = True) -> Dict[str, float]:
+    """OnnxQuant/QuantZoo protocol metrics (reference
+    samples/QuantZoo/Readme.md:214-227):
+
+    Per computing layer (Conv/Gemm/MatMul/ConvTranspose/LayerNorm), the
+    RELATIVE error ||A - B||_F / ||B||_F between the quantized network's
+    layer output A and the float network's corresponding output B
+    (cumulative — the quantized net runs as a whole).
+
+      AQE — mean of the per-layer relative errors
+      MQE — max  of the per-layer relative errors
+      OQE — max relative error over the graph's OUTPUT variables
+
+    Returns {'AQE', 'MQE', 'OQE', 'per_layer': {var: rel_err}}.
+    """
+    computing = {'Conv', 'Gemm', 'MatMul', 'ConvTranspose',
+                 'LayerNormalization', 'PPQBiasFusedMatMul'}
+    names = []
+    for op in graph.topological_sort():
+        if isinstance(op, QuantableOperation) and op.type in computing \
+                and op.outputs:
+            names.append(op.outputs[0].name)
+    out_names = [n for n in graph.outputs]
+    probe = list(dict.fromkeys(names + out_names))
+    if not probe:
+        return {'AQE': 0.0, 'MQE': 0.0, 'OQE': 0.0, 'per_layer': {}}
+
+    cg_q = CompiledGraph(graph, output_names=probe)
+    fwd_q = cg_q.build_forward()
+    params_q = cg_q.init_params()
+    q_outs_all = []
+    for batch in _batches(dataloader, collate_fn, steps):
+        vals = fwd_q(params_q, _feed(graph, batch))
+        q_outs_all.append([np.asarray(v) for v in vals])
+
+    from ..ir import dequantize_graph, restore_graph_quantization
+    dequantize_graph(graph)
+    rel: Dict[str, List[float]] = {n: [] for n in probe}
+    try:
+        cg_f = CompiledGraph(graph, output_names=probe)
+        fwd_f = cg_f.build_forward()
+        params_f = cg_f.init_params()
+        for i, batch in enumerate(_batches(dataloader, collate_fn, steps)):
+            vals = fwd_f(params_f, _feed(graph, batch))
+            for name, fv, qv in zip(probe, vals, q_outs_all[i]):
+                fv = np.asarray(fv, np.float64)
+                qv = np.asarray(qv, np.float64)
+                denom = np.linalg.norm(fv.reshape(-1))
+                rel[name].append(
+                    float(np.linalg.norm((qv - fv).reshape(-1))
+                          / max(denom, 1e-12)))
+    finally:
+        restore_graph_quantization(graph)
+
+    per_layer = {n: float(np.mean(rel[n])) for n in names}
+    out_errs = [float(np.mean(rel[n])) for n in out_names if rel.get(n)]
+    result = {
+        'AQE': float(np.mean(list(per_layer.values()))) if per_layer else 0.0,
+        'MQE': float(np.max(list(per_layer.values()))) if per_layer else 0.0,
+        'OQE': float(np.max(out_errs)) if out_errs else 0.0,
+        'per_layer': per_layer,
+    }
+    if verbose:
+        ppq_info(f"QuantZoo protocol: AQE {result['AQE']:.4f}  "
+                 f"MQE {result['MQE']:.4f}  OQE {result['OQE']:.4f} "
+                 f"({len(per_layer)} computing layers)")
+    return result
+
+
 def layerwise_error_analyse(graph: BaseGraph, dataloader: Iterable,
                             collate_fn=None, steps: int = 8,
                             method: str = 'snr',

@@ -141,13 +141,13 @@ def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray],
         x2 = x.reshape(R, D)
         if 'w_int' in wq:
             F = wq['w_int'].shape[1]
-            if qmm.supports(D, F):
+            if qmm.supports(D, F, R):
                 out = qmm.qmm_int8(x2, wq['w_int'], wq['scale'],
                                    out_dtype=jnp.float32)
                 return out.reshape(*lead, F).astype(x.dtype)
         else:
             F = wq['w_packed'].shape[1]
-            if D % 2 == 0 and qmm.supports_int4(D // 2, F):
+            if D % 2 == 0 and qmm.supports_int4(D // 2, F, R):
                 out = qmm.qmm_int4(x2, wq['w_packed'], wq['scale'],
                                    out_dtype=jnp.float32)
                 return out.reshape(*lead, F).astype(x.dtype)
@@ -243,6 +243,25 @@ def fuse_decode_params(params: Params, cfg: LlamaConfig) -> Params:
                 [lay.pop('w_gate'), lay.pop('w_up')])
         layers.append(lay)
     out['layers'] = layers
+    # pad the lm_head output axis to a multiple of 1024: 32000-class
+    # vocabs only tile at TF=256 (125 grid steps per call); padded to
+    # 32768 the panel reaches TF=2048 (16 steps) — measured 84.3 → 51.6
+    # us per call on v5e (probes/qmm_lmhead_ab.py). Padded columns carry
+    # zero weights ⇒ exactly-zero logits; every consumer slices logits
+    # to cfg.vocab_size before sampling.
+    lm = out.get('lm_head', {})
+    F = next(iter(lm.values())).shape[-1] if lm else 0
+    pad = (-F) % 1024
+    if pad and 'w' not in lm:
+        padded = {}
+        if 'w_int' in lm:
+            padded['w_int'] = jnp.pad(lm['w_int'], ((0, 0), (0, pad)))
+        else:
+            padded['w_packed'] = jnp.pad(lm['w_packed'],
+                                         ((0, 0), (0, pad)))
+        padded['scale'] = jnp.pad(lm['scale'], (0, pad),
+                                  constant_values=1.0)
+        out['lm_head'] = padded
     return out
 
 
@@ -685,7 +704,7 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         x = rms_norm(x, params['final_norm'], cfg.rms_eps)
         logits = qmatmul(x, params['lm_head'],
                          pallas=pall, a8=a8).astype(jnp.float32)
-        nxt = select_fn(logits[:, 0, :], key)
+        nxt = select_fn(logits[:, 0, :cfg.vocab_size], key)
         return (nxt, tuple(kbuf), tuple(vbuf), tuple(ksb), tuple(vsb),
                 i + 1), nxt
 
@@ -760,4 +779,5 @@ def forward(params: Params, cache: Dict[str, jnp.ndarray],
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'],
                      pallas=bool(getattr(cfg, 'use_pallas_matmul', False)))
-    return logits.astype(jnp.float32), new_cache
+    # lm_head may be padded for panel tiling (fuse_decode_params)
+    return logits[..., :cfg.vocab_size].astype(jnp.float32), new_cache

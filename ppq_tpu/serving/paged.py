@@ -575,7 +575,8 @@ def prefill_paged(params: Params, pools: Dict, tokens, lengths, tables,
         tables, write_pos, active)
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'], pallas=pall, a8=a8)
-    return logits.astype(jnp.float32), pools
+    # lm_head may be padded for panel tiling (fuse_decode_params)
+    return logits[..., :cfg.vocab_size].astype(jnp.float32), pools
 
 
 # ------------------------------------------------------------- decode ------
@@ -773,7 +774,7 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
         x = rms_norm(x, params['final_norm'], cfg.rms_eps)
         logits = qmatmul(x, params['lm_head'],
                          pallas=pall, a8=a8).astype(jnp.float32)
-        nxt = select_fn(logits[:, 0, :], key)
+        nxt = select_fn(logits[:, 0, :cfg.vocab_size], key)
         return (nxt, kbuf, vbuf, ksb, vsb, i + 1), nxt
 
     (_, kbuf, vbuf, ksb, vsb, _), toks = jax.lax.scan(
@@ -907,7 +908,8 @@ def prefill_chunk_paged(params: Params, pools: Dict, tokens, write_pos,
         tables, write_pos, active)
     x = rms_norm(x, params['final_norm'], cfg.rms_eps)
     logits = qmatmul(x, params['lm_head'], pallas=pall, a8=a8)
-    return logits.astype(jnp.float32), pools
+    # lm_head may be padded for panel tiling (fuse_decode_params)
+    return logits[..., :cfg.vocab_size].astype(jnp.float32), pools
 
 
 # ------------------------------------------------------ prefix caching -----

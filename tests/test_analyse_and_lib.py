@@ -82,3 +82,26 @@ def test_pfl_quant_function():
     y = np.asarray(PFL.QuantFunction(x, cfg))
     np.testing.assert_allclose(y, np.clip(np.round(np.asarray(x) / 0.1),
                                           -128, 127) * 0.1, atol=1e-6)
+
+
+def test_quantzoo_error_analyse():
+    """OnnxQuant protocol: AQE <= MQE, relative errors small on a
+    calibrated graph, graph restored to quantized state afterwards."""
+    from ppq_tpu.quantization.analyse import quantzoo_error_analyse
+    graph, loader = build()
+    r = quantzoo_error_analyse(graph, loader, steps=2, verbose=False)
+    assert set(r) == {'AQE', 'MQE', 'OQE', 'per_layer'}
+    assert r['per_layer'], 'no computing layers found'
+    assert 0 <= r['AQE'] <= r['MQE'] < 0.5, r
+    assert 0 <= r['OQE'] < 0.5, r
+    # relative error of each layer matches its per-layer entry count
+    from ppq_tpu.ir import QuantableOperation
+    n_computing = sum(1 for op in graph.operations.values()
+                      if isinstance(op, QuantableOperation)
+                      and op.type in ('Conv', 'Gemm', 'MatMul'))
+    assert len(r['per_layer']) == n_computing
+    # graph must still be quantized (restored after the fp32 twin ran)
+    from ppq_tpu.core import QuantizationStates
+    states = [c.state for op in graph.operations.values()
+              if isinstance(op, QuantableOperation) for c in op.config]
+    assert any(s == QuantizationStates.ACTIVATED for s in states)

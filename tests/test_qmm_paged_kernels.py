@@ -277,7 +277,7 @@ class TestGroupedDecodeAttention:
                 jnp.asarray(lens, jnp.int32))
 
     @pytest.mark.parametrize('int8', [True, False])
-    @pytest.mark.parametrize('G', [4, 8])
+    @pytest.mark.parametrize('G', [4, 8, 16])
     def test_grouped_matches_fused_mixed_fills(self, int8, G):
         from ppq_tpu.kernels.paged_attention import (
             blockmajor_window, paged_attention_decode_fused,
@@ -285,6 +285,8 @@ class TestGroupedDecodeAttention:
         # mixed fills INSIDE each group: 0, block boundaries (128, 512),
         # off-boundary (129), and a fill-at-cap slot grouped with fill 16
         lens = [0, 16, 128, 129, 200, 384, 511, 512]
+        if G == 16:
+            lens = lens + [64, 100, 256, 300, 385, 400, 477, 512]
         S, BLK, KV, Dh = 512, 128, 2, 128
         q, ck, cv, cks, cvs, seq_lens = self._cache(int8, lens, S, KV, Dh)
         B, NBp = len(lens), S // BLK

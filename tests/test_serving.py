@@ -716,3 +716,38 @@ class TestW8A8Prefill:
             reqs = [Request(0, [3, 9, 27], max_new_tokens=4)]
             eng.run(reqs)
             assert reqs[0].done and len(reqs[0].generated) == 4
+
+
+class TestLmHeadPadding:
+    def test_fused_params_pad_lm_head_and_logits_match(self):
+        """fuse_decode_params pads lm_head to a 1024-multiple for panel
+        tiling; padded columns are zero-weight and every consumer slices
+        logits to vocab_size — forward() output must match the unpadded
+        params exactly (incl. never surfacing a padded class)."""
+        from ppq_tpu.serving.model import (forward, fuse_decode_params,
+                                           init_kv_cache)
+        cfg = LlamaConfig(vocab_size=1000, d_model=256, n_layers=2,
+                          n_heads=2, n_kv_heads=2, d_ff=256,
+                          max_seq_len=128, max_batch=2,
+                          prefill_buckets=(16,))
+        params = init_llama_params(cfg, seed=11)
+        fused = fuse_decode_params(params, cfg)
+        lm = fused['lm_head']
+        key = 'w_int' if 'w_int' in lm else 'w_packed'
+        assert lm[key].shape[-1] == 1024, lm[key].shape
+        assert lm['scale'].shape[-1] == 1024
+
+        toks = jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(3)[None], (2, 3)).astype(
+            jnp.int32)
+        wp = jnp.zeros(2, jnp.int32)
+        sl = jnp.full(2, 3, jnp.int32)
+        la, _ = forward(params, init_kv_cache(cfg, 2), toks, pos, wp, sl,
+                        cfg)
+        lb, _ = forward(fused, init_kv_cache(cfg, 2), toks, pos, wp, sl,
+                        cfg)
+        assert la.shape == lb.shape == (2, 3, 1000)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_array_equal(np.asarray(la.argmax(-1)),
+                                      np.asarray(lb.argmax(-1)))
