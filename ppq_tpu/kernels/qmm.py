@@ -158,7 +158,12 @@ def qmm_int4(x: jnp.ndarray, w_packed: jnp.ndarray, scale: jnp.ndarray,
     # budget the panel as if columns were 4x wider: the nibble unpack
     # materializes an i32 copy of the panel plus two bf16 planes in VMEM
     # (Mosaic only legalizes shifts on i32), and a full-size panel OOMs
-    # the 16MB scoped vmem at B=128
+    # the 16MB scoped vmem at B=128.
+    # NOTE (probes/qmm4_ab.py, v5e): the unpack is the kernel's bound —
+    # 35.5us at D=2048/F=11264 vs a 14.1us byte floor (int8: 32.2us).
+    # Cheaper unpacks don't legalize: Mosaic rejects subi/shli on i8
+    # vectors, and a bf16-domain unpack measured 47us. int4's win on
+    # this chip is HBM capacity (2x model per chip), not decode latency.
     TF = _pick_tf(Dp * 4, F, B, x_bytes=B * D * 2)
     assert TF, (Dp, F, B)
     x2 = x.astype(jnp.bfloat16).reshape(B, 2, Dp)

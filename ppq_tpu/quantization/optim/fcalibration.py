@@ -155,6 +155,69 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
             if PPQ_TPU_CONFIG.DEBUG:
                 ppq_info(f'[calib] {msg} (+{_time.perf_counter() - _t0:.1f}s)')
 
+        # ---- concurrent phase-2 precompile -------------------------------
+        # The phase-2 programs are DATA-INDEPENDENT (histogram ranges ride
+        # as traced arguments), so their XLA compilation can overlap the
+        # whole of phase 1 — on a remote-compile TPU the two ~20 s
+        # compiles were the bulk of cold-start calibration wall-clock.
+        # The precompiled jit instances are reused below when the phase-2
+        # spec matches (it always does unless a target produced no stats).
+        import threading as _threading
+        pre: Dict[str, object] = {}
+        pre_threads = []
+
+        def _abstract_args():
+            import jax
+            p_abs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                     for k, v in params.items()}
+            f_abs = {}
+            for name, var in graph.inputs.items():
+                shape = [int(s) for s in (var.shape or [])]
+                if not shape or any(s <= 0 for s in shape):
+                    raise ValueError('dynamic input shape')
+                f_abs[name] = jax.ShapeDtypeStruct(tuple(shape), np.float32)
+            return p_abs, f_abs
+
+        def _precompile(key, spec_pc, ranges_dummy):
+            try:
+                import jax
+                fnc = cg.build_calibration_forward(spec_pc)
+                _, f_abs = _abstract_args()
+                feed0 = {k: jax.numpy.zeros(v.shape, v.dtype)
+                         for k, v in f_abs.items()}
+                # one dummy execution: compiles AND warms the jit
+                # dispatch cache (an AOT lower().compile() does not
+                # reliably share with later fnc(...) calls)
+                out = fnc(params, feed0, ranges_dummy)
+                jax.block_until_ready(out)
+                pre[key] = fnc
+            except Exception:
+                pass
+
+        if pct_phase:
+            spec_pre = {n: {'kind': 'hist_signed',
+                            'bins': OBSERVER_KL_HIST_BINS}
+                        for n in sorted(pct_phase)}
+            r_dummy = {n: (np.float32(0.0), np.float32(1.0))
+                       for n in spec_pre}
+            t = _threading.Thread(target=_precompile,
+                                  args=('pct', spec_pre, r_dummy),
+                                  daemon=True)
+            t.start()
+            pre_threads.append(('pct', spec_pre, t))
+        if twophase:
+            spec2_pre = {}
+            for n in sorted(twophase):
+                bins = (OBSERVER_KL_HIST_BINS if algo_of[n] == 'kl'
+                        else OBSERVER_MSE_HIST_BINS)
+                spec2_pre[n] = {'kind': 'hist', 'bins': bins}
+            r2_dummy = {n: np.float32(1.0) for n in spec2_pre}
+            t = _threading.Thread(target=_precompile,
+                                  args=('hist', spec2_pre, r2_dummy),
+                                  daemon=True)
+            t.start()
+            pre_threads.append(('hist', spec2_pre, t))
+
         fn = cg.build_calibration_forward(spec)
         _dbg('phase1 traced')
         folds: Dict[str, list] = {}
@@ -227,7 +290,15 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                 spec_p[n] = {'kind': 'hist_signed', 'bins': bins}
                 ranges_arg[n] = (np.float32(lo), np.float32(width))
             _dbg('phase2a spec built')
-            fn_p = cg.build_calibration_forward(spec_p)
+            for key, spec_pre, t in pre_threads:
+                if key == 'pct':
+                    t.join()
+            fn_p = (pre['pct'] if pre.get('pct') is not None
+                    and any(k == 'pct' and sp == spec_p
+                            for k, sp, _ in pre_threads)
+                    else cg.build_calibration_forward(spec_p))
+            _dbg('phase2a program ready'
+                 + (' (precompiled concurrently)' if 'pct' in pre else ''))
             hists_p: Dict[str, np.ndarray] = {}
             for bi, batch in enumerate(self._batches(dataloader, collate_fn)):
                 _, stats = fn_p(params, self._feed(cg, batch), ranges_arg)
@@ -264,7 +335,13 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                                      OBSERVER_MIN_SCALE) / bins
                 spec2[n] = {'kind': 'hist', 'bins': bins}
                 ranges2[n] = np.float32(hist_scales[n])
-            fn2 = cg.build_calibration_forward(spec2)
+            for key, spec_pre, t in pre_threads:
+                if key == 'hist':
+                    t.join()
+            fn2 = (pre['hist'] if pre.get('hist') is not None
+                   and any(k == 'hist' and sp == spec2
+                           for k, sp, _ in pre_threads)
+                   else cg.build_calibration_forward(spec2))
             hists: Dict[str, np.ndarray] = {}
             for batch in self._batches(dataloader, collate_fn):
                 _, stats = fn2(params, self._feed(cg, batch), ranges2)

@@ -36,6 +36,11 @@ def run(variant):
     elif variant == 'flat_read':
         bufs = tuple(jnp.zeros((B, n, KV * Dh), jnp.int8)
                      for _ in range(2 * L))
+    elif variant in ('lead_read', 'pallas_bank'):
+        # update axis OUTERMOST: the written column (1, B, KV*Dh) is one
+        # contiguous 128 KB piece instead of B strided slivers
+        bufs = tuple(jnp.zeros((n, B, KV * Dh), jnp.int8)
+                     for _ in range(2 * L))
     else:
         bufs = tuple(jnp.zeros((B, n, KV, Dh), jnp.int8)
                      for _ in range(2 * L))
@@ -69,6 +74,22 @@ def run(variant):
                     bufs[li], upd, (0, i, 0, 0))
                 lb = jnp.einsum('bkrd,bjkd->bkrj', q,
                                 bufs[li].astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+                acc = acc + jnp.sum(lb)
+            elif variant == 'lead_read':
+                bufs[li] = jax.lax.dynamic_update_slice(
+                    bufs[li], newkv.reshape(1, B, KV * Dh), (i, 0, 0))
+                lb = jnp.einsum('bkrd,jbkd->bkrj', q,
+                                bufs[li].reshape(n, B, KV, Dh)
+                                .astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+                acc = acc + jnp.sum(lb)
+            elif variant == 'pallas_bank':
+                bufs[li] = _pallas_bank(bufs[li],
+                                        newkv.reshape(1, B, KV * Dh), i)
+                lb = jnp.einsum('bkrd,jbkd->bkrj', q,
+                                bufs[li].reshape(n, B, KV, Dh)
+                                .astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32)
                 acc = acc + jnp.sum(lb)
             elif variant == 'flat_read':
@@ -110,5 +131,36 @@ def run(variant):
           f'({best / n_dus * 1e6:6.2f} us per DUS)', flush=True)
 
 
-for v in ('dus_read', 'dus_barrier', 'flat_read'):
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _bank_kernel(i_ref, new_ref, buf_in, buf_out):
+    del i_ref, buf_in
+    buf_out[...] = new_ref[...]
+
+
+@jax.jit
+def _pallas_bank(buf, new, i):
+    nn, Bd, F = buf.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, Bd, F), lambda g, iref: (iref[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Bd, F), lambda g, iref: (iref[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Bd, F), lambda g, iref: (iref[0], 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _bank_kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(buf.shape, buf.dtype),
+        input_output_aliases={2: 0},
+    )(jnp.asarray(i, jnp.int32).reshape(1), new, buf)
+
+
+for v in ('lead_read', 'pallas_bank'):
     run(v)
