@@ -220,14 +220,22 @@ class ServingEngine:
             # memory is NB/n_sp): reads/writes run under shard_map with
             # exact flash-triple merges (paged.py paged_decode_sp).
             self._paged_sp_mesh = None
+            self._paged_dp = 1
             if mesh is not None and mesh.size > 1:
                 shape = dict(mesh.shape)
                 if shape.get('sp', 1) > 1:
-                    if shape.get('pp', 1) > 1 or shape.get('dp', 1) > 1:
+                    if shape.get('pp', 1) > 1:
                         raise NotImplementedError(
-                            'paged_kv + sp composes with tp only '
-                            '(sp or sp x tp meshes)')
+                            'paged_kv + sp composes with tp and dp '
+                            '(sp / sp x tp / dp x sp meshes), not pp')
                     self._paged_sp_mesh = mesh
+                    # dp x sp: batch slots partition over dp rows; pool
+                    # blocks shard over the flattened ('dp','sp') axes
+                    # with dp-disjoint allocation (GroupedBlockAllocator)
+                    self._paged_dp = shape.get('dp', 1)
+                    if cfg.max_batch % self._paged_dp:
+                        raise ValueError('paged_kv + dp needs max_batch '
+                                         '% dp == 0')
                 if shape.get('pp', 1) > 1 and \
                         cfg.n_layers % shape['pp'] != 0:
                     raise ValueError('paged_kv + pp needs n_layers % pp '
@@ -245,14 +253,18 @@ class ServingEngine:
             n_blocks = cfg.kv_pool_blocks or \
                 (cfg.max_batch * mb_per_seq + 1)
             if self._paged_sp_mesh is not None:
-                n_sp = dict(mesh.shape)['sp']
-                n_blocks = -(-n_blocks // n_sp) * n_sp
-            self._alloc = BlockAllocator(n_blocks, cfg.max_batch,
-                                         mb_per_seq, block_size=BLK)
+                shards = dict(mesh.shape)['sp'] * self._paged_dp
+                n_blocks = -(-n_blocks // shards) * shards
+            self._alloc = self._make_alloc(n_blocks, mb_per_seq, BLK)
         self.cache = self._new_cache()
         # automatic prefix caching: requests sharing a prompt prefix
         # adopt the cached pool blocks and only prefill the tail
         self.prefix_cache = None
+        if self._paged and getattr(cfg, 'prefix_cache_blocks', 0) and \
+                getattr(self, '_paged_dp', 1) > 1:
+            raise NotImplementedError(
+                'prefix cache + dp x sp paged: cached blocks live on one '
+                'dp row and cannot be adopted across rows')
         if self._paged and getattr(cfg, 'prefix_cache_blocks', 0):
             from .paged import PrefixCache
             self.prefix_cache = PrefixCache(
@@ -266,14 +278,22 @@ class ServingEngine:
         self._prefill = {}                            # bucket → jitted fn
 
     # --------------------------------------------------------------- state
+    def _make_alloc(self, n_blocks, mb_per_seq, blk):
+        from .paged import BlockAllocator, GroupedBlockAllocator
+        if getattr(self, '_paged_dp', 1) > 1:
+            return GroupedBlockAllocator(n_blocks, self.cfg.max_batch,
+                                         mb_per_seq, block_size=blk,
+                                         groups=self._paged_dp)
+        return BlockAllocator(n_blocks, self.cfg.max_batch, mb_per_seq,
+                              block_size=blk)
+
     def _new_cache(self):
         if getattr(self, '_paged', False):
-            from .paged import BlockAllocator, init_paged_pools
+            from .paged import init_paged_pools
             BLK = self._alloc.block_size
-            self._alloc = BlockAllocator(self._alloc.num_blocks,
-                                         self.cfg.max_batch,
-                                         self.cfg.max_seq_len // BLK,
-                                         block_size=BLK)
+            self._alloc = self._make_alloc(self._alloc.num_blocks,
+                                           self.cfg.max_seq_len // BLK,
+                                           BLK)
             pools = init_paged_pools(self.cfg, self._alloc.num_blocks)
             if self.mesh is not None and \
                     dict(self.mesh.shape).get('pp', 1) > 1:
@@ -289,10 +309,12 @@ class ServingEngine:
                 # paged.py) — and the kv-head axes over 'tp' when present
                 mesh = self.mesh
                 tp = ('tp' if dict(mesh.shape).get('tp', 1) > 1 else None)
+                blk_axes = (('dp', 'sp') if self._paged_dp > 1
+                            else 'sp')
                 spec = {'kv': NamedSharding(
-                            mesh, P(None, 'sp', None, None, tp)),
+                            mesh, P(None, blk_axes, None, None, tp)),
                         'kv_scale': NamedSharding(
-                            mesh, P(None, 'sp', None, tp, None))}
+                            mesh, P(None, blk_axes, None, tp, None))}
                 pools = {k: jax.device_put(v, spec[k])
                          for k, v in pools.items()}
             elif self.mesh is not None and \

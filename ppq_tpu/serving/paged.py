@@ -217,6 +217,83 @@ class BlockAllocator:
         return t
 
 
+class GroupedBlockAllocator:
+    """Block allocator partitioned into `groups` disjoint row ranges —
+    the 'dp'-sharded pool layout (paged + dp x sp meshes): batch slots
+    partition over dp rows, and a slot's blocks must live on ITS dp
+    row's devices, so group g's slots draw only from global rows
+    [g*NBg, (g+1)*NBg). Each group's local row 0 is reserved (group 0's
+    doubles as the global trash row), implemented by wrapping one
+    BlockAllocator per group (reusing the native C++ allocator inside).
+
+    tables()/slot_block_ids() speak GLOBAL row ids."""
+
+    def __init__(self, num_blocks: int, max_batch: int,
+                 max_blocks_per_seq: int, block_size: int = BLK,
+                 groups: int = 1, native: bool = None):
+        assert num_blocks % groups == 0, (num_blocks, groups)
+        assert max_batch % groups == 0, (max_batch, groups)
+        self.num_blocks = num_blocks
+        self.max_batch = max_batch
+        self.max_blocks_per_seq = max_blocks_per_seq
+        self.block_size = block_size
+        self.groups = groups
+        self._nbg = num_blocks // groups
+        self._bg = max_batch // groups
+        self._subs = [BlockAllocator(self._nbg, self._bg,
+                                     max_blocks_per_seq, block_size,
+                                     native=native)
+                      for _ in range(groups)]
+
+    def _loc(self, slot: int):
+        return self._subs[slot // self._bg], slot % self._bg, \
+            (slot // self._bg) * self._nbg
+
+    @property
+    def free_blocks(self) -> int:
+        return sum(s.free_blocks for s in self._subs)
+
+    def ensure(self, slot: int, tokens: int) -> None:
+        sub, ls, _ = self._loc(slot)
+        sub.ensure(ls, tokens)
+
+    def release(self, slot: int) -> None:
+        sub, ls, _ = self._loc(slot)
+        sub.release(ls)
+
+    def slot_block_ids(self, slot: int) -> List[int]:
+        sub, ls, off = self._loc(slot)
+        return [b + off for b in sub.slot_block_ids(ls)]
+
+    def adopt(self, slot: int, blocks) -> None:
+        sub, ls, off = self._loc(slot)
+        for b in blocks:
+            if not (off <= int(b) < off + self._nbg):
+                raise ValueError('adopt: block outside the slot\'s dp '
+                                 'group (prefix sharing does not cross '
+                                 'dp rows)')
+        sub.adopt(ls, [int(b) - off for b in blocks])
+
+    def retain(self, blocks) -> None:
+        for b in blocks:
+            g = int(b) // self._nbg
+            self._subs[g].retain([int(b) - g * self._nbg])
+
+    def unref(self, blocks) -> None:
+        for b in blocks:
+            g = int(b) // self._nbg
+            self._subs[g].unref([int(b) - g * self._nbg])
+
+    def tables(self) -> np.ndarray:
+        rows = []
+        for g, sub in enumerate(self._subs):
+            # global ids; unallocated entries land on the group trash
+            # row g*NBg (== global trash 0 for group 0; other groups'
+            # trash rows are reserved by their sub-allocator, never read)
+            rows.append(sub.tables() + np.int32(g * self._nbg))
+        return np.concatenate(rows, axis=0)
+
+
 # ------------------------------------------------------------- writes ------
 
 def scatter_kv_all(pools, k_all, v_all, ks_all, vs_all, tables, write_pos,
@@ -363,6 +440,32 @@ def _tp_name(mesh):
     return 'tp' if dict(mesh.shape).get('tp', 1) > 1 else None
 
 
+def _dp_name(mesh):
+    """'dp' when the sp mesh also data-parallelizes the batch (dp x sp
+    composition): batch slots partition over dp rows, pool blocks shard
+    over the flattened ('dp', 'sp') axes, and the GroupedBlockAllocator
+    keeps every slot's blocks inside its dp row — so the flash-triple
+    merge stays an sp-only collective and dp is purely local batch
+    slicing."""
+    return 'dp' if dict(mesh.shape).get('dp', 1) > 1 else None
+
+
+def _block_axes(mesh):
+    """Mesh axes the pool BLOCK axis shards over (dp-major, matching the
+    GroupedBlockAllocator's row partitioning)."""
+    dp = _dp_name(mesh)
+    return ('dp', 'sp') if dp else ('sp',)
+
+
+def _shard_block_offset(mesh, nb_local):
+    """This shard's first global pool row (dp-major flattening)."""
+    base = jax.lax.axis_index('sp')
+    dp = _dp_name(mesh)
+    if dp:
+        base = jax.lax.axis_index('dp') * _sp_size(mesh) + base
+    return base * nb_local
+
+
 def paged_decode_sp(q, kv_pool, kv_scale, tables, seq_lens, layer, mesh):
     """Flash-decoding read over an 'sp'-sharded pool: returns the same
     (acc, m, l) triple as paged_decode_xla on the unsharded pool, exactly
@@ -375,13 +478,14 @@ def paged_decode_sp(q, kv_pool, kv_scale, tables, seq_lens, layer, mesh):
     from .ring_attention import shard_map
     from jax.sharding import PartitionSpec as P
     n_sp = _sp_size(mesh)
+    n_dp = dict(mesh.shape).get('dp', 1)
     L, NB = kv_pool.shape[0], kv_pool.shape[1]
-    nb_local = NB // n_sp
+    nb_local = NB // (n_sp * n_dp)
     has_sc = kv_scale is not None
 
     def local(q, tables, seq_lens, kv, *opt):
         sc = opt[0] if opt else None
-        off = jax.lax.axis_index('sp') * nb_local
+        off = _shard_block_offset(mesh, nb_local)
         loc = tables - off
         inb = (loc >= 0) & (loc < nb_local)
         loc = jnp.where(inb, loc, 0)
@@ -390,18 +494,23 @@ def paged_decode_sp(q, kv_pool, kv_scale, tables, seq_lens, layer, mesh):
                if sc is not None else None)
         acc, m, l = paged_decode_xla(q, kvf, scf, loc + layer * nb_local,
                                      seq_lens, entry_mask=inb)
+        # merge over 'sp' only: a slot's blocks all live inside its dp
+        # row (GroupedBlockAllocator), so other dp rows never contribute
         m_g = jax.lax.pmax(m, 'sp')
         w = jnp.exp(m - m_g)
         return (jax.lax.psum(acc * w[..., None], 'sp'), m_g,
                 jax.lax.psum(l * w, 'sp'))
 
     tp = _tp_name(mesh)
+    dp = _dp_name(mesh)
+    blk_axes = _block_axes(mesh)
     # pool (L, NB, 2, BLK, KV*Dh); scale (L, NB, 2, KV, BLK);
     # q (B, KV, rep, Dh); triple: acc (B, KV, rep, Dh), m/l (B, KV, rep)
-    pool_spec = P(None, 'sp', None, None, tp)
-    sc_spec = P(None, 'sp', None, tp)
-    q_spec = P(None, tp)
-    specs = (q_spec, P(), P(), pool_spec) + ((sc_spec,) if has_sc else ())
+    pool_spec = P(None, blk_axes, None, None, tp)
+    sc_spec = P(None, blk_axes, None, tp)
+    q_spec = P(dp, tp)
+    specs = (q_spec, P(dp), P(dp), pool_spec) + \
+        ((sc_spec,) if has_sc else ())
     args = (q, tables, seq_lens, kv_pool) + \
         ((kv_scale,) if has_sc else ())
     fn = shard_map(local, mesh=mesh, in_specs=specs,
@@ -417,13 +526,14 @@ def write_kv_window_sp(pools, k_all, v_all, ks_all, vs_all, tables,
     from .ring_attention import shard_map
     from jax.sharding import PartitionSpec as P
     n_sp = _sp_size(mesh)
-    nb_local = pools['kv'].shape[1] // n_sp
+    n_dp = dict(mesh.shape).get('dp', 1)
+    nb_local = pools['kv'].shape[1] // (n_sp * n_dp)
     has_sc = ks_all is not None
     if active is None:
         active = jnp.ones(tables.shape[0], bool)
 
     def local(k_all, v_all, tables, write_pos, act, kv, *opt):
-        off = jax.lax.axis_index('sp') * nb_local
+        off = _shard_block_offset(mesh, nb_local)
         pl = {'kv': kv}
         ks_t = vs_t = None
         if opt:
@@ -436,13 +546,15 @@ def write_kv_window_sp(pools, k_all, v_all, ks_all, vs_all, tables,
         return (out['kv'],) + ((out['kv_scale'],) if opt else ())
 
     tp = _tp_name(mesh)
+    dp = _dp_name(mesh)
+    blk_axes = _block_axes(mesh)
     # pool (L, NB, 2, BLK, KV*Dh); scale pool (L, NB, 2, KV, BLK);
     # k/v_all (L, B, T, KV, Dh); ks/vs_all transposed (L, B, KV, T)
-    pool_spec = P(None, 'sp', None, None, tp)
-    scp_spec = P(None, 'sp', None, tp)
-    kv_spec = P(None, None, None, tp)
-    sct_spec = P(None, None, tp)
-    rep = P()
+    pool_spec = P(None, blk_axes, None, None, tp)
+    scp_spec = P(None, blk_axes, None, tp)
+    kv_spec = P(None, dp, None, tp)        # (L, B, T, KV, Dh): tp on KV
+    sct_spec = P(None, dp, tp)             # (L, B, KV, T):    tp on KV
+    rep = P(dp)
     specs = (kv_spec, kv_spec, rep, rep, rep, pool_spec) + \
         ((scp_spec, sct_spec, sct_spec) if has_sc else ())
     args = (k_all, v_all, tables, write_pos, active, pools['kv']) + \
@@ -467,12 +579,13 @@ def gather_prefix_sp(kv_pool, kv_scale, tbl_p, layer, mesh):
     from .ring_attention import shard_map
     from jax.sharding import PartitionSpec as P
     n_sp = _sp_size(mesh)
-    nb_local = kv_pool.shape[1] // n_sp
+    n_dp = dict(mesh.shape).get('dp', 1)
+    nb_local = kv_pool.shape[1] // (n_sp * n_dp)
     has_sc = kv_scale is not None
 
     def local(tbl, kv, *opt):
         sc = opt[0] if opt else None
-        off = jax.lax.axis_index('sp') * nb_local
+        off = _shard_block_offset(mesh, nb_local)
         loc = tbl - off
         inb = (loc >= 0) & (loc < nb_local)
         loc = jnp.where(inb, loc, 0)
@@ -487,12 +600,15 @@ def gather_prefix_sp(kv_pool, kv_scale, tbl_p, layer, mesh):
         return kvp, jax.lax.psum(scp, 'sp')
 
     tp = _tp_name(mesh)
-    pool_spec = P(None, 'sp', None, None, tp)
-    scp_spec = P(None, 'sp', None, tp)
-    # gathered prefix (B, P, 2, BLK, KV*Dh); scales (B, P, 2, KV, BLK)
-    out_kv = P(None, None, None, None, tp)
-    out_sc = P(None, None, None, tp)
-    specs = (P(), pool_spec) + ((scp_spec,) if has_sc else ())
+    dp = _dp_name(mesh)
+    blk_axes = _block_axes(mesh)
+    pool_spec = P(None, blk_axes, None, None, tp)
+    scp_spec = P(None, blk_axes, None, tp)
+    # gathered prefix (B, P, 2, BLK, KV*Dh); scales (B, P, 2, KV, BLK) —
+    # batch stays dp-sharded (the slot lives on its dp row)
+    out_kv = P(dp, None, None, None, tp)
+    out_sc = P(dp, None, None, tp)
+    specs = (P(dp), pool_spec) + ((scp_spec,) if has_sc else ())
     args = (tbl_p, kv_pool) + ((kv_scale,) if has_sc else ())
     fn = shard_map(local, mesh=mesh, in_specs=specs,
                    out_specs=(out_kv, out_sc) if has_sc else (out_kv,))

@@ -329,10 +329,11 @@ def test_sp_paged_chunked_prefill_long_prompt():
 
 
 def test_sp_paged_rejects_mixed_axes():
+    # dp x sp is supported (GroupedBlockAllocator); pp x sp is not
     cfg = _paged_cfg()
     with pytest.raises(NotImplementedError):
         ServingEngine(cfg, init_llama_params(cfg, seed=0),
-                      mesh=_mesh([('dp', 2), ('sp', 2)]))
+                      mesh=_mesh([('pp', 2), ('sp', 2)]))
 
 
 def test_sp_tp_paged_engine_generates():
@@ -429,3 +430,87 @@ def test_pp_paged_chunk_logits_match_single_device():
     kv_ref = np.asarray(ref_pools['kv'])[:, 1:5].astype(np.int32)
     kv_got = np.asarray(got_pools['kv'])[:, 1:5].astype(np.int32)
     assert np.max(np.abs(kv_ref - kv_got)) <= 1
+
+
+# ------------------------------------------------- paged KV + dp x sp -----
+
+def _paged_dpsp_cfg(**kw):
+    base = dict(vocab_size=97, d_model=256, n_layers=2, n_heads=2,
+                n_kv_heads=2, d_ff=256, max_seq_len=128, max_batch=4,
+                weight_bits=8)
+    base.update(kw)
+    cfg = LlamaConfig(**base)
+    cfg.prefill_buckets = (16,)
+    cfg.paged_kv = True
+    cfg.kv_block_size = 128
+    cfg.ragged_interpret = True
+    return cfg
+
+
+def test_grouped_block_allocator_disjoint_ranges():
+    from ppq_tpu.serving.paged import GroupedBlockAllocator
+    al = GroupedBlockAllocator(16, 4, 4, block_size=128, groups=2)
+    # slots 0-1 draw from global rows [1, 8); slots 2-3 from [9, 16)
+    al.ensure(0, 300)                  # 3 blocks
+    al.ensure(2, 200)                  # 2 blocks
+    b0 = al.slot_block_ids(0)
+    b2 = al.slot_block_ids(2)
+    assert all(1 <= b < 8 for b in b0), b0
+    assert all(9 <= b < 16 for b in b2), b2
+    t = al.tables()
+    assert t.shape == (4, 4)
+    assert list(t[0][:3]) == b0
+    # unallocated entries of group-1 slots point at the group trash row 8
+    assert t[3][0] == 8
+    free0 = al.free_blocks
+    al.release(0)
+    assert al.free_blocks == free0 + 3
+    # adopting group-0 blocks into a group-1 slot must refuse
+    al.ensure(1, 100)
+    with pytest.raises(ValueError):
+        al.adopt(3, al.slot_block_ids(1))
+
+
+def test_dpsp_paged_engine_generates():
+    """paged_kv on a ('dp', 'sp') mesh: batch slots partition over dp
+    rows, pool blocks shard over the flattened ('dp','sp') axes with
+    dp-disjoint allocation."""
+    cfg = _paged_dpsp_cfg()
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=7),
+                        mesh=_mesh([('dp', 2), ('sp', 2)]))
+    assert eng.cache['kv'].sharding.spec[1] == ('dp', 'sp')
+    rng = np.random.RandomState(8)
+    reqs = [Request(i, rng.randint(1, 96, 10).tolist(), max_new_tokens=6)
+            for i in range(6)]
+    eng.run(reqs, sync_every=4)
+    assert all(r.done and len(r.generated) == 6 for r in reqs)
+
+
+def test_dpsp_paged_matches_single_device():
+    cfg = _paged_dpsp_cfg()
+    params = init_llama_params(cfg, seed=9)
+    rng = np.random.RandomState(10)
+    prompts = [rng.randint(1, 96, 12).tolist() for _ in range(4)]
+
+    def gen(mesh):
+        eng = ServingEngine(cfg, params, mesh=mesh)
+        reqs = [Request(i, p, max_new_tokens=8)
+                for i, p in enumerate(prompts)]
+        eng.run(reqs, sync_every=4)
+        return [r.generated for r in reqs]
+
+    ref = gen(None)
+    got = gen(_mesh([('dp', 2), ('sp', 2)]))
+    for r, g in zip(ref, got):
+        assert r[:3] == g[:3], (r, g)
+
+
+def test_dpsp_paged_chunked_prefill_long_prompt():
+    cfg = _paged_dpsp_cfg()
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=11),
+                        mesh=_mesh([('dp', 2), ('sp', 2)]))
+    rng = np.random.RandomState(12)
+    reqs = [Request(0, rng.randint(1, 96, 50).tolist(), max_new_tokens=4),
+            Request(1, rng.randint(1, 96, 40).tolist(), max_new_tokens=4)]
+    eng.run(reqs, sync_every=4)
+    assert all(r.done and len(r.generated) == 4 for r in reqs)
