@@ -286,6 +286,97 @@ class UNetLite(nn.Module):
         return self.head(d)
 
 
+class DetectorT(nn.Module):
+    """Single-object detector (conv backbone + box-regression and class
+    heads) — the reference's detection rows
+    (/root/reference/README.md:189-191: retinanet mAP 36.1 INT8 vs 36.4
+    FP32 Δ=0.3; yolox Δ=0.5). Miniature single-object formulation: one
+    box + one class per image, AP@0.5 protocol."""
+
+    def __init__(self, num_classes=10):
+        super().__init__()
+        self.backbone = nn.Sequential(
+            nn.Conv2d(3, 16, 3, padding=1), nn.BatchNorm2d(16), nn.ReLU(),
+            nn.Conv2d(16, 32, 3, stride=2, padding=1),
+            nn.BatchNorm2d(32), nn.ReLU(),
+            nn.Conv2d(32, 64, 3, stride=2, padding=1),
+            nn.BatchNorm2d(64), nn.ReLU(),
+            nn.AdaptiveAvgPool2d(1))
+        self.box = nn.Linear(64, 4)           # (cx, cy, w, h) in [0, 1]
+        self.cls = nn.Linear(64, num_classes)
+
+    def forward(self, x):
+        f = self.backbone(x).flatten(1)
+        return torch.cat([torch.sigmoid(self.box(f)), self.cls(f)], dim=1)
+
+
+def make_det_targets(x, y):
+    """Tight stroke bounding box (normalized cxcywh) + digit class."""
+    fg = x[:, 0] > -0.9                                      # (N, 32, 32)
+    n, H, W = fg.shape
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        ys, xs = np.nonzero(fg[i])
+        if len(ys) == 0:
+            boxes[i] = (0.5, 0.5, 1.0, 1.0)
+            continue
+        x0, x1 = xs.min(), xs.max() + 1
+        y0, y1 = ys.min(), ys.max() + 1
+        boxes[i] = ((x0 + x1) / 2 / W, (y0 + y1) / 2 / H,
+                    (x1 - x0) / W, (y1 - y0) / H)
+    return boxes, y
+
+
+def _iou_cxcywh(a, b):
+    def corners(t):
+        return (t[..., 0] - t[..., 2] / 2, t[..., 1] - t[..., 3] / 2,
+                t[..., 0] + t[..., 2] / 2, t[..., 1] + t[..., 3] / 2)
+    ax0, ay0, ax1, ay1 = corners(a)
+    bx0, by0, bx1, by1 = corners(b)
+    iw = np.maximum(np.minimum(ax1, bx1) - np.maximum(ax0, bx0), 0)
+    ih = np.maximum(np.minimum(ay1, by1) - np.maximum(ay0, by0), 0)
+    inter = iw * ih
+    union = ((ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0)
+             - inter)
+    return inter / np.maximum(union, 1e-9)
+
+
+def map50(executor, x, boxes, labels, num_classes=10, batch=64):
+    """mAP@0.5, single object per image: per class, rank predictions by
+    class confidence; a prediction is TP iff argmax class matches AND
+    IoU(box) >= 0.5 (AP = area under the interpolated P-R curve)."""
+    preds, confs, pboxes = [], [], []
+    for i in range(0, len(x), batch):
+        out = np.asarray(executor.forward(x[i:i + batch])[0])
+        pboxes.append(out[:, :4])
+        logits = out[:, 4:]
+        e = np.exp(logits - logits.max(1, keepdims=True))
+        p = e / e.sum(1, keepdims=True)
+        preds.append(logits.argmax(1))
+        confs.append(p.max(1))
+    pred = np.concatenate(preds); conf = np.concatenate(confs)
+    pbox = np.concatenate(pboxes)
+    iou = _iou_cxcywh(pbox, boxes)
+    aps = []
+    for c in range(num_classes):
+        n_gt = int((labels == c).sum())
+        if n_gt == 0:
+            continue
+        sel = pred == c
+        order = np.argsort(-conf[sel])
+        tp = ((labels[sel] == c) & (iou[sel] >= 0.5))[order]
+        fp = ~tp
+        ctp, cfp = np.cumsum(tp), np.cumsum(fp)
+        recall = ctp / n_gt
+        prec = ctp / np.maximum(ctp + cfp, 1)
+        ap = 0.0
+        for t in np.linspace(0, 1, 11):
+            mask = recall >= t
+            ap += (prec[mask].max() if mask.any() else 0.0) / 11
+        aps.append(ap)
+    return 100.0 * float(np.mean(aps))
+
+
 def make_sr_pairs(x):
     """HR (N,3,32,32) → (bilinear-upscaled 2x-downsample input, HR target)."""
     t = torch.from_numpy(x)
@@ -420,6 +511,35 @@ def run_srcnn(quick=False):
             'n_test': len(xte), 'n_calib': 32}
 
 
+def run_detection(quick=False):
+    """Detection family: Δ(mAP@0.5) — reference retinanet/yolox rows
+    (32-image calibration per README.md:177)."""
+    from ppq_tpu import TPUExecutor
+    (xtr, ytr), (xte, yte) = load_digits_32x32()
+    if quick:
+        xtr, ytr = xtr[:256], ytr[:256]
+    btr, ltr = make_det_targets(xtr, ytr)
+    bte, lte = make_det_targets(xte, yte)
+    print(f'[Detector] training on {len(xtr)} real images…', flush=True)
+    tgt = np.concatenate([btr, np.eye(10, dtype=np.float32)[ltr]], axis=1)
+
+    def loss(out, t):
+        box_l = torch.nn.functional.l1_loss(out[:, :4], t[:, :4])
+        cls_l = torch.nn.functional.cross_entropy(out[:, 4:],
+                                                  t[:, 4:].argmax(1))
+        return 5.0 * box_l + cls_l
+    model = train_dense(DetectorT(), xtr, tgt, loss,
+                        epochs=1 if quick else 10)
+    graph, fp_graph = _quantize_for(model, xtr[:32], xtr[:32])
+    m_q = map50(TPUExecutor(graph), xte, bte, lte)
+    m_f = map50(TPUExecutor(fp_graph), xte, bte, lte)
+    print(f'[Detector] FP32 {m_f:.2f} mAP@0.5  INT8-sim {m_q:.2f}  '
+          f'Δ {m_f - m_q:+.2f}pt', flush=True)
+    return {'model': 'Single-object detector', 'metric': 'mAP@0.5',
+            'fp32': m_f, 'int8': m_q, 'delta': m_f - m_q,
+            'n_test': len(xte), 'n_calib': 32}
+
+
 def run_segmentation(quick=False):
     """Segmentation family: Δ(mIoU) — reference deeplabv3 row (32-image
     calibration per README.md:177)."""
@@ -488,7 +608,8 @@ def main():
             run_model('ShuffleNetV2 (32x32 stem)', shufflenet_v2_t,
                       epochs=10, quick=quick),
             run_srcnn(quick=quick),
-            run_segmentation(quick=quick)]
+            run_segmentation(quick=quick),
+            run_detection(quick=quick)]
     out = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                         'accuracy_results.json')
     import json
