@@ -399,7 +399,21 @@ class ServingEngine:
             b *= 2
         return min(b, self.cfg.max_seq_len)
 
-    def _build_decode_burst(self, n_steps: int, s_limit: Optional[int] = None):
+    def _grouped_gate(self, active_fills, n: int,
+                      s_limit: Optional[int]) -> bool:
+        """Host-side choice between the grouped and per-slot attention
+        kernels for a dense burst: grouping amortizes per-grid-step fixed
+        cost and wins 1.3-2x at small/mixed fills, but at uniformly-deep
+        fills (every slot near the read bucket) its G*RBLK VMEM slab
+        measured ~19% slower than per-slot blocks (probes/grouped_skew.py)
+        — prefer the fused kernel when even the SHALLOWEST active slot
+        is past 3/4 of the bucket."""
+        if s_limit is None or not len(active_fills):
+            return True
+        return (min(active_fills) + n) < 0.75 * s_limit
+
+    def _build_decode_burst(self, n_steps: int, s_limit: Optional[int] = None,
+                            grouped: bool = True):
         """n greedy decode steps in ONE jitted lax.scan — a single host
         round-trip per burst. On a tunneled/remote accelerator the per-step
         sync dominates serving latency; bursting amortizes it (and trims
@@ -408,8 +422,8 @@ class ServingEngine:
         # and the kernel block size (cap // 2, floor 128) — with a FULL
         # window the block floor is 512 slots, so a fill-16 slot still
         # reads 512 tokens (4x waste); with the bucket it reads 128.
-        if (n_steps, s_limit) in self._decode_burst:
-            return self._decode_burst[(n_steps, s_limit)]
+        if (n_steps, s_limit, grouped) in self._decode_burst:
+            return self._decode_burst[(n_steps, s_limit, grouped)]
         cfg = self.cfg
 
         if not self._pp:
@@ -424,7 +438,8 @@ class ServingEngine:
                                      keys, cfg, self._select,
                                      s_limit=s_limit,
                                      ragged=ragged,
-                                     ragged_interpret=cfg.ragged_interpret)
+                                     ragged_interpret=cfg.ragged_interpret,
+                                     prefer_grouped=grouped)
         else:
             # pp path: frozen-cache staged burst — per-stage slabs stay
             # frozen through the scan, only the small in-burst buffers are
@@ -438,7 +453,7 @@ class ServingEngine:
                 return burst_forward_staged(params, cache, tokens,
                                             seq_lens, keys, cfg, self.mesh,
                                             'pp', self._select)
-        self._decode_burst[(n_steps, s_limit)] = decode_burst
+        self._decode_burst[(n_steps, s_limit, grouped)] = decode_burst
         return decode_burst
 
     def _prefill_fn(self, bucket: int):
@@ -864,7 +879,10 @@ class ServingEngine:
                 toks_np = np.asarray(next_tok)[None, :]       # (1, B)
             else:
                 s_need = int(max(self.slot_len[s] for s in active)) + n
-                fn = self._build_decode_burst(n, self._decode_bucket(s_need))
+                bucket = self._decode_bucket(s_need)
+                fills = [int(self.slot_len[s]) for s in active]
+                fn = self._build_decode_burst(
+                    n, bucket, grouped=self._grouped_gate(fills, n, bucket))
                 toks, self.cache = fn(self.params, self.cache,
                                       jnp.asarray(cur_tok), seq_lens,
                                       step_key)
@@ -988,8 +1006,10 @@ class ServingEngine:
                 toks = nxt[None, :]
             else:
                 s_need = int(max(self.slot_len[s] for s in active)) + n
+                bucket = self._decode_bucket(s_need)
+                fills = [int(self.slot_len[s]) for s in active]
                 fn = self._build_decode_burst(
-                    n, self._decode_bucket(s_need))
+                    n, bucket, grouped=self._grouped_gate(fills, n, bucket))
                 toks, self.cache = fn(self.params, self.cache, cur_tok,
                                       seq_lens, step_key)
             cur_tok = toks[-1]
@@ -1115,8 +1135,10 @@ class ServingEngine:
                     'ms_per_step': best / (n_bursts * n) * 1e3,
                     'batch': B}
         if burst and burst > 1:
+            bucket = self._decode_bucket(fill + burst)
             fn = self._build_decode_burst(
-                burst, self._decode_bucket(fill + burst))
+                burst, bucket,
+                grouped=self._grouped_gate([fill] * B, burst, bucket))
             n_bursts = max(1, steps // burst)
             toks, cache = fn(self.params, cache, tokens, seq_lens, key)
             np.asarray(toks)                      # warm + full sync

@@ -491,7 +491,8 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                   tokens: jnp.ndarray, seq_lens: jnp.ndarray,
                   keys: jnp.ndarray, cfg: LlamaConfig, select_fn,
                   s_limit: Optional[int] = None, ragged: bool = False,
-                  ragged_interpret: bool = False):
+                  ragged_interpret: bool = False,
+                  prefer_grouped: bool = True):
     """n consecutive decode steps in one lax.scan with the big KV cache
     FROZEN: in-burst K/V live in a small (L, B, n, KV, Dh) bf16 buffer
     carried through the scan; the cache is written ONCE at the end
@@ -576,8 +577,15 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         # grouped kernel: one grid step DMAs G slots' blocks from a
         # BLOCK-MAJOR window — the per-grid-step fixed cost (the kernel's
         # dominant cost at small fills) drops by G
+        # prefer_grouped=False forces the per-slot fused kernel: at
+        # uniformly-deep fills the grouped slab (G*RBLK tokens, VMEM
+        # double-buffered) measured ~19% slower than per-slot blocks,
+        # while at small/mixed fills grouping wins 1.3-2x
+        # (probes/grouped_skew.py, grouped_g16.py) — the ENGINE gates on
+        # its host-known fills
         G = grouped_group_size(B, RBLK, kv_dh=KV * Dh,
-                               itemsize=1 if int8_cache else 2)
+                               itemsize=1 if int8_cache else 2) \
+            if prefer_grouped else 1
         if G > 1:
             kv_pools, sc_pools = [], []
             for li in range(L):

@@ -751,3 +751,43 @@ class TestLmHeadPadding:
                                    rtol=2e-2, atol=2e-2)
         np.testing.assert_array_equal(np.asarray(la.argmax(-1)),
                                       np.asarray(lb.argmax(-1)))
+
+
+class TestGroupedGate:
+    def test_gate_logic(self):
+        cfg = LlamaConfig(vocab_size=128, d_model=256, n_layers=2,
+                          n_heads=2, n_kv_heads=2, d_ff=256,
+                          max_seq_len=256, max_batch=2,
+                          prefill_buckets=(16,))
+        eng = ServingEngine(cfg, init_llama_params(cfg, seed=3))
+        # shallow fills → grouped; every slot near the bucket → fused
+        assert eng._grouped_gate([16, 40], 32, 128)
+        assert not eng._grouped_gate([990, 1000], 32, 1024)
+        assert eng._grouped_gate([16, 1000], 32, 1024)   # mixed → grouped
+        assert eng._grouped_gate([], 32, 1024)
+        assert eng._grouped_gate([990], 32, None)
+
+    def test_fused_path_matches_grouped(self):
+        from ppq_tpu.serving.model import burst_forward, forward
+        cfg = LlamaConfig(vocab_size=128, d_model=256, n_layers=2,
+                          n_heads=2, n_kv_heads=2, d_ff=256,
+                          max_seq_len=256, max_batch=2,
+                          prefill_buckets=(16,))
+        params = init_llama_params(cfg, seed=31)
+        cache = init_kv_cache(cfg, cfg.max_batch)
+        toks = jnp.asarray(np.arange(2 * 6).reshape(2, 6) % 120 + 1)
+        pos = jnp.broadcast_to(jnp.arange(6)[None], (2, 6)).astype(
+            jnp.int32)
+        _, cache = forward(params, cache, toks, pos,
+                           jnp.zeros(2, jnp.int32),
+                           jnp.full(2, 6, jnp.int32), cfg)
+        seq_lens = jnp.full(2, 6, jnp.int32)
+        cur = jnp.asarray([3, 5], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        select = lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32)
+        kw = dict(ragged=True, ragged_interpret=True)
+        t_grp, _ = burst_forward(params, cache, cur, seq_lens, keys, cfg,
+                                 select, prefer_grouped=True, **kw)
+        t_fus, _ = burst_forward(params, cache, cur, seq_lens, keys, cfg,
+                                 select, prefer_grouped=False, **kw)
+        np.testing.assert_array_equal(np.asarray(t_grp), np.asarray(t_fus))
