@@ -112,12 +112,20 @@ def cache_shardings(cfg: LlamaConfig, mesh: Mesh) -> Dict[str, NamedSharding]:
 
 # --------------------------------------------------------------- request ---
 class Request:
+    """One generation request. `sampling` overrides the engine-wide
+    SamplingParams for THIS request's decode steps (per-slot vectorized
+    sampling — vLLM-style mixed batches); the first token produced by
+    the prefill program stays greedy regardless (prefill computes one
+    argmax for every admitted slot)."""
+
     def __init__(self, rid: int, prompt: List[int], max_new_tokens: int = 32,
-                 eos_id: Optional[int] = None):
+                 eos_id: Optional[int] = None,
+                 sampling: Optional['SamplingParams'] = None):
         self.rid = rid
         self.prompt = list(prompt)
         self.max_new_tokens = max_new_tokens
         self.eos_id = eos_id
+        self.sampling = sampling
         self.generated: List[int] = []
         self.done = False
 
@@ -352,8 +360,15 @@ class ServingEngine:
         return forward(params, cache, tokens, positions, write_pos,
                        seq_lens, self.cfg, active=active)
 
-    def _select(self, logits, key):
-        """Greedy or (top-k) temperature sampling over (B, vocab) logits."""
+    def _select(self, logits, key, samp=None):
+        """Greedy or (top-k/top-p) temperature sampling over (B, vocab)
+        logits. samp: optional per-slot arrays {'t': (B,) temperature,
+        'k': (B,) top-k (0 = off), 'p': (B,) top-p} — vectorized
+        per-request sampling for mixed batches; slots with t <= 0 stay
+        exactly greedy. With samp=None the engine-wide SamplingParams
+        apply (scalar fast path, no sorts when greedy)."""
+        if samp is not None:
+            return self._select_vec(logits, key, samp)
         sp = self.sampling
         if sp.greedy:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -373,16 +388,60 @@ class ServingEngine:
             scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
         return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
 
+    def _select_vec(self, logits, key, samp):
+        """Per-slot vectorized sampler (see _select)."""
+        B, V = logits.shape
+        greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        t = samp['t'][:, None]
+        scaled = logits / jnp.maximum(t, 1e-6)
+        # per-slot top-k: threshold at the k-th largest (k == 0 -> off)
+        sdesc = jnp.sort(scaled, axis=-1)[:, ::-1]
+        k_eff = jnp.clip(jnp.where(samp['k'] > 0, samp['k'], V), 1, V)
+        kth = jnp.take_along_axis(sdesc, (k_eff - 1)[:, None].astype(
+            jnp.int32), axis=1)
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        # per-slot nucleus over the top-k-masked logits
+        sdesc2 = jnp.sort(scaled, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sdesc2, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < samp['p'][:, None]
+        cutoff = jnp.min(jnp.where(keep, sdesc2, jnp.inf), axis=-1,
+                         keepdims=True)
+        scaled = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+        sampled = jax.random.categorical(key, scaled,
+                                         axis=-1).astype(jnp.int32)
+        return jnp.where(samp['t'] <= 0.0, greedy_tok, sampled)
+
+    def _samp_arrays(self):
+        """Per-slot sampling arrays, or None when every active slot uses
+        the engine-wide GREEDY default (keeps the no-sort fast path and
+        the smaller compiled program)."""
+        if self.sampling.greedy and \
+                all(r is None or r.sampling is None for r in self.slot_req):
+            return None
+        B = self.cfg.max_batch
+        sp = self.sampling
+        t = np.full(B, sp.temperature, np.float32)
+        k = np.full(B, sp.top_k, np.int32)
+        p = np.full(B, sp.top_p, np.float32)
+        for i, r in enumerate(self.slot_req):
+            if r is not None and r.sampling is not None:
+                t[i] = r.sampling.temperature
+                k[i] = r.sampling.top_k
+                p[i] = r.sampling.top_p
+        return {'t': jnp.asarray(t), 'k': jnp.asarray(k),
+                'p': jnp.asarray(p)}
+
     def _build_decode(self):
         cfg = self.cfg
 
         @functools.partial(jax.jit, donate_argnums=(1,))
-        def decode_step(params, cache, tokens, seq_lens, key):
+        def decode_step(params, cache, tokens, seq_lens, key, samp=None):
             # tokens: (B,) current token per slot; seq_lens: (B,) cache fill
             positions = seq_lens[:, None]                    # (B, 1)
             logits, cache = self._forward(params, cache, tokens[:, None],
                                           positions, seq_lens, seq_lens + 1)
-            next_tok = self._select(logits[:, -1, :], key)
+            next_tok = self._select(logits[:, -1, :], key, samp)
             return next_tok, cache
         return decode_step
 
@@ -432,10 +491,12 @@ class ServingEngine:
             ragged = bool(cfg.use_ragged_attention)
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def decode_burst(params, cache, tokens, seq_lens, key):
+            def decode_burst(params, cache, tokens, seq_lens, key,
+                             samp=None):
                 keys = jax.random.split(key, n_steps)
+                sel = lambda lg, k: self._select(lg, k, samp)
                 return burst_forward(params, cache, tokens, seq_lens,
-                                     keys, cfg, self._select,
+                                     keys, cfg, sel,
                                      s_limit=s_limit,
                                      ragged=ragged,
                                      ragged_interpret=cfg.ragged_interpret,
@@ -448,11 +509,13 @@ class ServingEngine:
             from .pipeline import burst_forward_staged
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def decode_burst(params, cache, tokens, seq_lens, key):
+            def decode_burst(params, cache, tokens, seq_lens, key,
+                             samp=None):
                 keys = jax.random.split(key, n_steps)
+                sel = lambda lg, k: self._select(lg, k, samp)
                 return burst_forward_staged(params, cache, tokens,
                                             seq_lens, keys, cfg, self.mesh,
-                                            'pp', self._select)
+                                            'pp', sel)
         self._decode_burst[(n_steps, s_limit, grouped)] = decode_burst
         return decode_burst
 
@@ -669,24 +732,29 @@ class ServingEngine:
             from .pipeline import burst_forward_staged_paged
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def decode_burst(params, pools, tokens, seq_lens, tables, key):
+            def decode_burst(params, pools, tokens, seq_lens, tables, key,
+                             samp=None):
                 keys = jax.random.split(key, n_steps)
+                sel = lambda lg, k: self._select(lg, k, samp)
                 return burst_forward_staged_paged(
                     params, pools, tokens, seq_lens, tables, keys, cfg,
-                    self.mesh, 'pp', self._select)
+                    self.mesh, 'pp', sel)
         else:
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def decode_burst(params, pools, tokens, seq_lens, tables, key):
+            def decode_burst(params, pools, tokens, seq_lens, tables, key,
+                             samp=None):
                 keys = jax.random.split(key, n_steps)
+                sel = lambda lg, k: self._select(lg, k, samp)
                 return burst_forward_paged(
                     params, pools, tokens, seq_lens, tables, keys, cfg,
-                    self._select, ragged_interpret=cfg.ragged_interpret,
+                    sel, ragged_interpret=cfg.ragged_interpret,
                     use_kernel=self._paged_kernel,
                     sp_mesh=self._paged_sp_mesh)
         self._decode_burst[key] = decode_burst
         return decode_burst
 
-    def _paged_decode(self, n: int, cur_tok, seq_lens, step_key, active):
+    def _paged_decode(self, n: int, cur_tok, seq_lens, step_key, active,
+                      samp=None):
         """Dispatch one paged decode burst (n >= 1): grow each active
         slot's block list to cover the burst, ship the tables, run."""
         BLK = self._alloc.block_size
@@ -703,7 +771,7 @@ class ServingEngine:
         mb = min(mb, tables.shape[1])
         fn = self._build_decode_burst_paged(n)
         return fn(self.params, self.cache, cur_tok, seq_lens,
-                  jnp.asarray(tables[:, :mb]), step_key)
+                  jnp.asarray(tables[:, :mb]), step_key, samp)
 
     # ------------------------------------------------------------- serving
     def _bucket_for(self, n: int) -> int:
@@ -868,14 +936,16 @@ class ServingEngine:
 
             seq_lens = jnp.asarray(self.slot_len, jnp.int32)
             self._rng_key, step_key = jax.random.split(self._rng_key)
+            samp = self._samp_arrays()
             if self._paged:
                 toks, self.cache = self._paged_decode(
-                    n, jnp.asarray(cur_tok), seq_lens, step_key, active)
+                    n, jnp.asarray(cur_tok), seq_lens, step_key, active,
+                    samp=samp)
                 toks_np = np.asarray(toks)                    # (n, B)
             elif n == 1:
                 next_tok, self.cache = self._decode(
                     self.params, self.cache, jnp.asarray(cur_tok), seq_lens,
-                    step_key)
+                    step_key, samp)
                 toks_np = np.asarray(next_tok)[None, :]       # (1, B)
             else:
                 s_need = int(max(self.slot_len[s] for s in active)) + n
@@ -885,7 +955,7 @@ class ServingEngine:
                     n, bucket, grouped=self._grouped_gate(fills, n, bucket))
                 toks, self.cache = fn(self.params, self.cache,
                                       jnp.asarray(cur_tok), seq_lens,
-                                      step_key)
+                                      step_key, samp)
                 toks_np = np.asarray(toks)                    # (n, B)
 
             for slot in active:
@@ -997,12 +1067,14 @@ class ServingEngine:
                            self.cfg.max_decode_burst))
             seq_lens = jnp.asarray(self.slot_len, jnp.int32)
             self._rng_key, step_key = jax.random.split(self._rng_key)
+            samp = self._samp_arrays()
             if self._paged:
                 toks, self.cache = self._paged_decode(
-                    n, cur_tok, seq_lens, step_key, active)
+                    n, cur_tok, seq_lens, step_key, active, samp=samp)
             elif n == 1:
                 nxt, self.cache = self._decode(self.params, self.cache,
-                                               cur_tok, seq_lens, step_key)
+                                               cur_tok, seq_lens, step_key,
+                                               samp)
                 toks = nxt[None, :]
             else:
                 s_need = int(max(self.slot_len[s] for s in active)) + n
@@ -1011,7 +1083,7 @@ class ServingEngine:
                 fn = self._build_decode_burst(
                     n, bucket, grouped=self._grouped_gate(fills, n, bucket))
                 toks, self.cache = fn(self.params, self.cache, cur_tok,
-                                      seq_lens, step_key)
+                                      seq_lens, step_key, samp)
             cur_tok = toks[-1]
             takes = []
             for slot in active:

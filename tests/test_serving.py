@@ -791,3 +791,70 @@ class TestGroupedGate:
         t_fus, _ = burst_forward(params, cache, cur, seq_lens, keys, cfg,
                                  select, prefer_grouped=False, **kw)
         np.testing.assert_array_equal(np.asarray(t_grp), np.asarray(t_fus))
+
+
+class TestPerRequestSampling:
+    def _cfg(self, **kw):
+        base = dict(vocab_size=128, d_model=64, n_layers=2, n_heads=2,
+                    n_kv_heads=2, d_ff=128, max_seq_len=64, max_batch=4,
+                    weight_bits=8)
+        base.update(kw)
+        cfg = LlamaConfig(**base)
+        cfg.prefill_buckets = (16,)
+        return cfg
+
+    def test_mixed_batch_greedy_slots_unaffected(self):
+        """Greedy requests in a batch with sampled requests must generate
+        exactly what an all-greedy batch generates (t <= 0 slots take the
+        argmax path inside the vectorized sampler)."""
+        from ppq_tpu.serving.engine import SamplingParams
+        cfg = self._cfg()
+        params = init_llama_params(cfg, seed=5)
+        prompts = [[2, 5, 9], [3, 7], [4, 8, 11, 13], [6, 1]]
+
+        def gen(samplings):
+            eng = ServingEngine(cfg, params)
+            reqs = [Request(i, p, max_new_tokens=8, sampling=sp)
+                    for i, (p, sp) in enumerate(zip(prompts, samplings))]
+            eng.run(reqs, sync_every=4)
+            return [r.generated for r in reqs]
+
+        all_greedy = gen([None] * 4)
+        hot = SamplingParams(temperature=1.5, top_k=20, seed=0)
+        mixed = gen([None, hot, None, hot])
+        assert mixed[0] == all_greedy[0]
+        assert mixed[2] == all_greedy[2]
+        # the sampled slots produce full-length outputs
+        assert len(mixed[1]) == 8 and len(mixed[3]) == 8
+
+    def test_topk1_equals_greedy(self):
+        """temperature > 0 with top_k = 1 collapses to greedy."""
+        from ppq_tpu.serving.engine import SamplingParams
+        cfg = self._cfg()
+        params = init_llama_params(cfg, seed=6)
+        prompts = [[2, 5, 9], [3, 7], [4, 8, 11], [6, 1]]
+
+        def gen(sp):
+            eng = ServingEngine(cfg, params)
+            reqs = [Request(i, p, max_new_tokens=6, sampling=sp)
+                    for i, p in enumerate(prompts)]
+            eng.run(reqs, sync_every=3)
+            return [r.generated for r in reqs]
+
+        greedy = gen(None)
+        k1 = gen(SamplingParams(temperature=0.8, top_k=1))
+        assert greedy == k1
+
+    def test_paged_engine_per_request_sampling(self):
+        from ppq_tpu.serving.engine import SamplingParams
+        # kernel-supported shapes: head_dim 128 (d_model 256 / 2 heads)
+        cfg = self._cfg(d_model=256, d_ff=256, max_seq_len=128)
+        cfg.paged_kv = True
+        cfg.kv_block_size = 128
+        cfg.ragged_interpret = True
+        eng = ServingEngine(cfg, init_llama_params(cfg, seed=7))
+        hot = SamplingParams(temperature=1.2, top_p=0.9, seed=1)
+        reqs = [Request(0, [2, 5, 9], max_new_tokens=6, sampling=hot),
+                Request(1, [3, 7, 1], max_new_tokens=6)]
+        eng.run(reqs, sync_every=3)
+        assert all(r.done and len(r.generated) == 6 for r in reqs)
