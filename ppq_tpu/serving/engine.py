@@ -229,21 +229,29 @@ class ServingEngine:
             # exact flash-triple merges (paged.py paged_decode_sp).
             self._paged_sp_mesh = None
             self._paged_dp = 1
+            self._paged_sp_pp = False
             if mesh is not None and mesh.size > 1:
                 shape = dict(mesh.shape)
                 if shape.get('sp', 1) > 1:
                     if shape.get('pp', 1) > 1:
-                        raise NotImplementedError(
-                            'paged_kv + sp composes with tp and dp '
-                            '(sp / sp x tp / dp x sp meshes), not pp')
-                    self._paged_sp_mesh = mesh
-                    # dp x sp: batch slots partition over dp rows; pool
-                    # blocks shard over the flattened ('dp','sp') axes
-                    # with dp-disjoint allocation (GroupedBlockAllocator)
-                    self._paged_dp = shape.get('dp', 1)
-                    if cfg.max_batch % self._paged_dp:
-                        raise ValueError('paged_kv + dp needs max_batch '
-                                         '% dp == 0')
+                        if shape.get('dp', 1) > 1 or shape.get('tp', 1) > 1:
+                            raise NotImplementedError(
+                                'paged_kv + sp x pp composes only as a '
+                                'pure pp x sp mesh (no dp/tp axes)')
+                        # sp x pp: pools shard (layer, block) over
+                        # ('pp','sp'); the staged paths (pipeline.py)
+                        # localize block rows per sp shard and flash-merge
+                        # the decode triples over 'sp'
+                        self._paged_sp_pp = True
+                    else:
+                        self._paged_sp_mesh = mesh
+                        # dp x sp: batch slots partition over dp rows; pool
+                        # blocks shard over the flattened ('dp','sp') axes
+                        # with dp-disjoint allocation (GroupedBlockAllocator)
+                        self._paged_dp = shape.get('dp', 1)
+                        if cfg.max_batch % self._paged_dp:
+                            raise ValueError('paged_kv + dp needs max_batch '
+                                             '% dp == 0')
                 if shape.get('pp', 1) > 1 and \
                         cfg.n_layers % shape['pp'] != 0:
                     raise ValueError('paged_kv + pp needs n_layers % pp '
@@ -260,7 +268,7 @@ class ServingEngine:
             mb_per_seq = cfg.max_seq_len // BLK
             n_blocks = cfg.kv_pool_blocks or \
                 (cfg.max_batch * mb_per_seq + 1)
-            if self._paged_sp_mesh is not None:
+            if self._paged_sp_mesh is not None or self._paged_sp_pp:
                 shards = dict(mesh.shape)['sp'] * self._paged_dp
                 n_blocks = -(-n_blocks // shards) * shards
             self._alloc = self._make_alloc(n_blocks, mb_per_seq, BLK)
@@ -306,9 +314,12 @@ class ServingEngine:
             if self.mesh is not None and \
                     dict(self.mesh.shape).get('pp', 1) > 1:
                 # stage-local pools: shard the leading layer axis like the
-                # dense slabs (pipeline.py staged paged paths)
+                # dense slabs (pipeline.py staged paged paths); on an
+                # sp x pp mesh the BLOCK axis additionally shards 'sp'
+                sp_ax = ('sp' if getattr(self, '_paged_sp_pp', False)
+                         else None)
                 pools = {k: jax.device_put(
-                    v, NamedSharding(self.mesh, P('pp')))
+                    v, NamedSharding(self.mesh, P('pp', sp_ax)))
                     for k, v in pools.items()}
             elif getattr(self, '_paged_sp_mesh', None) is not None:
                 # 'sp' (optionally x 'tp'): shard the BLOCK axis — per-

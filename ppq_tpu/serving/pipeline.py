@@ -412,6 +412,41 @@ def burst_forward_staged(params: Dict, cache: Dict, tokens, seq_lens, keys,
 # replicated (tiny). Reads go through paged_decode_xla (GSPMD-free inside
 # shard_map — each stage gathers from its LOCAL slab), writes are one
 # scatter per pool array per stage at burst/prefill end.
+#
+# sp x pp composition: the pools additionally shard their BLOCK axis over
+# 'sp' — P('pp', 'sp') — so per-chip pool memory is NB / (n_pp * n_sp).
+# Activations ride the 'pp' ring exactly as before (replicated over 'sp');
+# the three pool-touching ops localize block rows per sp shard the same
+# way the flat sp paths do (paged.py):
+#   * frozen decode reads: each (stage, sp) device computes the flash
+#     triple over ITS blocks (out-of-shard table entries masked) and the
+#     triples merge over 'sp' with the exact pmax/psum flash-decoding
+#     combine BEFORE joining the in-burst buffer;
+#   * writes: the same scatter with sp-localized rows, out-of-shard
+#     updates dropped (each block lives on exactly one sp shard);
+#   * chunked-prefill prefix gathers: each sp shard contributes its
+#     blocks zero-filled elsewhere; a psum over 'sp' rebuilds the dense
+#     prefix.
+
+
+def _sp_axis(mesh) -> int:
+    """Size of the optional 'sp' axis the paged pools' block dim shards
+    over (sp x pp composition; 1 = pools replicated over no sp axis)."""
+    return dict(mesh.shape).get('sp', 1)
+
+
+def _sp_block_offset(nb_local):
+    """This sp shard's first global pool row (block axis sharded 'sp')."""
+    return jax.lax.axis_index('sp') * nb_local
+
+
+def _sp_merge_triple(acc, m, l):
+    """Exact flash-decoding combine of per-sp-shard partial-softmax
+    triples (disjoint key sets): same math as paged.paged_decode_sp."""
+    m_g = jax.lax.pmax(m, 'sp')
+    w = jnp.exp(m - m_g)
+    return jax.lax.psum(acc * w[..., None], 'sp'), m_g, jax.lax.psum(w * l,
+                                                                     'sp')
 
 def prefill_staged_paged(params: Dict, pools: Dict, tokens, lengths, tables,
                          active, cfg, mesh: Mesh, axis_name: str = 'pp',
@@ -441,8 +476,10 @@ def prefill_staged_paged(params: Dict, pools: Dict, tokens, lengths, tables,
                                  (B, T))
     causal = (jnp.arange(T)[None, :] <= jnp.arange(T)[:, None])   # (T, T)
     layers = params['layers']
+    n_sp = _sp_axis(mesh)
     p_spec = jax.tree.map(lambda _: P(axis_name), layers)
-    pool_spec = jax.tree.map(lambda _: P(axis_name), pools)
+    pool_spec = jax.tree.map(
+        lambda _: P(axis_name, 'sp') if n_sp > 1 else P(axis_name), pools)
 
     def stage(local_layers, local_pools, x_all, tables, active_all):
         idx = jax.lax.axis_index(axis_name)
@@ -536,7 +573,9 @@ def prefill_staged_paged(params: Dict, pools: Dict, tokens, lengths, tables,
             local_pools, kcol, vcol,
             kscol if int8_cache else None,
             vscol if int8_cache else None,
-            tables, write_pos, active_all)
+            tables, write_pos, active_all,
+            blk_offset=(_sp_block_offset(local_pools['kv'].shape[1])
+                        if n_sp > 1 else None))
         return out, new_pools
 
     fn = shard_map(stage, mesh=mesh,
@@ -583,8 +622,10 @@ def burst_forward_staged_paged(params: Dict, pools: Dict, tokens, seq_lens,
     mb = B // M
 
     layers = params['layers']
+    n_sp = _sp_axis(mesh)
     p_spec = jax.tree.map(lambda _: P(axis_name), layers)
-    pool_spec = jax.tree.map(lambda _: P(axis_name), pools)
+    pool_spec = jax.tree.map(
+        lambda _: P(axis_name, 'sp') if n_sp > 1 else P(axis_name), pools)
 
     def stage(local_layers, local_pools, tokens0, seq_lens, tables, keys,
               embed, final_norm, lm_head):
@@ -637,10 +678,21 @@ def burst_forward_staged_paged(params: Dict, pools: Dict, tokens, seq_lens,
 
             q_g = q.reshape(mb, 1, KV, rep, Dh).astype(jnp.bfloat16)
             # frozen pool part: gather this layer's blocks from the LOCAL
-            # flattened pool (layer-offset tables)
-            acc_f, m_f, l_f = paged_decode_xla(
-                q_g[:, 0], kv_flat, sc_flat,
-                rows_of(tables) + li * NB, rows_of(seq_lens))
+            # flattened pool (layer-offset tables); on an sp x pp mesh
+            # each sp shard reads only ITS blocks (out-of-shard entries
+            # masked) and the partial triples flash-merge over 'sp'
+            if n_sp > 1:
+                loc = rows_of(tables) - _sp_block_offset(NB)
+                inb = (loc >= 0) & (loc < NB)
+                loc = jnp.where(inb, loc, 0)
+                acc_f, m_f, l_f = paged_decode_xla(
+                    q_g[:, 0], kv_flat, sc_flat, loc + li * NB,
+                    rows_of(seq_lens), entry_mask=inb)
+                acc_f, m_f, l_f = _sp_merge_triple(acc_f, m_f, l_f)
+            else:
+                acc_f, m_f, l_f = paged_decode_xla(
+                    q_g[:, 0], kv_flat, sc_flat,
+                    rows_of(tables) + li * NB, rows_of(seq_lens))
             # in-burst buffer part (current column already written)
             kb = rows_of(kbuf[li])
             vb = rows_of(vbuf[li])
@@ -705,7 +757,8 @@ def burst_forward_staged_paged(params: Dict, pools: Dict, tokens, seq_lens,
             local_pools, kbuf, vbuf,
             ksb if int8_cache else None,
             vsb if int8_cache else None,
-            tables, seq_lens, None)
+            tables, seq_lens, None,
+            blk_offset=(_sp_block_offset(NB) if n_sp > 1 else None))
         return toks, new_pools
 
     fn = shard_map(stage, mesh=mesh,
@@ -758,8 +811,10 @@ def prefill_chunk_staged_paged(params: Dict, pools: Dict, tokens, write_pos,
     pfx_mask = slot_ids < write_pos[:, None, None, None, None]  # (B,1,1,1,Sp)
     tbl_p = jnp.asarray(tables, jnp.int32)[:, :prefix_blocks]   # (B, P)
     layers = params['layers']
+    n_sp = _sp_axis(mesh)
     p_spec = jax.tree.map(lambda _: P(axis_name), layers)
-    pool_spec = jax.tree.map(lambda _: P(axis_name), pools)
+    pool_spec = jax.tree.map(
+        lambda _: P(axis_name, 'sp') if n_sp > 1 else P(axis_name), pools)
 
     def stage(local_layers, local_pools, x_all, tbl_p, tables, write_pos,
               active_all):
@@ -814,12 +869,33 @@ def prefill_chunk_staged_paged(params: Dict, pools: Dict, tokens, write_pos,
                     vscol = masked_dus(vscol, v_s[None], (li, row0, 0, 0))
 
                 # stage-local prefix gather (pre-chunk pool state: all
-                # scatters defer to the stage end)
-                kvp = local_pools['kv'][li][tbl_rows]  # (mb,P,2,BLK,KVDh)
+                # scatters defer to the stage end); on an sp x pp mesh
+                # each sp shard contributes its blocks (zeros elsewhere)
+                # and a psum over 'sp' rebuilds the dense prefix — every
+                # block lives on exactly one sp shard
+                if n_sp > 1:
+                    nb_local = local_pools['kv'].shape[1]
+                    loc = tbl_rows - _sp_block_offset(nb_local)
+                    inb = (loc >= 0) & (loc < nb_local)
+                    loc = jnp.where(inb, loc, 0)
+                    kvp = local_pools['kv'][li][loc]
+                    kvp = jnp.where(inb[:, :, None, None, None], kvp, 0)
+                    kvp = jax.lax.psum(
+                        kvp.astype(jnp.int32)
+                        if kvp.dtype == jnp.int8 else kvp, 'sp'
+                    ).astype(local_pools['kv'].dtype)
+                    if int8_cache:
+                        scp = local_pools['kv_scale'][li][loc]
+                        scp = jnp.where(inb[:, :, None, None, None],
+                                        scp, 0.0)
+                        scp = jax.lax.psum(scp, 'sp')
+                else:
+                    kvp = local_pools['kv'][li][tbl_rows]
+                    if int8_cache:
+                        scp = local_pools['kv_scale'][li][tbl_rows]
                 kp = kvp[:, :, 0].reshape(mb, Sp, KV, Dh)
                 vp = kvp[:, :, 1].reshape(mb, Sp, KV, Dh)
                 if int8_cache:
-                    scp = local_pools['kv_scale'][li][tbl_rows]
                     kps = scp[:, :, 0].transpose(0, 2, 1, 3).reshape(
                         mb, KV, Sp)
                     vps = scp[:, :, 1].transpose(0, 2, 1, 3).reshape(
@@ -880,7 +956,9 @@ def prefill_chunk_staged_paged(params: Dict, pools: Dict, tokens, write_pos,
             local_pools, kcol, vcol,
             kscol if int8_cache else None,
             vscol if int8_cache else None,
-            tables, write_pos, active_all)
+            tables, write_pos, active_all,
+            blk_offset=(_sp_block_offset(local_pools['kv'].shape[1])
+                        if n_sp > 1 else None))
         return out, new_pools
 
     fn = shard_map(stage, mesh=mesh,

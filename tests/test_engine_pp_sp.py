@@ -329,11 +329,12 @@ def test_sp_paged_chunked_prefill_long_prompt():
 
 
 def test_sp_paged_rejects_mixed_axes():
-    # dp x sp is supported (GroupedBlockAllocator); pp x sp is not
+    # dp x sp and pp x sp are supported; sp x pp with a further dp/tp
+    # axis is not (the staged paths' collectives are pp+sp only)
     cfg = _paged_cfg()
     with pytest.raises(NotImplementedError):
         ServingEngine(cfg, init_llama_params(cfg, seed=0),
-                      mesh=_mesh([('pp', 2), ('sp', 2)]))
+                      mesh=_mesh([('pp', 2), ('sp', 2), ('tp', 2)]))
 
 
 def test_sp_tp_paged_engine_generates():
@@ -514,3 +515,99 @@ def test_dpsp_paged_chunked_prefill_long_prompt():
             Request(1, rng.randint(1, 96, 40).tolist(), max_new_tokens=4)]
     eng.run(reqs, sync_every=4)
     assert all(r.done and len(r.generated) == 4 for r in reqs)
+
+
+# --------------------------------------------------- paged KV + pp x sp ----
+
+def test_ppsp_paged_engine_generates():
+    """paged_kv on a ('pp', 'sp') mesh: pools shard (layer, block) over
+    ('pp', 'sp') — per-chip pool memory NB / (n_pp * n_sp); the staged
+    paged paths localize block rows per sp shard and flash-merge decode
+    triples over 'sp' (pipeline.py)."""
+    cfg = _paged_cfg()
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=13),
+                        mesh=_mesh([('pp', 2), ('sp', 2)]))
+    spec = eng.cache['kv'].sharding.spec
+    assert spec[0] == 'pp' and spec[1] == 'sp', spec
+    reqs = _run_engine(eng)
+    assert all(r.done and len(r.generated) == 6 for r in reqs)
+
+
+def test_ppsp_paged_matches_single_device():
+    """Generation oracle: the pp x sp staged paged engine tracks the
+    single-device paged engine (kernel-supported shapes: head_dim 128)
+    on the first greedy tokens."""
+    cfg = LlamaConfig(vocab_size=97, d_model=256, n_layers=2, n_heads=2,
+                      n_kv_heads=2, d_ff=256, max_seq_len=128,
+                      max_batch=4, weight_bits=8, prefill_buckets=(16,))
+    cfg.paged_kv = True
+    cfg.kv_block_size = 128
+    cfg.ragged_interpret = True      # CPU: interpreted Pallas kernels
+    params = init_llama_params(cfg, seed=14)
+    rng = np.random.RandomState(15)
+    prompts = [rng.randint(1, 96, 12).tolist() for _ in range(4)]
+
+    def gen(mesh):
+        eng = ServingEngine(cfg, params, mesh=mesh)
+        reqs = [Request(i, p, max_new_tokens=8)
+                for i, p in enumerate(prompts)]
+        eng.run(reqs, sync_every=4)
+        return [r.generated for r in reqs]
+
+    ref = gen(None)
+    got = gen(_mesh([('pp', 2), ('sp', 2)]))
+    # greedy ties under bf16 cross-compilation can flip a tail token;
+    # demand agreement on the first tokens of every sequence
+    for r, g in zip(ref, got):
+        assert r[:3] == g[:3], (r, g)
+
+
+def test_ppsp_paged_prefill_logits_match_single_device():
+    """Teacher-forced oracle: staged paged prefill on a pp x sp mesh
+    tracks the single-device paged prefill; blocks land distributed over
+    the sp shards (each block on exactly one)."""
+    cfg = _paged_cfg()
+    params = init_llama_params(cfg, seed=16)
+    rng = np.random.RandomState(17)
+    toks = rng.randint(1, 96, (4, 16)).astype(np.int32)
+    lengths = jnp.full((4,), 16, jnp.int32)
+    active = jnp.ones((4,), bool)
+
+    from ppq_tpu.serving.paged import init_paged_pools, prefill_paged
+    from ppq_tpu.serving.pipeline import (prefill_staged_paged,
+                                          stack_layer_params)
+    NBLK = 8   # divisible by n_sp=2; blocks 1..4 land on both shards
+    tables = np.zeros((4, cfg.max_seq_len // cfg.kv_block_size), np.int32)
+    for s in range(4):
+        tables[s, 0] = s + 1
+    pools0 = init_paged_pools(cfg, NBLK)
+    ref_logits, ref_pools = prefill_paged(
+        params, pools0, jnp.asarray(toks), lengths, jnp.asarray(tables),
+        active, cfg)
+
+    sp = dict(params)
+    sp['layers'] = stack_layer_params(params['layers'])
+    mesh = _mesh([('pp', 2), ('sp', 2)])
+    pools1 = init_paged_pools(cfg, NBLK)
+    got_logits, got_pools = prefill_staged_paged(
+        sp, pools1, jnp.asarray(toks), lengths, jnp.asarray(tables),
+        active, cfg, mesh, 'pp')
+    assert np.max(np.abs(np.asarray(got_logits) -
+                         np.asarray(ref_logits))) < TOL
+    kv_ref = np.asarray(ref_pools['kv'])[:, 1:5]
+    kv_got = np.asarray(got_pools['kv'])[:, 1:5]
+    assert np.max(np.abs(kv_ref.astype(np.int32) -
+                         kv_got.astype(np.int32))) <= 1
+
+
+def test_ppsp_paged_chunked_prefill_long_prompt():
+    """Chunked paged prefill through the pp x sp staged path: a prompt
+    beyond every bucket streams into the doubly-sharded pool (exercises
+    the psum-over-'sp' prefix rebuild)."""
+    cfg = _paged_cfg()
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=18),
+                        mesh=_mesh([('pp', 2), ('sp', 2)]))
+    rng = np.random.RandomState(19)
+    reqs = [Request(0, rng.randint(1, 96, 50).tolist(), max_new_tokens=4)]
+    eng.run(reqs, sync_every=4)
+    assert reqs[0].done and len(reqs[0].generated) == 4
