@@ -76,6 +76,15 @@ class LlamaConfig:
     # without host syncs, so chunking costs little end-to-end). 128 is the
     # measured sweet spot for the merge-composition decode path on v5e.
     max_decode_burst: int = 128
+    # in-burst banked-buffer chunk length: the burst scan carries only a
+    # burst_chunk-column buffer chunk (finished chunks join as scan
+    # invariants) so the per-step carry rewrite — which XLA never aliases
+    # in place (probes/bank_dus.py) — touches n/burst_chunk x fewer bytes.
+    # None = single chunk (the full n-column carry): chunking MEASURED
+    # SLOWER on v5e at the bench operating point (probes/chunk_ab.py —
+    # the extra per-chunk einsums outweigh the rewrite savings); the knob
+    # stays for buffer-dominated configs (huge B x n, small model).
+    burst_chunk: Optional[int] = None
 
     @property
     def head_dim(self) -> int:

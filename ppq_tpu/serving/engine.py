@@ -511,7 +511,8 @@ class ServingEngine:
                                      s_limit=s_limit,
                                      ragged=ragged,
                                      ragged_interpret=cfg.ragged_interpret,
-                                     prefer_grouped=grouped)
+                                     prefer_grouped=grouped,
+                                     chunk=cfg.burst_chunk)
         else:
             # pp path: frozen-cache staged burst — per-stage slabs stay
             # frozen through the scan, only the small in-burst buffers are
@@ -760,7 +761,8 @@ class ServingEngine:
                     params, pools, tokens, seq_lens, tables, keys, cfg,
                     sel, ragged_interpret=cfg.ragged_interpret,
                     use_kernel=self._paged_kernel,
-                    sp_mesh=self._paged_sp_mesh)
+                    sp_mesh=self._paged_sp_mesh,
+                    chunk=cfg.burst_chunk)
         self._decode_burst[key] = decode_burst
         return decode_burst
 

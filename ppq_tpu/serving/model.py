@@ -492,11 +492,14 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                   keys: jnp.ndarray, cfg: LlamaConfig, select_fn,
                   s_limit: Optional[int] = None, ragged: bool = False,
                   ragged_interpret: bool = False,
-                  prefer_grouped: bool = True):
-    """n consecutive decode steps in one lax.scan with the big KV cache
-    FROZEN: in-burst K/V live in a small (L, B, n, KV, Dh) bf16 buffer
-    carried through the scan; the cache is written ONCE at the end
-    (quantize + per-slot window write).
+                  prefer_grouped: bool = True,
+                  chunk: Optional[int] = None):
+    """n consecutive decode steps with the big KV cache FROZEN: in-burst
+    K/V live in small per-layer (B, CH, KV, Dh) chunk buffers carried
+    through a lax.scan (CH-column chunks; finished chunks ride the next
+    chunk's scan as invariant operands — see the chunked-carry comment
+    below); the cache is written ONCE at burst end (quantize + per-slot
+    window write).
 
     s_limit bounds the frozen-cache READ to the first s_limit slots (a
     static bucket the engine picks as the smallest power of two covering
@@ -542,17 +545,38 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
     a8 = getattr(cfg, 'act_bits', 16) == 8
 
     buf_dtype = jnp.int8 if int8_cache else jnp.bfloat16
+    # Chunked banked carry: the scan carries only the CURRENT CH-column
+    # chunk of the in-burst buffer; finished chunks ride as scan-invariant
+    # operands through a statically unrolled outer loop over chunks. XLA
+    # never aliases a DUS'd carry leaf in place (probes/bank_dus.py), so
+    # per-step rewrite traffic is proportional to the carried LEAF bytes —
+    # chunking cuts the rewrite n/CH x, and the in-burst attention reads
+    # only the WRITTEN prefix (finished chunks + current) instead of all n
+    # buffer columns every step.
+    # MEASURED NEGATIVE (probes/chunk_ab.py, v5e, B=128 L=16 d2048 n=32):
+    # chunking LOSES end-to-end — 24,788 tok/s single-chunk vs 24,126 at
+    # CH=8 and 23,376 at CH=4. The smaller carry rewrite saves ~0.3 ms/step
+    # but the extra per-chunk einsum+concat ops (avg (NCH+1)/2 buffer
+    # parts x 2 einsums x L layers) cost more. Default stays single-chunk;
+    # the machinery remains for configs where the buffer dominates
+    # (cfg.burst_chunk).
+    if chunk is not None:
+        CH = chunk if (n > chunk and n % chunk == 0) else n
+    else:
+        CH = n
+    NCH = n // CH
     # per-layer buffer LEAVES (not one stacked array): inside the scan only
     # the touched leaf is rewritten per layer — a stacked (L, ...) buffer
     # makes XLA copy the whole thing on every layer's update
-    kbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
-    vbuf0 = tuple(jnp.zeros((B, n, KV, Dh), buf_dtype) for _ in range(L))
-    # buffer scales live TRANSPOSED (B, KV, n): n on lanes is what both the
-    # fused kernel and the logits broadcast want — no per-step transposes
-    ksb0 = tuple(jnp.zeros((B, KV, n), jnp.float32) for _ in range(L))
-    vsb0 = tuple(jnp.zeros((B, KV, n), jnp.float32) for _ in range(L))
+    kbuf0 = tuple(jnp.zeros((B, CH, KV, Dh), buf_dtype) for _ in range(L))
+    vbuf0 = tuple(jnp.zeros((B, CH, KV, Dh), buf_dtype) for _ in range(L))
+    # buffer scales live TRANSPOSED (B, KV, CH): columns on lanes is what
+    # both the fused kernel and the logits broadcast want — no per-step
+    # transposes
+    ksb0 = tuple(jnp.zeros((B, KV, CH), jnp.float32) for _ in range(L))
+    vsb0 = tuple(jnp.zeros((B, KV, CH), jnp.float32) for _ in range(L))
     slot_ids = jnp.arange(S)[None, None, None, :]            # (1,1,1,S)
-    buf_ids = jnp.arange(n)[None, None, None, :]             # (1,1,1,n)
+    buf_ids = jnp.arange(CH)[None, None, None, :]            # (1,1,1,CH)
 
     frozen_mask = slot_ids < seq_lens[:, None, None, None]   # (B,1,1,S)
 
@@ -612,112 +636,175 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                 else:
                     sc_pools.append(None)
 
-    def step(carry, inp):
-        cur_tok, kbuf, vbuf, ksb, vsb, i = carry
-        kbuf, vbuf = list(kbuf), list(vbuf)
-        ksb, vsb = list(ksb), list(vsb)
-        key = inp
-        pos = seq_lens + i                                   # (B,)
-        x = params['embed'][cur_tok][:, None, :]             # (B,1,D)
-        # rope tables depend only on pos — ONE build per step, not per layer
-        r_cos, r_sin = rope_tables(pos[:, None], cfg.rope_theta, Dh)
-        for li, layer in enumerate(params['layers']):
-            h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
-            q, k, v = project_qkv(h, layer, cfg, pall)
-            q = rope_apply(q, r_cos, r_sin)
-            k = rope_apply(k, r_cos, r_sin)
-            # bank this step's K/V at buffer column i (write before read),
-            # quantized exactly like the cache so burst == step-by-step
-            if int8_cache:
-                k_q, k_s = _kv_quant(k)
-                v_q, v_s = _kv_quant(v)
-                ksb[li] = jax.lax.dynamic_update_slice(
-                    ksb[li], k_s.transpose(0, 2, 1), (0, 0, i))
-                vsb[li] = jax.lax.dynamic_update_slice(
-                    vsb[li], v_s.transpose(0, 2, 1), (0, 0, i))
-            else:
-                k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
-            kbuf[li] = jax.lax.dynamic_update_slice(
-                kbuf[li], k_q, (0, i, 0, 0))
-            vbuf[li] = jax.lax.dynamic_update_slice(
-                vbuf[li], v_q, (0, i, 0, 0))
+    def make_step(fin_k, fin_v, fin_ks, fin_vs, c0):
+        """Scan body for the chunk starting at burst column c0. fin_*:
+        per-layer tuples of FINISHED chunk buffers (scan-invariant)."""
 
-            q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
-            # in-burst buffer logits (causal over steps ≤ i)
-            lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
-                            kbuf[li].astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-            lb = lb[:, :, :, 0, :]                           # (B,KV,rep,n)
-            if int8_cache:
-                lb = lb * ksb[li][:, :, None, :]
-            lb = jnp.where(buf_ids <= i, lb / np.sqrt(Dh), -1e30)
-
-            if ragged:
-                # frozen part via the paged kernel (only filled blocks
-                # read); the in-burst buffer joins via an exact partial-
-                # softmax merge. NOTE: the fully-fused kernel variant
-                # (paged_attention_decode_buffered) measured ~6-10% SLOWER
-                # end-to-end on v5e and degraded O(n) with burst length —
-                # the XLA buffer einsum + merge is the faster composition.
-                if G > 1:
-                    acc_f, m_f, l_f = paged_attention_decode_grouped(
-                        q_g[:, 0], kv_pools[li], sc_pools[li], seq_lens,
-                        block_size=RBLK, group=G,
-                        interpret=ragged_interpret)
+        def step(carry, inp):
+            cur_tok, kbuf, vbuf, ksb, vsb, i = carry
+            kbuf, vbuf = list(kbuf), list(vbuf)
+            ksb, vsb = list(ksb), list(vsb)
+            key = inp
+            pos = seq_lens + i                               # (B,)
+            ic = i - c0                                      # column in chunk
+            x = params['embed'][cur_tok][:, None, :]         # (B,1,D)
+            # rope tables depend only on pos — ONE build per step
+            r_cos, r_sin = rope_tables(pos[:, None], cfg.rope_theta, Dh)
+            for li, layer in enumerate(params['layers']):
+                h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
+                q, k, v = project_qkv(h, layer, cfg, pall)
+                q = rope_apply(q, r_cos, r_sin)
+                k = rope_apply(k, r_cos, r_sin)
+                # bank this step's K/V at chunk column ic (write before
+                # read), quantized exactly like the cache so burst ==
+                # step-by-step
+                if int8_cache:
+                    k_q, k_s = _kv_quant(k)
+                    v_q, v_s = _kv_quant(v)
+                    ksb[li] = jax.lax.dynamic_update_slice(
+                        ksb[li], k_s.transpose(0, 2, 1), (0, 0, ic))
+                    vsb[li] = jax.lax.dynamic_update_slice(
+                        vsb[li], v_s.transpose(0, 2, 1), (0, 0, ic))
                 else:
-                    acc_f, m_f, l_f = paged_attention_decode_fused(
-                        q_g[:, 0], kv_pools[li], sc_pools[li], tbl,
-                        seq_lens, block_size=RBLK,
-                        interpret=ragged_interpret)
-                m_b = jnp.max(lb, axis=-1)                   # (B,KV,rep)
-                p_b = jnp.exp(lb - m_b[..., None])
-                l_b = jnp.sum(p_b, axis=-1)
-                if int8_cache:
-                    p_b = p_b * vsb[li][:, :, None, :]
-                acc_b = jnp.einsum('bkrj,bjkd->bkrd',
-                                   p_b.astype(jnp.bfloat16),
-                                   vbuf[li].astype(jnp.bfloat16),
+                    k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
+                kbuf[li] = jax.lax.dynamic_update_slice(
+                    kbuf[li], k_q, (0, ic, 0, 0))
+                vbuf[li] = jax.lax.dynamic_update_slice(
+                    vbuf[li], v_q, (0, ic, 0, 0))
+
+                q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
+
+                def buf_logits(buf, scales, masked):
+                    t = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
+                                   buf.astype(jnp.bfloat16),
                                    preferred_element_type=jnp.float32)
-                ctx = merge_attention([(acc_f, m_f, l_f),
-                                       (acc_b, m_b, l_b)])
-            else:
-                # frozen-cache logits (int8 read, scales folded post-dot)
-                lf = jnp.einsum('btkrd,bskd->bkrts', q_g,
-                                cache['k'][li][:, :S].astype(jnp.bfloat16),
-                                preferred_element_type=jnp.float32)
-                lf = lf[:, :, :, 0, :]                       # (B,KV,rep,S)
-                if int8_cache:
-                    lf = lf * cache['k_scale'][li][:, :S] \
-                        .transpose(0, 2, 1)[:, :, None, :]
-                lf = jnp.where(frozen_mask, lf / np.sqrt(Dh), -1e30)
+                    t = t[:, :, :, 0, :]                     # (B,KV,rep,CH)
+                    if int8_cache:
+                        t = t * scales[:, :, None, :]
+                    if masked:    # current chunk: causal over columns ≤ ic
+                        return jnp.where(buf_ids <= ic,
+                                         t / np.sqrt(Dh), -1e30)
+                    return t / np.sqrt(Dh)                   # fully written
+                # in-burst logits: finished chunks (fully valid) + the
+                # masked current chunk — only the written prefix is read
+                lb_parts = [buf_logits(fk, fks, False)
+                            for fk, fks in zip(fin_k[li], fin_ks[li])]
+                lb_parts.append(buf_logits(kbuf[li], ksb[li], True))
+                lb = jnp.concatenate(lb_parts, axis=-1) \
+                    if len(lb_parts) > 1 else lb_parts[0]
+                v_chunks = list(fin_v[li]) + [vbuf[li]]
+                vs_chunks = list(fin_vs[li]) + [vsb[li]]
 
-                joint = jnp.concatenate([lf, lb], axis=-1)
-                probs = jax.nn.softmax(joint, axis=-1)
-                pf, pb = probs[..., :S], probs[..., S:]
-                if int8_cache:
-                    pf = pf * cache['v_scale'][li][:, :S] \
-                        .transpose(0, 2, 1)[:, :, None, :]
-                    pb = pb * vsb[li][:, :, None, :]
-                ctx = jnp.einsum('bkrs,bskd->bkrd', pf.astype(jnp.bfloat16),
-                                 cache['v'][li][:, :S].astype(jnp.bfloat16),
-                                 preferred_element_type=jnp.float32)
-                ctx = ctx + jnp.einsum('bkrj,bjkd->bkrd',
-                                       pb.astype(jnp.bfloat16),
-                                       vbuf[li].astype(jnp.bfloat16),
+                def buf_readout(pb):
+                    """Σ_chunks einsum(probs_chunk · v_scale, v_chunk)."""
+                    acc = None
+                    for ci, (vc, vs) in enumerate(zip(v_chunks, vs_chunks)):
+                        p = pb[..., ci * CH:(ci + 1) * CH]
+                        if int8_cache:
+                            p = p * vs[:, :, None, :]
+                        t = jnp.einsum('bkrj,bjkd->bkrd',
+                                       p.astype(jnp.bfloat16),
+                                       vc.astype(jnp.bfloat16),
                                        preferred_element_type=jnp.float32)
-            ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
-            x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
-            h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
-            x = x + mlp(h, layer, cfg)
-        x = rms_norm(x, params['final_norm'], cfg.rms_eps)
-        logits = qmatmul(x, params['lm_head'],
-                         pallas=pall, a8=a8).astype(jnp.float32)
-        nxt = select_fn(logits[:, 0, :cfg.vocab_size], key)
-        return (nxt, tuple(kbuf), tuple(vbuf), tuple(ksb), tuple(vsb),
-                i + 1), nxt
+                        acc = t if acc is None else acc + t
+                    return acc
 
-    (_, kbuf, vbuf, ksb, vsb, _), toks = jax.lax.scan(
-        step, (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0)), keys)
+                if ragged:
+                    # frozen part via the paged kernel (only filled blocks
+                    # read); the in-burst buffer joins via an exact partial-
+                    # softmax merge. NOTE: the fully-fused kernel variant
+                    # (paged_attention_decode_buffered) measured ~6-10%
+                    # SLOWER end-to-end on v5e and degraded O(n) with burst
+                    # length — the XLA buffer einsum + merge is the faster
+                    # composition.
+                    if G > 1:
+                        acc_f, m_f, l_f = paged_attention_decode_grouped(
+                            q_g[:, 0], kv_pools[li], sc_pools[li], seq_lens,
+                            block_size=RBLK, group=G,
+                            interpret=ragged_interpret)
+                    else:
+                        acc_f, m_f, l_f = paged_attention_decode_fused(
+                            q_g[:, 0], kv_pools[li], sc_pools[li], tbl,
+                            seq_lens, block_size=RBLK,
+                            interpret=ragged_interpret)
+                    m_b = jnp.max(lb, axis=-1)               # (B,KV,rep)
+                    p_b = jnp.exp(lb - m_b[..., None])
+                    l_b = jnp.sum(p_b, axis=-1)
+                    acc_b = buf_readout(p_b)
+                    ctx = merge_attention([(acc_f, m_f, l_f),
+                                           (acc_b, m_b, l_b)])
+                else:
+                    # frozen-cache logits (int8 read, scales folded
+                    # post-dot)
+                    lf = jnp.einsum('btkrd,bskd->bkrts', q_g,
+                                    cache['k'][li][:, :S]
+                                    .astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32)
+                    lf = lf[:, :, :, 0, :]                   # (B,KV,rep,S)
+                    if int8_cache:
+                        lf = lf * cache['k_scale'][li][:, :S] \
+                            .transpose(0, 2, 1)[:, :, None, :]
+                    lf = jnp.where(frozen_mask, lf / np.sqrt(Dh), -1e30)
+
+                    joint = jnp.concatenate([lf, lb], axis=-1)
+                    probs = jax.nn.softmax(joint, axis=-1)
+                    pf, pb = probs[..., :S], probs[..., S:]
+                    if int8_cache:
+                        pf = pf * cache['v_scale'][li][:, :S] \
+                            .transpose(0, 2, 1)[:, :, None, :]
+                    ctx = jnp.einsum('bkrs,bskd->bkrd',
+                                     pf.astype(jnp.bfloat16),
+                                     cache['v'][li][:, :S]
+                                     .astype(jnp.bfloat16),
+                                     preferred_element_type=jnp.float32)
+                    ctx = ctx + buf_readout(pb)
+                ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
+                x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
+                h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
+                x = x + mlp(h, layer, cfg)
+            x = rms_norm(x, params['final_norm'], cfg.rms_eps)
+            logits = qmatmul(x, params['lm_head'],
+                             pallas=pall, a8=a8).astype(jnp.float32)
+            nxt = select_fn(logits[:, 0, :cfg.vocab_size], key)
+            return (nxt, tuple(kbuf), tuple(vbuf), tuple(ksb), tuple(vsb),
+                    i + 1), nxt
+
+        return step
+
+    # statically unrolled loop over chunks: each chunk's scan carries only
+    # its own CH columns; completed chunks join the next scan as invariant
+    # operands (no per-step copy)
+    fin_k = tuple([] for _ in range(L))
+    fin_v = tuple([] for _ in range(L))
+    fin_ks = tuple([] for _ in range(L))
+    fin_vs = tuple([] for _ in range(L))
+    carry = (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0))
+    toks_chunks = []
+    for c in range(NCH):
+        snap = [tuple(tuple(per_layer) for per_layer in f)
+                for f in (fin_k, fin_v, fin_ks, fin_vs)]
+        step = make_step(*snap, c * CH)
+        (cur_tok, kbuf, vbuf, ksb, vsb, i), toks_c = jax.lax.scan(
+            step, carry, keys[c * CH:(c + 1) * CH])
+        for li in range(L):
+            fin_k[li].append(kbuf[li])
+            fin_v[li].append(vbuf[li])
+            fin_ks[li].append(ksb[li])
+            fin_vs[li].append(vsb[li])
+        toks_chunks.append(toks_c)
+        carry = (cur_tok, kbuf0, vbuf0, ksb0, vsb0, i)
+    toks = (jnp.concatenate(toks_chunks, axis=0) if NCH > 1
+            else toks_chunks[0])
+    # full burst buffers for the merge: chunks concatenated on the column
+    # axis (scales keep their transposed (B, KV, n) layout)
+    kbuf = tuple(jnp.concatenate(fin_k[li], axis=1) if NCH > 1
+                 else fin_k[li][0] for li in range(L))
+    vbuf = tuple(jnp.concatenate(fin_v[li], axis=1) if NCH > 1
+                 else fin_v[li][0] for li in range(L))
+    ksb = tuple(jnp.concatenate(fin_ks[li], axis=2) if NCH > 1
+                else fin_ks[li][0] for li in range(L))
+    vsb = tuple(jnp.concatenate(fin_vs[li], axis=2) if NCH > 1
+                else fin_vs[li][0] for li in range(L))
 
     # merge the burst buffer into the cache: ONE double-vmapped window
     # write over (L, B) per array. A per-layer loop of slice-out →

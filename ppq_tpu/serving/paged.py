@@ -28,7 +28,7 @@ cache data never leaves the device.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -755,7 +755,8 @@ def paged_decode_xla(q, kv_pool, kv_scale, tables, seq_lens,
 def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
                         tables, keys, cfg: LlamaConfig, select_fn,
                         ragged_interpret: bool = False,
-                        use_kernel: bool = True, sp_mesh=None):
+                        use_kernel: bool = True, sp_mesh=None,
+                        chunk: Optional[int] = None):
     """n decode steps over the paged pools: pool frozen during the scan
     (paged-attention kernel reads only allocated blocks), in-burst K/V in
     small per-layer buffers, ONE scatter per layer at burst end. Mirrors
@@ -785,12 +786,25 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     # it joins as an explicit SELF part in the partial-softmax merge
     # (p = exp(s-m) = 1, l = 1 — exactly the column the buffer softmax
     # would have contributed, so the math is unchanged).
-    kbuf0 = jnp.zeros((L, B, n, KV, Dh), buf_dtype)
-    vbuf0 = jnp.zeros((L, B, n, KV, Dh), buf_dtype)
-    # buffer scales transposed (L, B, KV, n) — fused-kernel layout
-    ksb0 = jnp.zeros((L, B, KV, n), jnp.float32)
-    vsb0 = jnp.zeros((L, B, KV, n), jnp.float32)
-    buf_ids = jnp.arange(n)[None, None, None, :]             # (1,1,1,n)
+    #
+    # Chunked carry (see model.burst_forward): the scan carries only a
+    # CH-column chunk of the buffers; finished chunks join the next
+    # chunk's scan as invariant operands — XLA never aliases a DUS'd
+    # carry leaf in place (probes/bank_dus.py), so the per-step rewrite
+    # shrinks n/CH x.
+    # Measured negative on v5e (probes/chunk_ab.py, dense-engine twin):
+    # chunking loses ~3-6% end-to-end; default stays single-chunk.
+    if chunk is not None:
+        CH = chunk if (n > chunk and n % chunk == 0) else n
+    else:
+        CH = n
+    NCH = n // CH
+    kbuf0 = jnp.zeros((L, B, CH, KV, Dh), buf_dtype)
+    vbuf0 = jnp.zeros((L, B, CH, KV, Dh), buf_dtype)
+    # buffer scales transposed (L, B, KV, CH) — fused-kernel layout
+    ksb0 = jnp.zeros((L, B, KV, CH), jnp.float32)
+    vsb0 = jnp.zeros((L, B, KV, CH), jnp.float32)
+    buf_ids = jnp.arange(CH)[None, None, None, :]            # (1,1,1,CH)
     # The kernel takes the FULL (L, NB, ...) pools with a layer index —
     # its block specs DMA straight from the right slab. (Pre-slicing
     # per-layer slabs materialized a copy of the whole multi-GB pool
@@ -806,95 +820,142 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
         sc_flat = (sc_full.reshape((L * NBp,) + sc_full.shape[2:])
                    if int8_cache else None)
 
-    def step(carry, key):
-        cur_tok, kbuf, vbuf, ksb, vsb, i = carry
-        pos = seq_lens + i
-        x = params['embed'][cur_tok][:, None, :]
-        # rope tables are layer-independent: ONE build per step
-        r_cos, r_sin = rope_tables(pos[:, None], cfg.rope_theta, Dh)
-        k_new, v_new, ks_new, vs_new = [], [], [], []
-        for li, layer in enumerate(params['layers']):
-            h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
-            q, k, v = project_qkv(h, layer, cfg, pall)
-            q = rope_apply(q, r_cos, r_sin)
-            k = rope_apply(k, r_cos, r_sin)
-            if int8_cache:
-                k_q, k_s = _kv_quant(k)              # (B,1,KV,Dh), (B,1,KV)
-                v_q, v_s = _kv_quant(v)
-                ks_new.append(k_s)
-                vs_new.append(v_s)
-            else:
-                k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
-            k_new.append(k_q)
-            v_new.append(v_q)
+    def make_step(fin_k, fin_v, fin_ks, fin_vs, c0):
 
-            q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
-            if use_kernel:
-                acc_f, m_f, l_f = paged_attention_decode_fused(
-                    q_g[:, 0], kv_full, sc_full,
-                    tables, seq_lens, jnp.int32(li), block_size=blk_sz,
-                    interpret=ragged_interpret)
-            elif sp_mesh is not None:
-                acc_f, m_f, l_f = paged_decode_sp(
-                    q_g[:, 0], kv_full, sc_full, tables, seq_lens, li,
-                    sp_mesh)
-            else:
-                acc_f, m_f, l_f = paged_decode_xla(
-                    q_g[:, 0], kv_flat, sc_flat,
-                    tables + li * NBp, seq_lens)
-            # buffer part: columns [0, i) — the current step joins below
-            lb = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
-                            kbuf[li].astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-            lb = lb[:, :, :, 0, :]
-            if int8_cache:
-                lb = lb * ksb[li][:, :, None, :]
-            lb = jnp.where(buf_ids < i, lb / np.sqrt(Dh), -1e30)
-            m_b = jnp.max(lb, axis=-1)
-            p_b = jnp.exp(lb - m_b[..., None])
-            l_b = jnp.sum(p_b, axis=-1)
-            if int8_cache:
-                p_b = p_b * vsb[li][:, :, None, :]
-            acc_b = jnp.einsum('bkrj,bjkd->bkrd', p_b.astype(jnp.bfloat16),
-                               vbuf[li].astype(jnp.bfloat16),
-                               preferred_element_type=jnp.float32)
-            # self part: this step's own (quantized) K/V column
-            m_s = jnp.einsum('bkrd,bkd->bkr', q_g[:, 0],
-                             k_q[:, 0].astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
-            if int8_cache:
-                m_s = m_s * k_s[:, 0][:, :, None]
-            m_s = m_s / np.sqrt(Dh)
-            l_s = jnp.ones_like(m_s)
-            acc_s = jnp.broadcast_to(
-                v_q[:, 0].astype(jnp.float32)[:, :, None, :],
-                (B, KV, rep, Dh))
-            if int8_cache:
-                acc_s = acc_s * v_s[:, 0][:, :, None, None]
-            ctx = merge_attention([(acc_f, m_f, l_f), (acc_b, m_b, l_b),
-                                   (acc_s, m_s, l_s)])
-            ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
-            x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
-            h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
-            x = x + mlp(h, layer, cfg)
-        # ONE buffer update per kind: all layers' new columns land at i
-        kbuf = jax.lax.dynamic_update_slice(
-            kbuf, jnp.stack(k_new), (0, 0, i, 0, 0))
-        vbuf = jax.lax.dynamic_update_slice(
-            vbuf, jnp.stack(v_new), (0, 0, i, 0, 0))
-        if int8_cache:
-            ksb = jax.lax.dynamic_update_slice(
-                ksb, jnp.stack(ks_new).transpose(0, 1, 3, 2), (0, 0, 0, i))
-            vsb = jax.lax.dynamic_update_slice(
-                vsb, jnp.stack(vs_new).transpose(0, 1, 3, 2), (0, 0, 0, i))
-        x = rms_norm(x, params['final_norm'], cfg.rms_eps)
-        logits = qmatmul(x, params['lm_head'],
-                         pallas=pall, a8=a8).astype(jnp.float32)
-        nxt = select_fn(logits[:, 0, :cfg.vocab_size], key)
-        return (nxt, kbuf, vbuf, ksb, vsb, i + 1), nxt
+        def step(carry, key):
+            cur_tok, kbuf, vbuf, ksb, vsb, i = carry
+            pos = seq_lens + i
+            ic = i - c0                                  # column in chunk
+            x = params['embed'][cur_tok][:, None, :]
+            # rope tables are layer-independent: ONE build per step
+            r_cos, r_sin = rope_tables(pos[:, None], cfg.rope_theta, Dh)
+            k_new, v_new, ks_new, vs_new = [], [], [], []
+            for li, layer in enumerate(params['layers']):
+                h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
+                q, k, v = project_qkv(h, layer, cfg, pall)
+                q = rope_apply(q, r_cos, r_sin)
+                k = rope_apply(k, r_cos, r_sin)
+                if int8_cache:
+                    k_q, k_s = _kv_quant(k)          # (B,1,KV,Dh), (B,1,KV)
+                    v_q, v_s = _kv_quant(v)
+                    ks_new.append(k_s)
+                    vs_new.append(v_s)
+                else:
+                    k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
+                k_new.append(k_q)
+                v_new.append(v_q)
 
-    (_, kbuf, vbuf, ksb, vsb, _), toks = jax.lax.scan(
-        step, (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0)), keys)
+                q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
+                if use_kernel:
+                    acc_f, m_f, l_f = paged_attention_decode_fused(
+                        q_g[:, 0], kv_full, sc_full,
+                        tables, seq_lens, jnp.int32(li), block_size=blk_sz,
+                        interpret=ragged_interpret)
+                elif sp_mesh is not None:
+                    acc_f, m_f, l_f = paged_decode_sp(
+                        q_g[:, 0], kv_full, sc_full, tables, seq_lens, li,
+                        sp_mesh)
+                else:
+                    acc_f, m_f, l_f = paged_decode_xla(
+                        q_g[:, 0], kv_flat, sc_flat,
+                        tables + li * NBp, seq_lens)
+
+                def buf_logits(buf, scales, masked):
+                    t = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
+                                   buf.astype(jnp.bfloat16),
+                                   preferred_element_type=jnp.float32)
+                    t = t[:, :, :, 0, :]
+                    if int8_cache:
+                        t = t * scales[:, :, None, :]
+                    if masked:    # current chunk: columns < ic written
+                        return jnp.where(buf_ids < ic,
+                                         t / np.sqrt(Dh), -1e30)
+                    return t / np.sqrt(Dh)           # finished: all valid
+                # buffer part: finished chunks + the current chunk's
+                # written columns — the current step joins below as SELF
+                lb_parts = [buf_logits(fk[li], fks[li], False)
+                            for fk, fks in zip(fin_k, fin_ks)]
+                lb_parts.append(buf_logits(kbuf[li], ksb[li], True))
+                lb = jnp.concatenate(lb_parts, axis=-1) \
+                    if len(lb_parts) > 1 else lb_parts[0]
+                m_b = jnp.max(lb, axis=-1)
+                p_b = jnp.exp(lb - m_b[..., None])
+                l_b = jnp.sum(p_b, axis=-1)
+                v_chunks = [fv[li] for fv in fin_v] + [vbuf[li]]
+                vs_chunks = [fvs[li] for fvs in fin_vs] + [vsb[li]]
+                acc_b = None
+                for ci, (vc, vs) in enumerate(zip(v_chunks, vs_chunks)):
+                    p = p_b[..., ci * CH:(ci + 1) * CH]
+                    if int8_cache:
+                        p = p * vs[:, :, None, :]
+                    t = jnp.einsum('bkrj,bjkd->bkrd',
+                                   p.astype(jnp.bfloat16),
+                                   vc.astype(jnp.bfloat16),
+                                   preferred_element_type=jnp.float32)
+                    acc_b = t if acc_b is None else acc_b + t
+                # self part: this step's own (quantized) K/V column
+                m_s = jnp.einsum('bkrd,bkd->bkr', q_g[:, 0],
+                                 k_q[:, 0].astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+                if int8_cache:
+                    m_s = m_s * k_s[:, 0][:, :, None]
+                m_s = m_s / np.sqrt(Dh)
+                l_s = jnp.ones_like(m_s)
+                acc_s = jnp.broadcast_to(
+                    v_q[:, 0].astype(jnp.float32)[:, :, None, :],
+                    (B, KV, rep, Dh))
+                if int8_cache:
+                    acc_s = acc_s * v_s[:, 0][:, :, None, None]
+                ctx = merge_attention([(acc_f, m_f, l_f), (acc_b, m_b, l_b),
+                                       (acc_s, m_s, l_s)])
+                ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
+                x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
+                h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
+                x = x + mlp(h, layer, cfg)
+            # ONE buffer update per kind: all layers' new columns land at
+            # chunk column ic
+            kbuf = jax.lax.dynamic_update_slice(
+                kbuf, jnp.stack(k_new), (0, 0, ic, 0, 0))
+            vbuf = jax.lax.dynamic_update_slice(
+                vbuf, jnp.stack(v_new), (0, 0, ic, 0, 0))
+            if int8_cache:
+                ksb = jax.lax.dynamic_update_slice(
+                    ksb, jnp.stack(ks_new).transpose(0, 1, 3, 2),
+                    (0, 0, 0, ic))
+                vsb = jax.lax.dynamic_update_slice(
+                    vsb, jnp.stack(vs_new).transpose(0, 1, 3, 2),
+                    (0, 0, 0, ic))
+            x = rms_norm(x, params['final_norm'], cfg.rms_eps)
+            logits = qmatmul(x, params['lm_head'],
+                             pallas=pall, a8=a8).astype(jnp.float32)
+            nxt = select_fn(logits[:, 0, :cfg.vocab_size], key)
+            return (nxt, kbuf, vbuf, ksb, vsb, i + 1), nxt
+
+        return step
+
+    # statically unrolled loop over chunks (see model.burst_forward)
+    fin_k, fin_v, fin_ks, fin_vs = [], [], [], []
+    carry = (tokens, kbuf0, vbuf0, ksb0, vsb0, jnp.int32(0))
+    toks_chunks = []
+    for c in range(NCH):
+        step = make_step(tuple(fin_k), tuple(fin_v), tuple(fin_ks),
+                         tuple(fin_vs), c * CH)
+        (cur_tok, kbuf, vbuf, ksb, vsb, i), toks_c = jax.lax.scan(
+            step, carry, keys[c * CH:(c + 1) * CH])
+        fin_k.append(kbuf)
+        fin_v.append(vbuf)
+        fin_ks.append(ksb)
+        fin_vs.append(vsb)
+        toks_chunks.append(toks_c)
+        carry = (cur_tok, kbuf0, vbuf0, ksb0, vsb0, i)
+    toks = (jnp.concatenate(toks_chunks, axis=0) if NCH > 1
+            else toks_chunks[0])
+    # full burst buffers for the pool write: chunks concatenated on the
+    # column axis (scales keep their (L, B, KV, n) layout)
+    kbuf = jnp.concatenate(fin_k, axis=2) if NCH > 1 else fin_k[0]
+    vbuf = jnp.concatenate(fin_v, axis=2) if NCH > 1 else fin_v[0]
+    ksb = jnp.concatenate(fin_ks, axis=3) if NCH > 1 else fin_ks[0]
+    vsb = jnp.concatenate(fin_vs, axis=3) if NCH > 1 else fin_vs[0]
 
     # ONE pool write for the whole burst: K/V land at seq_lens..+n-1.
     # On the single-device kernel path this is the Pallas block-RMW

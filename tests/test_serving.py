@@ -1,6 +1,8 @@
 """Serving engine tests: quantized decode correctness, KV-cache consistency,
 continuous batching, TP sharding on the CPU mesh."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -288,6 +290,64 @@ class TestBucketedFrozenRead:
         for k in cache:
             np.testing.assert_array_equal(np.asarray(c_full[k]),
                                           np.asarray(c_lim[k]))
+
+    def test_burst_chunked_carry_parity(self):
+        """The chunked banked carry (CH-column chunks, finished chunks as
+        scan invariants) must reproduce the single-chunk burst: the
+        softmax sees exactly the same written columns either way."""
+        from ppq_tpu.serving.model import burst_forward
+        cfg = LlamaConfig(vocab_size=256, d_model=128, n_layers=2,
+                          n_heads=4, n_kv_heads=2, d_ff=256,
+                          max_seq_len=512, max_batch=4,
+                          prefill_buckets=(16,))
+        params = init_llama_params(cfg, seed=22)
+        cache = init_kv_cache(cfg, cfg.max_batch)
+        toks = jnp.asarray(np.arange(4 * 8).reshape(4, 8) % 250 + 1)
+        pos = jnp.broadcast_to(jnp.arange(8)[None],
+                               (4, 8)).astype(jnp.int32)
+        _, cache = forward(params, cache, toks, pos,
+                           jnp.zeros(4, jnp.int32),
+                           jnp.full(4, 8, jnp.int32), cfg)
+        seq_lens = jnp.full(4, 8, jnp.int32)
+        cur = jnp.asarray([3, 5, 7, 9], jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(1), 16)
+        select = lambda lg, k: jnp.argmax(lg, -1).astype(jnp.int32)
+        t_one, c_one = burst_forward(params, cache, cur, seq_lens, keys,
+                                     cfg, select, chunk=16)
+        for ch in (8, 4):
+            t_ch, c_ch = burst_forward(params, cache, cur, seq_lens, keys,
+                                       cfg, select, chunk=ch)
+            np.testing.assert_array_equal(np.asarray(t_one),
+                                          np.asarray(t_ch))
+            for k in cache:
+                d = np.abs(np.asarray(c_one[k], np.float32)
+                           - np.asarray(c_ch[k], np.float32))
+                lim = 1.0 if c_one[k].dtype == jnp.int8 else 1e-5
+                assert d.max() <= lim, (k, float(d.max()))
+
+    def test_paged_burst_chunked_carry_parity(self):
+        """cfg.burst_chunk on the PAGED burst: chunked generation matches
+        the single-chunk default token-for-token (greedy)."""
+        cfg = LlamaConfig(vocab_size=128, d_model=256, n_layers=2,
+                          n_heads=2, n_kv_heads=2, d_ff=256,
+                          max_seq_len=256, max_batch=2,
+                          prefill_buckets=(16,))
+        cfg.paged_kv = True
+        cfg.kv_block_size = 128
+        cfg.ragged_interpret = True
+        params = init_llama_params(cfg, seed=23)
+
+        def gen(chunk):
+            c = LlamaConfig(**{f.name: getattr(cfg, f.name)
+                               for f in dataclasses.fields(cfg)})
+            c.burst_chunk = chunk
+            eng = ServingEngine(c, params)
+            reqs = [Request(i, [3 + i, 5, 7], max_new_tokens=16)
+                    for i in range(2)]
+            eng.run(reqs, sync_every=16)
+            return [r.generated for r in reqs]
+
+        assert gen(None) == gen(4)
 
     def test_decode_bucket_selection(self):
         cfg = LlamaConfig(vocab_size=256, d_model=128, n_layers=1, n_heads=4,
