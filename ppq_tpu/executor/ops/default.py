@@ -36,8 +36,11 @@ class simulation_precision:
 
     def __init__(self, mode: str = 'highest'):
         # 'default' and 'bf16' both ride the MXU bf16 fast path; 'bf16'
-        # additionally stores tensors in bfloat16 (CompiledGraph casts)
-        self._new = (jax.lax.Precision.HIGHEST if mode == 'highest'
+        # additionally stores tensors in bfloat16 (CompiledGraph casts).
+        # 'int' (integer-exact simulation) keeps fallback ops at fp32
+        # fidelity — its quantized matmuls get DEFAULT precision scoped
+        # around each lowered call by CompiledGraph itself.
+        self._new = (jax.lax.Precision.HIGHEST if mode in ('highest', 'int')
                      else jax.lax.Precision.DEFAULT)
 
     def __enter__(self):
@@ -51,6 +54,33 @@ class simulation_precision:
 
 def _prec():
     return _PRECISION[0]
+
+
+# Accumulation dtype of matmuls/convs (preferred_element_type). The
+# integer-exact simulation path (executor/compile.py) feeds bf16 integer
+# codes into the MXU and needs the f32 accumulator to come back un-cast —
+# bf16 inputs otherwise return bf16 outputs, destroying the exactness.
+_ACCUM_DTYPE = [None]
+
+
+class accumulation_dtype:
+    """Context manager scoping the preferred_element_type of the op
+    library's matmuls/convs (None = follow input dtype)."""
+
+    def __init__(self, dtype=None):
+        self._new = dtype
+
+    def __enter__(self):
+        self._old = _ACCUM_DTYPE[0]
+        _ACCUM_DTYPE[0] = self._new
+        return self
+
+    def __exit__(self, *exc):
+        _ACCUM_DTYPE[0] = self._old
+
+
+def _accum():
+    return _ACCUM_DTYPE[0]
 
 
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -127,13 +157,13 @@ def Conv_forward(op, values, ctx=None):
         out = jax.lax.conv_general_dilated(
             x2, w2, window_strides=strides + [1], padding=pads + [(0, 0)],
             rhs_dilation=dilations + [1], feature_group_count=group,
-            precision=_prec())
+            precision=_prec(), preferred_element_type=_accum())
         y = out[..., 0]
     else:
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=strides, padding=pads,
             rhs_dilation=dilations, feature_group_count=group,
-            precision=_prec())
+            precision=_prec(), preferred_element_type=_accum())
     if len(values) > 2 and values[2] is not None:
         b = jnp.asarray(values[2]).reshape((1, -1) + (1,) * spatial)
         y = y + b
@@ -167,7 +197,8 @@ def ConvTranspose_forward(op, values, ctx=None):
         w_t = jnp.swapaxes(w_flip, 0, 1)  # [C_out, C_in, *k]
         y = jax.lax.conv_general_dilated(
             x, w_t, window_strides=[1] * spatial, padding=pads,
-            lhs_dilation=strides, rhs_dilation=dilations, precision=_prec())
+            lhs_dilation=strides, rhs_dilation=dilations, precision=_prec(),
+            preferred_element_type=_accum())
     else:
         xs = jnp.split(x, group, axis=1)
         ws = jnp.split(w, group, axis=0)
@@ -178,7 +209,7 @@ def ConvTranspose_forward(op, values, ctx=None):
             ys.append(jax.lax.conv_general_dilated(
                 xg, wt, window_strides=[1] * spatial, padding=pads,
                 lhs_dilation=strides, rhs_dilation=dilations,
-                precision=_prec()))
+                precision=_prec(), preferred_element_type=_accum()))
         y = jnp.concatenate(ys, axis=1)
     if len(values) > 2 and values[2] is not None:
         y = y + jnp.asarray(values[2]).reshape((1, -1) + (1,) * spatial)
@@ -245,7 +276,8 @@ def Gemm_forward(op, values, ctx=None):
         a = a.T
     if int(attr(op, 'transB', 0)):
         b = b.T
-    y = jnp.matmul(a, b, precision=_prec()) * float(attr(op, 'alpha', 1.0))
+    y = jnp.matmul(a, b, precision=_prec(),
+                   preferred_element_type=_accum()) * float(attr(op, 'alpha', 1.0))
     if len(values) > 2 and values[2] is not None:
         y = y + jnp.asarray(values[2]) * float(attr(op, 'beta', 1.0))
     return y
@@ -253,12 +285,12 @@ def Gemm_forward(op, values, ctx=None):
 
 def MatMul_forward(op, values, ctx=None):
     return jnp.matmul(jnp.asarray(values[0]), jnp.asarray(values[1]),
-                      precision=_prec())
+                      precision=_prec(), preferred_element_type=_accum())
 
 
 def PPQBiasFusedMatMul_forward(op, values, ctx=None):
     y = jnp.matmul(jnp.asarray(values[0]), jnp.asarray(values[1]),
-                   precision=_prec())
+                   precision=_prec(), preferred_element_type=_accum())
     if len(values) > 2 and values[2] is not None:
         y = y + jnp.asarray(values[2])
     return y

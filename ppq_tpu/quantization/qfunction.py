@@ -127,6 +127,47 @@ def linear_fake_quant(x: jnp.ndarray, scale: jnp.ndarray, offset: jnp.ndarray,
                               rounding, channel_axis)
 
 
+def linear_quant_codes(x: jnp.ndarray, scale: jnp.ndarray,
+                       offset: jnp.ndarray, quant_min: float, quant_max: float,
+                       rounding: RoundingPolicy = RoundingPolicy.ROUND_HALF_EVEN,
+                       channel_axis: Optional[int] = None) -> jnp.ndarray:
+    """Centered integer codes of linear quantization: q - round(o), where
+    q = clip(round(x/s) + round(o), qmin, qmax).
+
+    The codes are integer-valued fp32 with |code| <= qmax - qmin, i.e.
+    exactly representable in bfloat16 for any <=8-bit scheme — the input of
+    the integer-exact simulation path (executor/compile.py), which runs
+    conv/matmul over codes on the bf16 MXU with fp32 accumulation and
+    factors the scales out: exact integer arithmetic, like a real int8
+    backend, at bf16 speed. Identity: fake_quant(x) == codes * s.
+    """
+    scale = jnp.asarray(scale, jnp.float32)
+    offset = jnp.asarray(offset, jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
+    s = _broadcast_shape(scale, x.ndim, channel_axis)
+    o_r = jnp.round(_broadcast_shape(offset, x.ndim, channel_axis))
+    q = round_tensor(x / s, rounding) + o_r
+    q = jnp.clip(q, quant_min, quant_max)
+    return q - o_r
+
+
+def linear_recover_codes(x_fq: jnp.ndarray, scale: jnp.ndarray,
+                         offset: jnp.ndarray, quant_min: float,
+                         quant_max: float,
+                         channel_axis: Optional[int] = None) -> jnp.ndarray:
+    """Recover centered integer codes from an ALREADY fake-quantized value
+    (x_fq == codes * s exactly, up to one fp32 rounding): round(x_fq / s),
+    clipped to the code range. Used by the integer-exact simulation path at
+    OVERLAPPED/BAKED sites, where the quantization happened upstream."""
+    scale = jnp.asarray(scale, jnp.float32)
+    offset = jnp.asarray(offset, jnp.float32)
+    x_fq = jnp.asarray(x_fq, jnp.float32)
+    s = _broadcast_shape(scale, x_fq.ndim, channel_axis)
+    o_r = jnp.round(_broadcast_shape(offset, x_fq.ndim, channel_axis))
+    codes = jnp.round(x_fq / s)
+    return jnp.clip(codes, quant_min - o_r, quant_max - o_r)
+
+
 def dynamic_linear_fake_quant(x: jnp.ndarray, quant_min: float, quant_max: float,
                               symmetric: bool = True,
                               rounding: RoundingPolicy = RoundingPolicy.ROUND_HALF_EVEN,
