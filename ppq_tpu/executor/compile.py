@@ -341,8 +341,50 @@ class CompiledGraph:
         return ppq_fake_quant(value, cfg)
 
     # ------------------------------------------- integer-exact simulation
+    def _apply_quant_int(self, value, cfg: TensorQuantizationConfig):
+        """Output-site fake-quant for the integer-exact mode: computed VIA
+        codes (fq == codes * s bitwise) so downstream lowered consumers can
+        reuse the bf16 codes directly — the recover division disappears and
+        the fp32 dequant tensor is DCE'd when every consumer is lowered.
+        Returns (fq_value, codes_bf16 | None, root_uid | None)."""
+        if cfg is None or not cfg.is_active:
+            return self._apply_quant(value, cfg, None), None, None
+        if isinstance(value, np.ndarray) and \
+                not np.issubdtype(value.dtype, np.floating):
+            return value, None, None
+        pol = cfg.policy
+        if not pol.linear or pol.dynamic or pol.floating or \
+                not cfg.has_scale:
+            return self._apply_quant(value, cfg, None), None, None
+        scale = np.asarray(cfg.scale, np.float32)
+        offset = (np.asarray(cfg.offset, np.float32)
+                  if pol.asymmetric else np.zeros_like(scale))
+        ndim = jnp.asarray(value).ndim
+        axis = (cfg.channel_axis % ndim
+                if pol.per_channel and cfg.channel_axis is not None else None)
+        o_r = np.round(offset)
+        bound = max(float(np.max(cfg.quant_max - o_r)),
+                    float(np.max(o_r - cfg.quant_min)))
+        if bound > 256:
+            return self._apply_quant(value, cfg, None), None, None
+        codes = linear_quant_codes(value, scale, offset, cfg.quant_min,
+                                   cfg.quant_max, cfg.rounding, axis)
+        if axis is None:
+            s_b = jnp.asarray(scale, jnp.float32).reshape(())
+        else:
+            shape = [1] * ndim
+            shape[axis] = -1
+            s_b = jnp.asarray(scale, jnp.float32).reshape(shape)
+        fq = codes * s_b
+        if axis is not None:
+            # per-channel codes can't be consumed by the activation side of
+            # a lowered matmul; don't advertise them
+            return fq, None, None
+        return fq, jnp.asarray(codes, jnp.bfloat16), cfg.dominated_by._uid
+
     def _int_codes(self, value, cfg: TensorQuantizationConfig,
-                   expected_axis: Optional[int]):
+                   expected_axis: Optional[int],
+                   cached: Optional[tuple] = None):
         """Lower `value` to centered integer codes for the integer-exact
         path. Returns (codes_f32, scale_np) or None when ineligible.
 
@@ -397,6 +439,10 @@ class CompiledGraph:
         if bound > 256:
             return None
         if already_quantized:
+            if cached is not None and cached[1] == site.dominated_by._uid:
+                # producer's output-quant site published its codes (same
+                # scale root) — consume them directly, skip the recover
+                return cached[0], scale
             codes = linear_recover_codes(
                 value, scale, offset, site.quant_min, site.quant_max, axis)
         else:
@@ -405,7 +451,7 @@ class CompiledGraph:
                 site.rounding, axis)
         return codes, scale
 
-    def _int_exact_forward(self, op, in_vals):
+    def _int_exact_forward(self, op, in_vals, codes_by_var=None):
         """Integer-exact lowering of a quantized Conv/Gemm/MatMul: run the
         contraction over bf16 integer codes with an fp32 accumulator (exact
         integer arithmetic — bitwise what an int8 backend computes, modulo
@@ -433,7 +479,10 @@ class CompiledGraph:
             out_axis = 1
         else:                            # MatMul / PPQBiasFusedMatMul
             w_axis, out_axis = w_ndim - 1, None   # None → last axis of y
-        rx = self._int_codes(x, cfgs[0], expected_axis=None)
+        cached = None
+        if codes_by_var is not None and not op.inputs[0].is_parameter:
+            cached = codes_by_var.get(op.inputs[0].name)
+        rx = self._int_codes(x, cfgs[0], expected_axis=None, cached=cached)
         if rx is None:
             return None
         rw = self._int_codes(w, cfgs[1], expected_axis=w_axis)
@@ -549,6 +598,9 @@ class CompiledGraph:
                ranges: Optional[dict] = None):
         values: Dict[str, Any] = {}
         stats: Dict[str, Any] = {}
+        # int mode: bf16 codes published by output-quant sites, keyed by
+        # variable name → (codes_bf16, root TQC uid)
+        codes_by_var: Dict[str, tuple] = {}
 
         def cast(v):
             # bf16 deploy storage: every float tensor flowing between ops
@@ -587,7 +639,8 @@ class CompiledGraph:
                         and stat_kind is None):
                     # integer-exact lowering consumes RAW values (it
                     # performs the input quantization itself, to codes)
-                    int_outs = self._int_exact_forward(op, in_vals)
+                    int_outs = self._int_exact_forward(op, in_vals,
+                                                       codes_by_var)
                 if int_outs is None:
                     in_vals = [cast(self._apply_quant(v, c, qparams))
                                for v, c in zip(in_vals, cfgs)]
@@ -612,8 +665,18 @@ class CompiledGraph:
                             self._collect_stat(stats, var.name, cfg, v,
                                                stat_kind, hist_scales,
                                                ranges)
-                outs = [cast(self._apply_quant(v, c, qparams))
-                        for v, c in zip(outs, cfgs)]
+                if (self.precision == 'int' and qparams is None
+                        and stat_kind is None):
+                    quantized = []
+                    for var, cfg, v in zip(op.outputs, cfgs, outs):
+                        fq, codes, uid = self._apply_quant_int(v, cfg)
+                        if codes is not None:
+                            codes_by_var[var.name] = (codes, uid)
+                        quantized.append(cast(fq))
+                    outs = quantized
+                else:
+                    outs = [cast(self._apply_quant(v, c, qparams))
+                            for v, c in zip(outs, cfgs)]
             for var, v in zip(op.outputs, outs):
                 values[var.name] = v
 
