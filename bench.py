@@ -7,23 +7,171 @@ the system under test, not the host↔device tunnel) and report MFU against
 the chip's bf16 peak. The eager baseline keeps host inputs — per-op host
 dispatch IS the reference architecture being compared against.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+DEADLINE-PROOF DESIGN (round-3 lesson: the driver killed the bench with
+rc=124 and ALL metrics were lost, including ones already measured):
+  * every phase records into a shared RESULTS dict the moment it finishes;
+  * a watchdog thread emits the partial JSON line and exits 0 when the
+    global deadline (env PPQ_BENCH_DEADLINE_S, default 660s from process
+    start) arrives — even if a phase is wedged inside a C call;
+  * each phase declares a cost estimate and is skipped (recorded in
+    phases_skipped) when the remaining budget cannot cover it;
+  * the highest-value metric (the headline resnet sim) runs FIRST.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()
+DEADLINE_S = float(os.environ.get('PPQ_BENCH_DEADLINE_S', '660'))
+# headroom the watchdog needs to flush JSON before an external `timeout`
+_EMIT_MARGIN_S = 8.0
+
+RESULTS = {
+    'sim_best': 0.0, 'sim_batch': 0, 'sim_fp32_ips': 0.0, 'sim_mfu': None,
+    'dep_best': 0.0, 'dep_batch': 0, 'dep_mfu': None,
+    'eager_ips': 0.0, 'flops_per_img': 0.0,
+    'dec': {'tokens_per_sec': 0.0, 'ms_per_step': 0.0},
+    'dec4': {'tokens_per_sec': 0.0, 'ms_per_step': 0.0},
+    'decp': {'tokens_per_sec': 0.0},
+    'serve': {'generated_tokens_per_sec': 0.0, 'requests_per_sec': 0.0},
+    'serve_mixed': {'generated_tokens_per_sec': 0.0,
+                    'requests_per_sec': 0.0},
+    'calibration_ips': None,
+    'phases_skipped': [], 'phases_failed': [],
+}
+_EMITTED = threading.Event()
+_EMIT_LOCK = threading.Lock()
+
+
+def _elapsed():
+    return time.monotonic() - _T0
+
+
+def _remaining():
+    return DEADLINE_S - _elapsed()
 
 
 def _t(msg, t0=[None]):
     now = time.perf_counter()
     if t0[0] is not None:
-        print(f'[bench] {msg} (+{now - t0[0]:.1f}s)', file=sys.stderr)
+        print(f'[bench] {msg} (+{now - t0[0]:.1f}s, t={_elapsed():.0f}s)',
+              file=sys.stderr)
     else:
-        print(f'[bench] {msg}', file=sys.stderr)
+        print(f'[bench] {msg} (t={_elapsed():.0f}s)', file=sys.stderr)
     t0[0] = now
+    sys.stderr.flush()
+
+
+def _payload():
+    r = RESULTS
+    sim_best, eager = r['sim_best'], r['eager_ips']
+    return {
+        'metric': 'resnet18_int8_sim_throughput',
+        'value': round(sim_best, 2),
+        'unit': 'images/sec',
+        'vs_baseline': round(sim_best / eager, 2) if eager else 0.0,
+        # the headline measures the integer-exact simulation: quantized
+        # matmuls over bf16 integer codes with fp32 accumulation — exact
+        # integer arithmetic whenever partial sums stay below 2^24 (the
+        # fp32 exact-integer bound); the fp32-faithful 'highest' number is
+        # in extra (ADVICE r3: mark the arithmetic mode at top level)
+        'arithmetic_mode': 'integer-exact (bf16-MXU codes, fp32 accum; '
+                           'bit-exact below 2^24 partial sums)',
+        'elapsed_s': round(_elapsed(), 1),
+        'deadline_s': DEADLINE_S,
+        'phases_skipped': r['phases_skipped'],
+        'phases_failed': r['phases_failed'],
+        'extra': {
+            'sim_batch': r['sim_batch'],
+            'sim_fp32_highest_images_per_sec': round(r['sim_fp32_ips'], 2),
+            'sim_mfu_vs_bf16_peak': r['sim_mfu'],
+            'deploy_mode_bf16_images_per_sec': round(r['dep_best'], 2),
+            'deploy_batch': r['dep_batch'],
+            'deploy_mfu_vs_bf16_peak': r['dep_mfu'],
+            'resnet18_gflops_per_image': round(
+                r['flops_per_img'] / 1e9, 3) if r['flops_per_img'] else None,
+            'eager_interpreter_images_per_sec': round(eager, 2),
+            'llm_1b_int8_decode_tokens_per_sec_chip':
+                round(r['dec']['tokens_per_sec'], 1),
+            'llm_decode_ms_per_step': round(
+                r['dec'].get('ms_per_step', 0.0), 3),
+            'llm_1b_int4_decode_tokens_per_sec_chip':
+                round(r['dec4']['tokens_per_sec'], 1),
+            'llm_1b_paged_kv_decode_tokens_per_sec_chip':
+                round(r['decp']['tokens_per_sec'], 1),
+            'llm_serving_generated_tokens_per_sec': round(
+                r['serve']['generated_tokens_per_sec'], 1),
+            'llm_serving_requests_per_sec': round(
+                r['serve']['requests_per_sec'], 2),
+            'llm_serving_mixed_tokens_per_sec': round(
+                r['serve_mixed']['generated_tokens_per_sec'], 1),
+            'llm_serving_mixed_requests_per_sec': round(
+                r['serve_mixed']['requests_per_sec'], 2),
+            'llm_serving_planned_path_note':
+                'llm_serving_* is the no-eos fully-planned fast path; '
+                'llm_serving_mixed_* is the synchronous per-wave loop '
+                '(log-normal prompts, eos, per-request sampling)',
+            'calibration_images_per_sec': r['calibration_ips'],
+        },
+    }
+
+
+def _emit(reason=None):
+    with _EMIT_LOCK:
+        if _EMITTED.is_set():
+            return
+        _EMITTED.set()
+        payload = _payload()
+        if reason:
+            payload['partial'] = reason
+        print(json.dumps(payload))
+        sys.stdout.flush()
+
+
+def _watchdog():
+    """Emit whatever was measured when the deadline arrives, then hard-exit
+    0 — a bench that dies mid-phase must still record its results."""
+    def run():
+        while True:
+            left = _remaining() - _EMIT_MARGIN_S
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+        if not _EMITTED.is_set():
+            _t(f'DEADLINE {DEADLINE_S:.0f}s reached — emitting partial '
+               f'results')
+            _emit(reason='deadline')
+            os._exit(0)
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+
+def _phase(name, est_s, fn):
+    """Run one phase under the budget: skip when the remaining time cannot
+    cover the estimate, record failures without sinking the bench."""
+    if _EMITTED.is_set():
+        return False
+    if _remaining() < est_s + _EMIT_MARGIN_S:
+        RESULTS['phases_skipped'].append(
+            {'phase': name, 'est_s': est_s,
+             'remaining_s': round(_remaining(), 1)})
+        _t(f'SKIP {name} (est {est_s:.0f}s > remaining {_remaining():.0f}s)')
+        return False
+    _t(f'phase {name} (est {est_s:.0f}s)')
+    try:
+        fn()
+        return True
+    except Exception as e:   # record and continue — partial > nothing
+        RESULTS['phases_failed'].append({'phase': name, 'error': repr(e)[:300]})
+        _t(f'FAIL {name}: {e!r}')
+        return False
 
 
 def _throughput(run, x, batch, iters=20):
@@ -39,35 +187,29 @@ def _throughput(run, x, batch, iters=20):
     return batch * iters / (time.perf_counter() - t0)
 
 
-def _device_watchdog(timeout_s: float = 300.0):
+def _device_watchdog(timeout_s: float = 240.0):
     """Fail HONESTLY if the accelerator never comes up. On this machine
-    the axon tunnel can wedge so hard that jax.devices() blocks forever
-    (even platform registration dials it); a bench that hangs records a
-    stall instead of a result. Probe backend init under a hard deadline
-    and emit an explicit-error JSON line if it never completes."""
-    import threading
-
+    the axon tunnel can wedge so hard that jax.devices() blocks forever;
+    probe backend init under a hard deadline and emit an explicit-error
+    JSON line if it never completes."""
     def probe():
         import jax
         jax.devices()
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
+    t.join(min(timeout_s, max(_remaining() - _EMIT_MARGIN_S, 10.0)))
     if t.is_alive():
-        print(json.dumps({
-            'metric': 'resnet18_int8_sim_throughput', 'value': 0.0,
-            'unit': 'images/sec', 'vs_baseline': 0.0,
-            'error': f'accelerator backend failed to initialize within '
-                     f'{timeout_s:.0f}s (axon tunnel down); see '
-                     f'RESULTS.md for the last on-chip validated numbers',
-        }))
-        sys.stdout.flush()
-        import os
+        RESULTS['phases_failed'].append(
+            {'phase': 'device_init',
+             'error': f'accelerator backend failed to initialize within '
+                      f'{timeout_s:.0f}s (axon tunnel down)'})
+        _emit(reason='device_init_timeout')
         os._exit(2)
 
 
 def main():
+    _watchdog()
     _device_watchdog()
     import jax
     # persistent XLA compilation cache: the resnet/LLM programs compile once
@@ -80,182 +222,175 @@ def main():
         pass
     from ppq_tpu import TargetPlatform, TPUExecutor, quantize_graph
     from ppq_tpu.executor import compile_graph
+    from ppq_tpu.ir.morph import stem_space_to_depth
     from ppq_tpu.utils.flops import graph_flops, mfu
     from ppq_tpu.zoo.vision import resnet18
+    _t('imports done')
 
-    # --- LLM INT8 serving decode first: measured in a clean process state
-    # (eager/XLA residue from the resnet phase perturbs decode latency) ----
-    dec = {'tokens_per_sec': 0.0, 'ms_per_step': 0.0}
-    dec4 = {'tokens_per_sec': 0.0, 'ms_per_step': 0.0}
-    decp = {'tokens_per_sec': 0.0}
-    serve = {'generated_tokens_per_sec': 0.0, 'requests_per_sec': 0.0}
-    try:
-        from ppq_tpu.serving import (LlamaConfig, ServingEngine,
-                                     init_llama_params)
-
-        def _cfg(bits, batch=128, paged=False):
-            # batch 128: the bigger batch amortizes the per-step weight
-            # read (measured 25.2k tok/s vs 20.0k at B=64 after the r3
-            # tuning). On TPU the engine auto-enables the fused
-            # dequant-matmul and ragged-attention Pallas kernels.
-            c = LlamaConfig(d_model=2048, n_layers=16, n_heads=16,
-                            n_kv_heads=8, d_ff=5632, vocab_size=32000,
-                            max_seq_len=1024, max_batch=batch,
-                            weight_bits=bits)
-            c.prefill_buckets = (128,)
-            c.paged_kv = paged
-            return c
-
-        eng = ServingEngine(_cfg(8), init_llama_params(_cfg(8), seed=0))
-        _t('llm engine built')
-        # burst-mode decode with a terminal host fetch — honest sustained
-        # throughput (block_until_ready alone can ack early on the tunnel)
-        dec = eng.benchmark_decode(steps=96, burst=32)
-        _t('llm decode measured')
-        del eng
-        # paged KV cache mode (the production serving mode): pool sized to
-        # the workload, not B x S. B=128: the paged read is fill-adaptive,
-        # so the bigger batch amortizes the per-step weight read without
-        # extra cache waste. Continuous-batching e2e runs on THIS engine.
-        engp = ServingEngine(_cfg(8, batch=128, paged=True),
-                             init_llama_params(_cfg(8, batch=128), seed=0))
-        decp.update(engp.benchmark_decode(steps=96, burst=32))
-        _t('llm paged decode measured')
-        serve = engp.benchmark_serving(n_requests=256, prompt_len=64,
-                                       max_new_tokens=128, sync_every=128)
-        _t('llm serving (paged) measured')
-        del engp
-        # INT4 weight-only: halves the per-step weight read
-        eng4 = ServingEngine(_cfg(4), init_llama_params(_cfg(4), seed=0))
-        dec4.update(eng4.benchmark_decode(steps=96, burst=32))
-        _t('llm int4 decode measured')
-        del eng4
-    except Exception as e:   # never let the LLM phase sink the headline
-        print(f'[bench] llm phase failed: {e}', file=sys.stderr)
-
-    # --- quantize once with the reference protocol (512 calibration
-    # images, README.md:177); the compiled graph is batch-agnostic, so
-    # throughput sweeps reuse it -------------------------------------------
+    # --- quantize with the reference protocol (512 calibration images,
+    # README.md:177); the compiled graph is batch-agnostic -----------------
     calib_batch = 32
     graph = resnet18(input_shape=[calib_batch, 3, 224, 224])
     rng = np.random.RandomState(0)
     loader = [rng.randn(calib_batch, 3, 224, 224).astype(np.float32)
               for _ in range(16)]                 # 512 images
-    _t('quantizing resnet18 (512-image calibration)')
-    quantize_graph(graph, loader, calib_steps=16,
-                   platform=TargetPlatform.TPU_INT8, verbose=False)
-    _t('quantized')
-    from ppq_tpu.quantization.optim.fcalibration import \
-        LAST_CALIBRATION_PROFILE as calprof
-    flops_per_img = graph_flops(graph) / calib_batch
-    # compiled paths run the EXACT stem space-to-depth rewrite (the
-    # MLPerf-ResNet TPU stem optimization, ir/morph.py): the 3-channel
-    # 7x7/2 stem leaves >95% of the MXU contraction lanes idle and
-    # profiled at 1.12 ms of the 8.9 ms batch-256 deploy step. The eager
-    # baseline keeps the original graph (it stands in for the reference
-    # architecture). MFU stays reported against the ORIGINAL flops.
-    from ppq_tpu.ir.morph import stem_space_to_depth
-    cgraph = graph.copy(copy_value=True)
-    stem_space_to_depth(cgraph)
+    state = {}
+
+    def p_quantize():
+        quantize_graph(graph, loader, calib_steps=16,
+                       platform=TargetPlatform.TPU_INT8, verbose=False)
+        from ppq_tpu.quantization.optim.fcalibration import \
+            LAST_CALIBRATION_PROFILE as calprof
+        if calprof:
+            RESULTS['calibration_ips'] = round(
+                calprof.get('images', 0) /
+                max(calprof.get('compile_s', 0) + calprof.get('run_s', 0),
+                    1e-9), 2)
+        RESULTS['flops_per_img'] = graph_flops(graph) / calib_batch
+        # compiled paths run the EXACT stem space-to-depth rewrite (the
+        # MLPerf-ResNet TPU stem optimization, ir/morph.py). The eager
+        # baseline keeps the original graph (it stands in for the
+        # reference architecture). MFU reported against ORIGINAL flops.
+        cg = graph.copy(copy_value=True)
+        stem_space_to_depth(cg)
+        state['cgraph'] = cg
+
+    if not _phase('quantize_resnet18', 230, p_quantize):
+        # without the quantized graph nothing else in the vision track can
+        # run; LLM phases may still proceed
+        state['cgraph'] = None
 
     def device_batch(batch, seed=0):
         x = np.random.RandomState(seed).randn(
             batch, 3, 224, 224).astype(np.float32)
         return jax.device_put(x)
 
-    # --- compiled simulation path (integer-exact, 'int') ------------------
-    # The INT8 simulation runs quantized convs/matmuls over centered
-    # integer codes on the bf16 MXU with an fp32 accumulator — EXACT
-    # integer arithmetic (bitwise what an int8 backend computes, validated
-    # against an int64 reference in tests/test_int_exact_sim.py) at bf16
-    # speed. chain=4: the bulk runner scans 4 stacked batches per dispatch
-    # — host round-trips amortize 4x (make_runner(chain=K), the product's
-    # bulk-inference API; honest fetch-terminated timing unchanged)
     CHAIN = 4
-    sim_cg = compile_graph(cgraph, precision='int')
-    sim_run = sim_cg.make_runner(chain=CHAIN)
-    sim_best, sim_batch = 0.0, 0
-    for batch in (128, 256, 512):
-        x1 = np.asarray(device_batch(batch))
-        xs = jax.device_put(np.broadcast_to(
-            x1, (CHAIN,) + x1.shape).copy())
-        ips = _throughput(sim_run, xs, batch * CHAIN)
-        _t(f'sim batch={batch} chain={CHAIN}: {ips:.0f} img/s')
-        if ips > sim_best:
-            sim_best, sim_batch = ips, batch
 
-    # fp32-faithful simulation ('highest') — the reference-style fidelity
-    # mode, reported as an extra
-    hi_run = compile_graph(cgraph).make_runner(chain=CHAIN)
-    x1 = np.asarray(device_batch(256))
-    xs = jax.device_put(np.broadcast_to(x1, (CHAIN,) + x1.shape).copy())
-    sim_fp32_ips = _throughput(hi_run, xs, 256 * CHAIN)
-    _t(f'sim-fp32(highest) batch=256 chain={CHAIN}: {sim_fp32_ips:.0f} img/s')
+    def _sweep(run, batches):
+        best, bbatch = 0.0, 0
+        for batch in batches:
+            if _remaining() < 45 + _EMIT_MARGIN_S and best > 0:
+                break
+            x1 = np.asarray(device_batch(batch))
+            xs = jax.device_put(np.broadcast_to(
+                x1, (CHAIN,) + x1.shape).copy())
+            ips = _throughput(run, xs, batch * CHAIN)
+            _t(f'  batch={batch} chain={CHAIN}: {ips:.0f} img/s')
+            if ips > best:
+                best, bbatch = ips, batch
+        return best, bbatch
 
-    # --- eager interpreter baseline (PPQ-style per-op dispatch) ------------
-    ex = TPUExecutor(graph)
-    x8 = loader[0]
-    np.asarray(ex.forward(x8)[0])     # warm
-    _t('eager warm')
-    # best of 3 single-iteration measurements: the per-op dispatch baseline
-    # fluctuates with tunnel load; report its best case (conservative ratio)
-    eager_ips = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = ex.forward(x8)[0]
-        np.asarray(r)
-        eager_ips = max(eager_ips, calib_batch / (time.perf_counter() - t0))
-    _t('eager measured')
+    # --- headline: integer-exact compiled simulation ----------------------
+    def p_sim():
+        sim_cg = compile_graph(state['cgraph'], precision='int')
+        sim_run = sim_cg.make_runner(chain=CHAIN)
+        best, batch = _sweep(sim_run, (256, 512))
+        RESULTS['sim_best'], RESULTS['sim_batch'] = best, batch
+        m = mfu(RESULTS['flops_per_img'], best)
+        RESULTS['sim_mfu'] = round(m, 4) if m else None
 
-    # --- deployment mode: bf16 math AND bf16 tensor storage (the deploy
-    # path is HBM-bound; fp32 storage costs ~20% throughput) ----------------
-    dep_run = compile_graph(cgraph, precision='bf16').make_runner(chain=CHAIN)
-    dep_best, dep_batch = 0.0, 0
-    for batch in (128, 256, 512):
-        x1 = np.asarray(device_batch(batch))
-        xs = jax.device_put(np.broadcast_to(
-            x1, (CHAIN,) + x1.shape).copy())
-        ips = _throughput(dep_run, xs, batch * CHAIN)
-        _t(f'deploy batch={batch} chain={CHAIN}: {ips:.0f} img/s')
-        if ips > dep_best:
-            dep_best, dep_batch = ips, batch
+    if state['cgraph'] is not None:
+        _phase('sim_int', 110, p_sim)
 
-    sim_mfu = mfu(flops_per_img, sim_best)
-    dep_mfu = mfu(flops_per_img, dep_best)
+    # --- LLM serving track (measured before the heavy vision eager/deploy
+    # phases touch more HBM; order within the track = value density) ------
+    def _llm_cfg(bits, batch=128, paged=False):
+        from ppq_tpu.serving import LlamaConfig
+        c = LlamaConfig(d_model=2048, n_layers=16, n_heads=16,
+                        n_kv_heads=8, d_ff=5632, vocab_size=32000,
+                        max_seq_len=1024, max_batch=batch,
+                        weight_bits=bits)
+        c.prefill_buckets = (128,)
+        c.paged_kv = paged
+        return c
 
-    print(json.dumps({
-        'metric': 'resnet18_int8_sim_throughput',
-        'value': round(sim_best, 2),
-        'unit': 'images/sec',
-        'vs_baseline': round(sim_best / eager_ips, 2),
-        'extra': {
-            'sim_batch': sim_batch,
-            'sim_arithmetic': 'integer-exact (bf16-MXU codes, fp32 accum)',
-            'sim_fp32_highest_images_per_sec': round(sim_fp32_ips, 2),
-            'sim_mfu_vs_bf16_peak': round(sim_mfu, 4) if sim_mfu else None,
-            'deploy_mode_bf16_images_per_sec': round(dep_best, 2),
-            'deploy_batch': dep_batch,
-            'deploy_mfu_vs_bf16_peak': round(dep_mfu, 4) if dep_mfu else None,
-            'resnet18_gflops_per_image': round(flops_per_img / 1e9, 3),
-            'eager_interpreter_images_per_sec': round(eager_ips, 2),
-            'llm_1b_int8_decode_tokens_per_sec_chip':
-                round(dec['tokens_per_sec'], 1),
-            'llm_decode_ms_per_step': round(dec['ms_per_step'], 3),
-            'llm_1b_int4_decode_tokens_per_sec_chip':
-                round(dec4['tokens_per_sec'], 1),
-            'llm_1b_paged_kv_decode_tokens_per_sec_chip':
-                round(decp['tokens_per_sec'], 1),
-            'llm_serving_generated_tokens_per_sec': round(
-                serve['generated_tokens_per_sec'], 1),
-            'llm_serving_requests_per_sec': round(
-                serve['requests_per_sec'], 2),
-            'calibration_images_per_sec': round(
-                calprof.get('images', 0) /
-                max(calprof.get('compile_s', 0) + calprof.get('run_s', 0),
-                    1e-9), 2) if calprof else None,
-        },
-    }))
+    def p_llm_decode():
+        from ppq_tpu.serving import ServingEngine, init_llama_params
+        cfg = _llm_cfg(8)
+        eng = ServingEngine(cfg, init_llama_params(cfg, seed=0))
+        _t('  llm engine built')
+        RESULTS['dec'] = eng.benchmark_decode(steps=96, burst=32)
+        del eng
+
+    _phase('llm_int8_decode', 110, p_llm_decode)
+
+    def p_llm_paged():
+        from ppq_tpu.serving import ServingEngine, init_llama_params
+        cfg = _llm_cfg(8, batch=128, paged=True)
+        engp = ServingEngine(cfg, init_llama_params(_llm_cfg(8), seed=0))
+        RESULTS['decp'].update(engp.benchmark_decode(steps=96, burst=32))
+        _t('  llm paged decode measured')
+        if _remaining() > 60:
+            RESULTS['serve'] = engp.benchmark_serving(
+                n_requests=256, prompt_len=64, max_new_tokens=128,
+                sync_every=128)
+            _t('  llm serving (planned path) measured')
+        if _remaining() > 60:
+            RESULTS['serve_mixed'] = engp.benchmark_serving_mixed(
+                n_requests=192, mean_prompt=64, max_new_tokens=96,
+                sync_every=32)
+            _t('  llm serving (mixed synchronous) measured')
+        del engp
+
+    _phase('llm_paged_and_serving', 170, p_llm_paged)
+
+    def p_llm_int4():
+        from ppq_tpu.serving import ServingEngine, init_llama_params
+        cfg = _llm_cfg(4)
+        eng4 = ServingEngine(cfg, init_llama_params(cfg, seed=0))
+        RESULTS['dec4'].update(eng4.benchmark_decode(steps=96, burst=32))
+        del eng4
+
+    _phase('llm_int4_decode', 90, p_llm_int4)
+
+    # --- deployment mode: bf16 math AND bf16 tensor storage ---------------
+    def p_deploy():
+        dep_run = compile_graph(
+            state['cgraph'], precision='bf16').make_runner(chain=CHAIN)
+        best, batch = _sweep(dep_run, (256, 512))
+        RESULTS['dep_best'], RESULTS['dep_batch'] = best, batch
+        m = mfu(RESULTS['flops_per_img'], best)
+        RESULTS['dep_mfu'] = round(m, 4) if m else None
+
+    if state['cgraph'] is not None:
+        _phase('deploy_bf16', 110, p_deploy)
+
+    # --- eager interpreter baseline (PPQ-style per-op dispatch) -----------
+    def p_eager():
+        ex = TPUExecutor(graph)
+        x8 = loader[0]
+        np.asarray(ex.forward(x8)[0])     # warm (per-op jit compiles)
+        _t('  eager warm')
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = ex.forward(x8)[0]
+            np.asarray(r)
+            best = max(best, calib_batch / (time.perf_counter() - t0))
+        RESULTS['eager_ips'] = best
+
+    if state['cgraph'] is not None:
+        _phase('eager_baseline', 130, p_eager)
+
+    # --- fp32-faithful simulation ('highest') — reference fidelity mode ---
+    def p_sim_fp32():
+        hi_run = compile_graph(state['cgraph']).make_runner(chain=CHAIN)
+        x1 = np.asarray(device_batch(256))
+        xs = jax.device_put(np.broadcast_to(x1, (CHAIN,) + x1.shape).copy())
+        RESULTS['sim_fp32_ips'] = _throughput(hi_run, xs, 256 * CHAIN)
+
+    if state['cgraph'] is not None:
+        _phase('sim_fp32_highest', 70, p_sim_fp32)
+
+    _emit()
 
 
 if __name__ == '__main__':
-    main()
+    try:
+        main()
+    except Exception as e:          # emit whatever was measured, exit 0
+        print(f'[bench] fatal: {e!r}', file=sys.stderr)
+        _emit(reason=f'fatal: {e!r}'[:200])
+    finally:
+        _emit(reason='early_exit')

@@ -176,8 +176,15 @@ class TensorQuantizationConfig:
                 self._state = QuantizationStates.ACTIVATED
             return
         self._dominator = master
-        if master.state in {QuantizationStates.ACTIVATED, QuantizationStates.PASSIVE,
-                            QuantizationStates.BAKED, QuantizationStates.PASSIVE_BAKED}:
+        # consult the master's ROOT: the master handed in may itself be an
+        # OVERLAPPED slave (e.g. QuantAlignment aligning Add inputs that
+        # QuantizeSimplify already overlapped onto their producers) — what
+        # matters is whether a calibrated scale is reachable. PASSIVE means
+        # this site keeps applying quant math at runtime with the shared
+        # scale (reference quant.py:693-712).
+        root_state = master.dominated_by.state
+        if root_state in {QuantizationStates.ACTIVATED, QuantizationStates.PASSIVE,
+                          QuantizationStates.BAKED, QuantizationStates.PASSIVE_BAKED}:
             self._state = QuantizationStates.PASSIVE
         else:
             self._state = QuantizationStates.PASSIVE_INIT

@@ -50,8 +50,58 @@ UNCOMPILABLE_TYPES = {'NonZero', 'NonMaxSuppression'}
 # op types eligible for the integer-exact simulation lowering (precision
 # 'int'): the quantized matmul/conv runs over centered integer CODES on the
 # bf16 MXU with fp32 accumulation, scales factored out of the contraction.
+# Exactness caveat: fp32 holds integers exactly only up to 2^24, so the
+# result is bit-identical to an int32-accumulating int8 backend whenever
+# partial sums stay below 2^24 — guaranteed when
+# reduction_len * |codes_x|max * |codes_w|max <= 2^24, otherwise exact in
+# practice for realistic data but not worst-case-guaranteed. CompiledGraph
+# records lowered ops whose worst case exceeds the bound in
+# `int_accum_risk`; pass int_accum_guard=True to reject lowering them.
 INT_EXACT_TYPES = {'Conv', 'ConvTranspose', 'Gemm', 'MatMul',
                    'PPQBiasFusedMatMul'}
+
+# ops the int-exact mode propagates CODES through without dequantizing:
+# order-preserving (f(c*s) == f(c)*s for s > 0) or pure layout — the value
+# keeps living as bf16 integer codes across them.
+INT_CODED_PASSTHRU = {'Relu', 'MaxPool', 'GlobalMaxPool', 'Flatten',
+                      'Reshape', 'Transpose', 'Identity', 'Squeeze',
+                      'Unsqueeze'}
+
+# ops the int-exact mode computes ON code sums (shared input grids):
+# Add/Concat after QuantAlignment share one scale across inputs.
+INT_CODED_LINEAR = {'Add', 'Sum', 'Concat', 'GlobalAveragePool',
+                    'AveragePool', 'ReduceMean'}
+
+
+class _Coded:
+    """Integer-exact intermediate: centered integer codes + the quant grid
+    they live on. Invariant: value == codes * scale exactly (codes are
+    integral; per-tensor activations keep |codes| <= 256 so the codes are
+    bf16-exact and stored in bfloat16 — HALF the HBM traffic of an fp32
+    dequant, and consumers skip the recover division entirely). `uid` is
+    the root TQC's uid (equal uid ⟺ same grid); lo/hi bound the centered
+    code range."""
+    __slots__ = ('codes', 'scale', 'axis', 'uid', 'lo', 'hi')
+
+    def __init__(self, codes, scale, axis, uid, lo, hi):
+        self.codes, self.scale, self.axis = codes, scale, axis
+        self.uid, self.lo, self.hi = uid, lo, hi
+
+    def decode(self):
+        c = jnp.asarray(self.codes, jnp.float32)
+        s = jnp.asarray(self.scale, jnp.float32)
+        if self.axis is not None:
+            shape = [1] * c.ndim
+            shape[self.axis] = -1
+            s = s.reshape(shape)
+        else:
+            s = s.reshape(())
+        return c * s
+
+
+def _decode(v):
+    """Materialize the fp32 value of a (possibly coded) intermediate."""
+    return v.decode() if isinstance(v, _Coded) else v
 
 
 # ---------------------------------------------------------------------------
@@ -202,7 +252,8 @@ class CompiledGraph:
                  output_names: Optional[List[str]] = None,
                  op_span: Optional[Sequence[Operation]] = None,
                  input_names: Optional[List[str]] = None,
-                 precision: str = 'highest'):
+                 precision: str = 'highest',
+                 int_accum_guard: bool = False):
         # 'highest' = fp32-accurate simulation; 'int' = integer-exact
         # simulation — quantized matmuls/convs run over centered integer
         # codes (exact in bf16) on the MXU with fp32 accumulation, scales
@@ -249,6 +300,20 @@ class CompiledGraph:
         # names of ops lowered via the integer-exact path (populated at
         # trace time; diagnostic — tests assert the lowering engages)
         self.int_lowered: List[str] = []
+        # ops that propagate/compute on integer codes without dequantizing
+        self.int_coded: List[str] = []
+        # lowered ops whose WORST-CASE partial sum (reduction_len * |x|max *
+        # |w|max) exceeds 2^24 — beyond that fp32 accumulation is no longer
+        # guaranteed bit-identical to an int32-accumulating backend (it
+        # stays exact in practice for realistic data). int_accum_guard=True
+        # rejects lowering these ops instead of recording them.
+        self.int_accum_risk: List[str] = []
+        self._int_accum_guard = bool(int_accum_guard)
+        # weight parameters pre-lowered to integer codes (init_params ships
+        # them as bf16 codes: no per-step recover division, half the HBM)
+        self._precoded: Dict[str, dict] = {}
+        if precision == 'int':
+            self._build_precoded()
 
     # ------------------------------------------------------------ pytrees
     def init_params(self) -> Dict[str, jnp.ndarray]:
@@ -272,6 +337,11 @@ class CompiledGraph:
             if var.is_parameter and var.has_value:
                 val = np.asarray(var.value)
                 if np.issubdtype(val.dtype, np.floating):
+                    if name in self._precoded:
+                        # int mode: ship the weight as bf16 integer codes —
+                        # no per-step recover division, half the HBM read
+                        out[name] = self._precode_weight(name, val)
+                        continue
                     dt = (jnp.bfloat16 if self.precision == 'bf16'
                           else jnp.float32)
                     out[name] = jnp.asarray(val, dt)
@@ -341,52 +411,33 @@ class CompiledGraph:
         return ppq_fake_quant(value, cfg)
 
     # ------------------------------------------- integer-exact simulation
-    def _apply_quant_int(self, value, cfg: TensorQuantizationConfig):
-        """Output-site fake-quant for the integer-exact mode: computed VIA
-        codes (fq == codes * s bitwise) so downstream lowered consumers can
-        reuse the bf16 codes directly — the recover division disappears and
-        the fp32 dequant tensor is DCE'd when every consumer is lowered.
-        Returns (fq_value, codes_bf16 | None, root_uid | None)."""
-        if cfg is None or not cfg.is_active:
-            return self._apply_quant(value, cfg, None), None, None
-        if isinstance(value, np.ndarray) and \
-                not np.issubdtype(value.dtype, np.floating):
-            return value, None, None
-        pol = cfg.policy
-        if not pol.linear or pol.dynamic or pol.floating or \
-                not cfg.has_scale:
-            return self._apply_quant(value, cfg, None), None, None
-        scale = np.asarray(cfg.scale, np.float32)
-        offset = (np.asarray(cfg.offset, np.float32)
-                  if pol.asymmetric else np.zeros_like(scale))
-        ndim = jnp.asarray(value).ndim
-        axis = (cfg.channel_axis % ndim
-                if pol.per_channel and cfg.channel_axis is not None else None)
-        o_r = np.round(offset)
-        bound = max(float(np.max(cfg.quant_max - o_r)),
-                    float(np.max(o_r - cfg.quant_min)))
-        if bound > 256:
-            return self._apply_quant(value, cfg, None), None, None
-        codes = linear_quant_codes(value, scale, offset, cfg.quant_min,
-                                   cfg.quant_max, cfg.rounding, axis)
-        if axis is None:
-            s_b = jnp.asarray(scale, jnp.float32).reshape(())
-        else:
-            shape = [1] * ndim
-            shape[axis] = -1
-            s_b = jnp.asarray(scale, jnp.float32).reshape(shape)
-        fq = codes * s_b
-        if axis is not None:
-            # per-channel codes can't be consumed by the activation side of
-            # a lowered matmul; don't advertise them
-            return fq, None, None
-        return fq, jnp.asarray(codes, jnp.bfloat16), cfg.dominated_by._uid
+    @staticmethod
+    def _weight_axes(op, w_ndim: int):
+        """(expected weight scale axis | None, output channel axis | None
+        meaning 'last axis of y') for an INT_EXACT_TYPES op."""
+        t = op.type
+        if t == 'Conv':
+            return 0, 1                  # OIHW weights → NCHW outputs
+        if t == 'ConvTranspose':
+            return 1, 1                  # IOHW weights
+        if t == 'Gemm':
+            return (0 if int(op.attributes.get('transB', 0)) else 1), 1
+        # MatMul / PPQBiasFusedMatMul. A 1-D rhs has only the contraction
+        # axis — a per-channel scale there cannot factor out of the dot:
+        # require a per-tensor scale in that case.
+        return ((w_ndim - 1) if w_ndim >= 2 else None), None
 
-    def _int_codes(self, value, cfg: TensorQuantizationConfig,
-                   expected_axis: Optional[int],
-                   cached: Optional[tuple] = None):
-        """Lower `value` to centered integer codes for the integer-exact
-        path. Returns (codes_f32, scale_np) or None when ineligible.
+    def _int_site(self, cfg: TensorQuantizationConfig,
+                  expected_axis: Optional[int],
+                  ndim: Optional[int] = None) -> Optional[dict]:
+        """Resolve `cfg` to a usable integer grid for the int-exact mode.
+
+        Returns {site, already, scale, offset, axis, uid, lo, hi, bound}
+        or None when the site is ineligible. `already` — the value arriving
+        at this site is ALREADY fake-quantized (OVERLAPPED under an active
+        dominator, or BAKED). lo/hi bound the centered code range; bf16
+        holds integers exactly up to 2^8 = 256, so any <=8-bit scheme
+        qualifies (sym int8 codes <=128, asym uint8 centered <=255).
 
         expected_axis None → require a per-tensor (scalar) scale (the
         activation side: a per-channel scale on the contraction axis cannot
@@ -395,69 +446,141 @@ class CompiledGraph:
         """
         if cfg is None:
             return None
-        if isinstance(value, np.ndarray) and \
-                not np.issubdtype(value.dtype, np.floating):
-            return None
         root = cfg.dominated_by
-        already_quantized = False
         if cfg.is_active:
-            site = cfg           # quantize here (scale resolves to master)
+            site, already = cfg, False
         elif (cfg.state == QuantizationStates.OVERLAPPED and
-              QuantizationStates.is_activated(root.state)) or \
-                cfg.state in (QuantizationStates.BAKED,
-                              QuantizationStates.PASSIVE_BAKED):
-            # value is ALREADY fake-quantized — by the dominator's site
-            # upstream (QuantizeSimplify) or at parameter-bake time; recover
-            # the codes by dividing the grid back out
-            site = cfg if cfg.state in (
-                QuantizationStates.BAKED,
-                QuantizationStates.PASSIVE_BAKED) else root
-            already_quantized = True
+              QuantizationStates.is_activated(root.state)):
+            site, already = root, True
+        elif cfg.state in (QuantizationStates.BAKED,
+                           QuantizationStates.PASSIVE_BAKED):
+            site, already = cfg, True
         else:
             return None
         pol = site.policy
-        if not pol.linear or pol.dynamic or pol.floating:
-            return None
-        if not site.has_scale:
+        if not pol.linear or pol.dynamic or pol.floating or \
+                not site.has_scale:
             return None
         scale = np.asarray(site.scale, np.float32)
         offset = (np.asarray(site.offset, np.float32)
                   if pol.asymmetric else np.zeros_like(scale))
-        ndim = jnp.asarray(value).ndim
         axis = site.channel_axis if pol.per_channel else None
         if axis is not None:
-            axis = axis % ndim
+            if ndim is not None:
+                axis = axis % ndim
             if expected_axis is None or axis != expected_axis:
                 return None
         elif scale.size != 1:
             return None
-        # bf16 holds integers exactly up to 2^8 = 256 — any <=8-bit scheme
-        # qualifies (sym int8 codes <=128, asym uint8 centered <=255)
         o_r = np.round(offset)
-        bound = max(float(np.max(site.quant_max - o_r)),
-                    float(np.max(o_r - site.quant_min)))
+        lo = float(np.min(site.quant_min - o_r))
+        hi = float(np.max(site.quant_max - o_r))
+        bound = max(abs(lo), abs(hi))
         if bound > 256:
             return None
-        if already_quantized:
-            if cached is not None and cached[1] == site.dominated_by._uid:
-                # producer's output-quant site published its codes (same
-                # scale root) — consume them directly, skip the recover
-                return cached[0], scale
+        return {'site': site, 'already': already, 'scale': scale,
+                'offset': offset, 'axis': axis, 'uid': root._uid,
+                'lo': lo, 'hi': hi, 'bound': bound}
+
+    def _codes_for_site(self, v, cfg: TensorQuantizationConfig,
+                        expected_axis: Optional[int]):
+        """Lower input `v` (raw value, fake-quantized value, or _Coded) to
+        centered integer codes at `cfg`'s site. Returns (codes, info) or
+        None when ineligible — info as from _int_site."""
+        if isinstance(v, np.ndarray) and \
+                not np.issubdtype(v.dtype, np.floating):
+            return None
+        if isinstance(v, _Coded):
+            info = self._int_site(cfg, expected_axis,
+                                  ndim=jnp.asarray(v.codes).ndim)
+            if info is None:
+                return None
+            if v.axis is None and info['axis'] is None and \
+                    info['uid'] == v.uid:
+                codes = v.codes
+                # the consumer's range may be NARROWER than the producer's
+                # (joint-quant chains with unequal quant_min/max): clip
+                if info['lo'] > v.lo or info['hi'] < v.hi:
+                    codes = jnp.clip(codes, info['lo'], info['hi'])
+                info = dict(info, lo=max(info['lo'], v.lo),
+                            hi=min(info['hi'], v.hi))
+                info['bound'] = max(abs(info['lo']), abs(info['hi']))
+                return codes, info
+            # different grid → requantize through the decoded value
+            codes = linear_quant_codes(
+                v.decode(), info['scale'], info['offset'],
+                info['site'].quant_min, info['site'].quant_max,
+                info['site'].rounding, info['axis'])
+            return codes, info
+        info = self._int_site(cfg, expected_axis, ndim=jnp.asarray(v).ndim)
+        if info is None:
+            return None
+        if info['already']:
+            # value is ALREADY fake-quantized upstream — recover the codes
+            # by dividing the grid back out
             codes = linear_recover_codes(
-                value, scale, offset, site.quant_min, site.quant_max, axis)
+                v, info['scale'], info['offset'], info['site'].quant_min,
+                info['site'].quant_max, info['axis'])
         else:
             codes = linear_quant_codes(
-                value, scale, offset, site.quant_min, site.quant_max,
-                site.rounding, axis)
-        return codes, scale
+                v, info['scale'], info['offset'], info['site'].quant_min,
+                info['site'].quant_max, info['site'].rounding, info['axis'])
+        return codes, info
 
-    def _int_exact_forward(self, op, in_vals, codes_by_var=None):
+    def _build_precoded(self):
+        """Register weight parameters of int-lowerable ops for pre-coding:
+        init_params ships them as bf16 integer codes, so every forward
+        skips the recover/quant pass over the weights and reads HALF the
+        bytes from HBM."""
+        for op in self._order:
+            if not isinstance(op, QuantableOperation):
+                continue
+            if op.type not in INT_EXACT_TYPES or len(op.inputs) < 2:
+                continue
+            wvar = op.inputs[1]
+            if not wvar.is_parameter or not wvar.has_value:
+                continue
+            if len(wvar.dest_ops) != 1 or wvar.name in self._precoded:
+                continue
+            w_val = np.asarray(wvar.value)
+            if not np.issubdtype(w_val.dtype, np.floating):
+                continue
+            cfgs = op.config.input_quantization_config
+            if len(cfgs) < 2:
+                continue
+            w_axis, _ = self._weight_axes(op, w_val.ndim)
+            info = self._int_site(cfgs[1], expected_axis=w_axis,
+                                  ndim=w_val.ndim)
+            if info is None:
+                continue
+            if op.type == 'ConvTranspose' and \
+                    int(op.attributes.get('group', 1)) != 1 and \
+                    info['scale'].size != 1:
+                continue   # per-channel axis 1 covers only C_out/group rows
+            self._precoded[wvar.name] = info
+
+    def _precode_weight(self, name: str, value: np.ndarray) -> jnp.ndarray:
+        """Compute the bf16 integer codes for a registered weight."""
+        info = self._precoded[name]
+        if info['already']:
+            codes = linear_recover_codes(
+                value, info['scale'], info['offset'], info['site'].quant_min,
+                info['site'].quant_max, info['axis'])
+        else:
+            codes = linear_quant_codes(
+                value, info['scale'], info['offset'], info['site'].quant_min,
+                info['site'].quant_max, info['site'].rounding, info['axis'])
+        return jnp.asarray(codes, jnp.bfloat16)
+
+    def _int_exact_forward(self, op, in_vals):
         """Integer-exact lowering of a quantized Conv/Gemm/MatMul: run the
-        contraction over bf16 integer codes with an fp32 accumulator (exact
-        integer arithmetic — bitwise what an int8 backend computes, modulo
-        fp32 accumulation past 2^24), then apply s_x * s_w on the output
-        axis and the fake-quantized bias. Returns [y] or None to fall back
-        to the generic fp32 path."""
+        contraction over bf16 integer codes with an fp32 accumulator, then
+        apply s_x * s_w on the output axis and the fake-quantized bias.
+        Exactness: bit-identical to an int32-accumulating int8 backend
+        whenever partial sums stay below 2^24 (fp32's exact-integer range);
+        ops whose WORST CASE exceeds that are recorded in int_accum_risk
+        and rejected under int_accum_guard=True. Returns [y] (fp32) or None
+        to fall back to the generic path."""
         t = op.type
         if t not in INT_EXACT_TYPES or len(in_vals) < 2:
             return None
@@ -465,33 +588,46 @@ class CompiledGraph:
         if len(cfgs) < 2:
             return None
         x, w = in_vals[0], in_vals[1]
-        try:
-            w_ndim = jnp.asarray(w).ndim
-        except Exception:
-            return None
+        if isinstance(w, _Coded):
+            w_shape = tuple(jnp.asarray(w.codes).shape)
+        else:
+            try:
+                w_shape = tuple(jnp.asarray(w).shape)
+            except Exception:
+                return None
+        w_ndim = len(w_shape)
         group = int(op.attributes.get('group', 1))
-        if t == 'Conv':
-            w_axis, out_axis = 0, 1      # OIHW weights → NCHW outputs
-        elif t == 'ConvTranspose':
-            w_axis, out_axis = 1, 1      # IOHW weights
-        elif t == 'Gemm':
-            w_axis = 0 if int(op.attributes.get('transB', 0)) else 1
-            out_axis = 1
-        else:                            # MatMul / PPQBiasFusedMatMul
-            w_axis, out_axis = w_ndim - 1, None   # None → last axis of y
-        cached = None
-        if codes_by_var is not None and not op.inputs[0].is_parameter:
-            cached = codes_by_var.get(op.inputs[0].name)
-        rx = self._int_codes(x, cfgs[0], expected_axis=None, cached=cached)
+        w_axis, out_axis = self._weight_axes(op, w_ndim)
+        rx = self._codes_for_site(x, cfgs[0], expected_axis=None)
         if rx is None:
             return None
-        rw = self._int_codes(w, cfgs[1], expected_axis=w_axis)
-        if rw is None:
-            return None
-        qx, sx = rx
-        qw, sw = rw
+        if isinstance(w, _Coded):
+            # pre-coded parameter (built against this op's own cfg)
+            qw, sw, bw = w.codes, w.scale, max(abs(w.lo), abs(w.hi))
+        else:
+            rw = self._codes_for_site(w, cfgs[1], expected_axis=w_axis)
+            if rw is None:
+                return None
+            qw, sw, bw = rw[0], rw[1]['scale'], rw[1]['bound']
+        qx, xinfo = rx
+        sx, bx = xinfo['scale'], xinfo['bound']
         if t == 'ConvTranspose' and group != 1 and sw.size != 1:
             return None   # per-channel axis 1 covers only C_out/group rows
+        # fp32 partial sums are exact integers only below 2^24 — flag (or
+        # reject, under the guard) ops whose worst case can exceed that
+        if t == 'Conv':
+            red = int(np.prod(w_shape[1:]))
+        elif t == 'ConvTranspose':
+            red = (w_shape[0] // group) * int(np.prod(w_shape[2:]))
+        elif t == 'Gemm':
+            red = w_shape[1 if int(op.attributes.get('transB', 0)) else 0]
+        else:
+            red = w_shape[-2] if w_ndim >= 2 else w_shape[0]
+        if red * bx * bw > 2.0 ** 24:
+            if op.name not in self.int_accum_risk:
+                self.int_accum_risk.append(op.name)
+            if self._int_accum_guard:
+                return None
         fn = resolve_forward(op.platform, op.type)
         from .ops.default import accumulation_dtype, simulation_precision
         with simulation_precision('default'), \
@@ -510,7 +646,7 @@ class CompiledGraph:
             y = y * (sxs * sws.reshape(shape))
         if len(in_vals) > 2 and in_vals[2] is not None and \
                 getattr(in_vals[2], 'size', 1) > 0:
-            b = self._apply_quant(in_vals[2],
+            b = self._apply_quant(_decode(in_vals[2]),
                                   cfgs[2] if len(cfgs) > 2 else None, None)
             b = jnp.asarray(b, jnp.float32)
             if t in ('Conv', 'ConvTranspose'):
@@ -522,6 +658,147 @@ class CompiledGraph:
         if op.name not in self.int_lowered:
             self.int_lowered.append(op.name)
         return [y]
+
+    def _int_forward(self, op, in_vals):
+        """Integer-exact handling of one quantable op. Returns the output
+        values (plain arrays or _Coded) with OUTPUT-site quantization
+        already applied, or None to take the generic fp32 path."""
+        t = op.type
+        if t in INT_EXACT_TYPES:
+            outs = self._int_exact_forward(op, in_vals)
+            if outs is None:
+                return None
+            return self._quant_outputs_int(op, outs)
+        cfgs = op.config.input_quantization_config
+        if t in INT_CODED_PASSTHRU and len(op.outputs) == 1 and \
+                isinstance(in_vals[0], _Coded):
+            v = in_vals[0]
+            if v.axis is not None:
+                return None
+            cfg0 = cfgs[0] if cfgs else None
+            if cfg0 is not None and cfg0.is_active:
+                r = self._codes_for_site(v, cfg0, expected_axis=None)
+                if r is None:
+                    return None
+                codes, info = r
+                codes = jnp.asarray(codes, jnp.bfloat16)
+                scale, uid = info['scale'], info['uid']
+                lo, hi = info['lo'], info['hi']
+            else:
+                codes, scale, uid, lo, hi = v.codes, v.scale, v.uid, v.lo, v.hi
+            fn = resolve_forward(op.platform, op.type)
+            y = fn(op, [codes] + [_decode(x) for x in in_vals[1:]], self._ctx)
+            if isinstance(y, (tuple, list)):
+                y = y[0]
+            if t == 'Relu':
+                lo = max(lo, 0.0)
+            out = _Coded(y, scale, None, uid, lo, hi)
+            if op.name not in self.int_coded:
+                self.int_coded.append(op.name)
+            return self._quant_outputs_int(op, [out])
+        if t in ('Add', 'Sum') and len(in_vals) == 2 and \
+                len(op.outputs) == 1 and \
+                all(isinstance(v, _Coded) for v in in_vals):
+            # residual/eltwise adds: QuantAlignment forces the inputs onto
+            # one shared grid — the sum of codes is exact integer math in
+            # fp32 (|sum| <= 512 < 2^24); the output site requantizes
+            rs = [self._codes_for_site(v, c, None)
+                  for v, c in zip(in_vals, cfgs)]
+            if any(r is None for r in rs):
+                return None
+            s0 = float(np.asarray(rs[0][1]['scale']).reshape(()))
+            if float(np.asarray(rs[1][1]['scale']).reshape(())) != s0:
+                return None
+            y = (jnp.asarray(rs[0][0], jnp.float32) +
+                 jnp.asarray(rs[1][0], jnp.float32)) * s0
+            if op.name not in self.int_coded:
+                self.int_coded.append(op.name)
+            return self._quant_outputs_int(op, [y])
+        if t == 'Concat' and len(op.outputs) == 1 and \
+                all(isinstance(v, _Coded) for v in in_vals):
+            rs = [self._codes_for_site(v, c, None)
+                  for v, c in zip(in_vals, cfgs)]
+            if any(r is None for r in rs):
+                return None
+            s0 = float(np.asarray(rs[0][1]['scale']).reshape(()))
+            if any(float(np.asarray(r[1]['scale']).reshape(())) != s0
+                   for r in rs[1:]):
+                return None
+            if any(r[1]['uid'] != rs[0][1]['uid'] for r in rs[1:]):
+                return None
+            codes = jnp.concatenate(
+                [jnp.asarray(r[0], jnp.bfloat16) for r in rs],
+                axis=int(op.attributes.get('axis', 0)))
+            out = _Coded(codes, rs[0][1]['scale'], None, rs[0][1]['uid'],
+                         min(r[1]['lo'] for r in rs),
+                         max(r[1]['hi'] for r in rs))
+            if op.name not in self.int_coded:
+                self.int_coded.append(op.name)
+            return self._quant_outputs_int(op, [out])
+        if t in ('GlobalAveragePool', 'AveragePool', 'ReduceMean') and \
+                len(op.outputs) == 1 and isinstance(in_vals[0], _Coded):
+            # linear in the input: mean(codes) * s — the code sum is exact
+            # in fp32, the division is the same arithmetic the fp32
+            # simulation performs
+            r = self._codes_for_site(in_vals[0], cfgs[0], None)
+            if r is None:
+                return None
+            codes, info = r
+            fn = resolve_forward(op.platform, op.type)
+            y = fn(op, [jnp.asarray(codes, jnp.float32)]
+                   + [_decode(x) for x in in_vals[1:]], self._ctx)
+            if isinstance(y, (tuple, list)):
+                y = y[0]
+            y = y * float(np.asarray(info['scale']).reshape(()))
+            if op.name not in self.int_coded:
+                self.int_coded.append(op.name)
+            return self._quant_outputs_int(op, [y])
+        return None
+
+    def _quant_outputs_int(self, op, outs):
+        cfgs = op.config.output_quantization_config
+        return [self._quant_one_output_int(v, c)
+                for v, c in zip(outs, list(cfgs) + [None] * len(outs))]
+
+    def _quant_one_output_int(self, v, cfg: TensorQuantizationConfig):
+        """Output-site quantization in the integer-exact mode. Returns a
+        _Coded (bf16 codes — the fp32 dequant never materializes unless a
+        non-code-aware consumer decodes on demand) or a plain array."""
+        if isinstance(v, _Coded):
+            if cfg is None or not cfg.is_active:
+                return v                      # quant happens elsewhere
+            info = self._int_site(cfg, expected_axis=None,
+                                  ndim=jnp.asarray(v.codes).ndim)
+            if info is None:
+                return self._apply_quant(v.decode(), cfg, None)
+            if v.axis is None and info['axis'] is None and \
+                    info['uid'] == v.uid:
+                if info['lo'] <= v.lo and info['hi'] >= v.hi:
+                    return v                  # already on this grid
+                return _Coded(jnp.clip(v.codes, info['lo'], info['hi']),
+                              v.scale, None, v.uid,
+                              max(info['lo'], v.lo), min(info['hi'], v.hi))
+            codes = linear_quant_codes(
+                v.decode(), info['scale'], info['offset'],
+                info['site'].quant_min, info['site'].quant_max,
+                info['site'].rounding, info['axis'])
+            return _Coded(jnp.asarray(codes, jnp.bfloat16), info['scale'],
+                          None, info['uid'], info['lo'], info['hi'])
+        if cfg is None or not cfg.is_active:
+            return self._apply_quant(v, cfg, None)
+        if isinstance(v, np.ndarray) and \
+                not np.issubdtype(v.dtype, np.floating):
+            return v
+        info = self._int_site(cfg, expected_axis=None,
+                              ndim=jnp.asarray(v).ndim)
+        if info is None:
+            # per-channel / non-linear / >8-bit output: plain fake-quant
+            return self._apply_quant(v, cfg, None)
+        codes = linear_quant_codes(
+            v, info['scale'], info['offset'], info['site'].quant_min,
+            info['site'].quant_max, info['site'].rounding, None)
+        return _Coded(jnp.asarray(codes, jnp.bfloat16), info['scale'], None,
+                      info['uid'], info['lo'], info['hi'])
 
     def _collect_stat(self, stats: dict, var_name: str,
                       cfg: TensorQuantizationConfig, value,
@@ -559,6 +836,38 @@ class CompiledGraph:
                 hi = jnp.quantile(flat, pct)
                 lo = jnp.quantile(flat, 1.0 - pct)
             stats[var_name] = (lo, hi)
+        elif kind == 'quantile_bisect':
+            # per-tensor quantile WITHOUT a sort or a histogram: 24-step
+            # bisection on the threshold. An XLA sort compiles
+            # pathologically slowly on TPU and the histogram CDF needed a
+            # SECOND full-network sweep (and a second ~30s program
+            # compile); this is pure compare+reduce inside the SAME
+            # phase-1 program — calibration becomes single-phase. The
+            # result is the smallest data-bracketing threshold at
+            # (range/2^24) resolution, matching the eager per-batch
+            # quantile up to interpolation within one element gap.
+            pct = entry.get('percentile', 0.9999) if isinstance(entry, dict) \
+                else 0.9999
+            flat = v.reshape(-1)
+            n = flat.shape[0]
+            qs = jnp.asarray([1.0 - pct, pct], jnp.float32) * n
+            lo0 = jnp.min(flat)
+            hi0 = jnp.max(flat)
+            span = jnp.maximum(hi0 - lo0, 1e-30)
+
+            def body(_, carry):
+                lo, hi = carry
+                mid = 0.5 * (lo + hi)
+                cnt = jnp.sum(flat[None, :] <= mid[:, None],
+                              axis=1).astype(jnp.float32)
+                ok = cnt >= qs
+                return (jnp.where(ok, lo, mid), jnp.where(ok, mid, hi))
+
+            lo, hi = jax.lax.fori_loop(
+                0, 24, body,
+                (jnp.full((2,), lo0 - 1e-3 * span),
+                 jnp.full((2,), hi0)))
+            stats[var_name] = (hi[0], hi[1])
         elif kind == 'absmax':
             stats[var_name] = jnp.max(jnp.abs(v))
         elif kind == 'hist':
@@ -598,9 +907,10 @@ class CompiledGraph:
                ranges: Optional[dict] = None):
         values: Dict[str, Any] = {}
         stats: Dict[str, Any] = {}
-        # int mode: bf16 codes published by output-quant sites, keyed by
-        # variable name → (codes_bf16, root TQC uid)
-        codes_by_var: Dict[str, tuple] = {}
+        # integer-exact mode engages only for plain inference (training and
+        # calibration paths need live fp32 values / gradients)
+        is_int = (self.precision == 'int' and qparams is None
+                  and stat_kind is None)
 
         def cast(v):
             # bf16 deploy storage: every float tensor flowing between ops
@@ -619,6 +929,12 @@ class CompiledGraph:
                 return values[var.name]
             if var.is_parameter:
                 if var.name in params:
+                    if var.name in self._precoded:
+                        # params leaf holds bf16 codes (init_params); wrap
+                        # so non-int paths decode back to the fq value
+                        m = self._precoded[var.name]
+                        return _Coded(params[var.name], m['scale'],
+                                      m['axis'], m['uid'], m['lo'], m['hi'])
                     return params[var.name]
                 return cast(var.value)
             raise RuntimeError(f'compile: no value for {var.name}')
@@ -632,18 +948,20 @@ class CompiledGraph:
                     for var, cfg, v in zip(op.inputs, cfgs, in_vals):
                         if (not var.is_parameter and cfg.is_root and
                                 cfg.state == QuantizationStates.INITIAL):
-                            self._collect_stat(stats, var.name, cfg, v,
-                                               stat_kind, hist_scales,
-                                               ranges)
-                if (self.precision == 'int' and qparams is None
-                        and stat_kind is None):
-                    # integer-exact lowering consumes RAW values (it
-                    # performs the input quantization itself, to codes)
-                    int_outs = self._int_exact_forward(op, in_vals,
-                                                       codes_by_var)
+                            self._collect_stat(stats, var.name, cfg,
+                                               _decode(v), stat_kind,
+                                               hist_scales, ranges)
+                if is_int:
+                    # integer-exact lowering consumes RAW/coded values (it
+                    # performs the quantization itself, on codes) and
+                    # returns output-quantized values directly
+                    int_outs = self._int_forward(op, in_vals)
                 if int_outs is None:
-                    in_vals = [cast(self._apply_quant(v, c, qparams))
+                    in_vals = [cast(self._apply_quant(_decode(v), c,
+                                                      qparams))
                                for v, c in zip(in_vals, cfgs)]
+            else:
+                in_vals = [_decode(v) for v in in_vals]
             from ..core import TargetPlatform as _TP
             if int_outs is not None:
                 outs = int_outs
@@ -656,7 +974,7 @@ class CompiledGraph:
                 outs = fn(op, in_vals, self._ctx)
             if not isinstance(outs, (tuple, list)):
                 outs = [outs]
-            if isinstance(op, QuantableOperation):
+            if isinstance(op, QuantableOperation) and int_outs is None:
                 cfgs = op.config.output_quantization_config
                 if stat_kind is not None:
                     for var, cfg, v in zip(op.outputs, cfgs, outs):
@@ -665,15 +983,8 @@ class CompiledGraph:
                             self._collect_stat(stats, var.name, cfg, v,
                                                stat_kind, hist_scales,
                                                ranges)
-                if (self.precision == 'int' and qparams is None
-                        and stat_kind is None):
-                    quantized = []
-                    for var, cfg, v in zip(op.outputs, cfgs, outs):
-                        fq, codes, uid = self._apply_quant_int(v, cfg)
-                        if codes is not None:
-                            codes_by_var[var.name] = (codes, uid)
-                        quantized.append(cast(fq))
-                    outs = quantized
+                if is_int:
+                    outs = self._quant_outputs_int(op, outs)
                 else:
                     outs = [cast(self._apply_quant(v, c, qparams))
                             for v, c in zip(outs, cfgs)]
@@ -683,7 +994,7 @@ class CompiledGraph:
         out_vals = []
         for name in self.output_names:
             if name in values:
-                out_vals.append(values[name])
+                out_vals.append(_decode(values[name]))
             else:
                 out_vals.append(self.graph.variables[name].value)
         return out_vals, stats
@@ -769,5 +1080,7 @@ class CompiledGraph:
 
 def compile_graph(graph: BaseGraph,
                   output_names: Optional[List[str]] = None,
-                  precision: str = 'highest') -> CompiledGraph:
-    return CompiledGraph(graph, output_names, precision=precision)
+                  precision: str = 'highest',
+                  int_accum_guard: bool = False) -> CompiledGraph:
+    return CompiledGraph(graph, output_names, precision=precision,
+                         int_accum_guard=int_accum_guard)

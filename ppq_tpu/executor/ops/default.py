@@ -629,17 +629,31 @@ def Tile_forward(op, values, ctx=None):
     return jnp.tile(x, reps)
 
 
+def _is_traced(v) -> bool:
+    """True when `v` is a jax tracer / device array whose values are not
+    host-readable (e.g. token ids flowing as network inputs under jit)."""
+    import jax.core
+    return isinstance(v, jax.core.Tracer)
+
+
 def Gather_forward(op, values, ctx=None):
     x = jnp.asarray(values[0])
-    idx = _np(values[1]).astype(np.int64)
     axis = int(attr(op, 'axis', 0))
+    if _is_traced(values[1]):
+        # runtime indices (embedding lookups): stay on-device
+        return jnp.take(x, jnp.asarray(values[1]).astype(jnp.int32),
+                        axis=axis)
+    idx = _np(values[1]).astype(np.int64)
     return jnp.take(x, jnp.asarray(idx), axis=axis)
 
 
 def GatherElements_forward(op, values, ctx=None):
     x = jnp.asarray(values[0])
-    idx = jnp.asarray(_np(values[1]).astype(np.int64))
     axis = int(attr(op, 'axis', 0))
+    if _is_traced(values[1]):
+        return jnp.take_along_axis(
+            x, jnp.asarray(values[1]).astype(jnp.int32), axis=axis)
+    idx = jnp.asarray(_np(values[1]).astype(np.int64))
     return jnp.take_along_axis(x, idx, axis=axis)
 
 

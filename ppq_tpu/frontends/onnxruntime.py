@@ -105,6 +105,36 @@ class QDQHelper:
             del g.outputs[var.name]
             g.mark_as_output(dq_out)
 
+    def insert_qdq_on_edge(self, var: Variable,
+                           cfg: TensorQuantizationConfig, dest):
+        """var -> Q -> DQ -> (ONLY `dest`); other consumers keep reading
+        `var` directly. Used for joint-quant slave inputs (state PASSIVE):
+        the simulator re-quantizes the value on THIS edge with the master's
+        scale, so the deployed graph must too — a variable-level QDQ would
+        wrongly requantize every consumer."""
+        g = self.graph
+        s_var, z_var = self._qparam_vars(cfg)
+        attrs = self._axis_attr(cfg)
+        q_out = g.create_variable(self._mkname(f'{var.name}_eq'))
+        dq_out = g.create_variable(self._mkname(f'{var.name}_edq'))
+        g.create_operation('QuantizeLinear',
+                           name=self._mkname(f'{var.name}_edge_Q'),
+                           attributes=dict(attrs),
+                           inputs=[var, s_var, z_var], outputs=[q_out])
+        g.create_operation('DequantizeLinear',
+                           name=self._mkname(f'{var.name}_edge_DQ'),
+                           attributes=dict(attrs),
+                           inputs=[q_out, s_var, z_var], outputs=[dq_out])
+        replaced = False
+        for i, v in enumerate(dest.inputs):
+            if v is var:
+                dest.inputs[i] = dq_out
+                replaced = True
+        if replaced:
+            dq_out.dest_ops.append(dest)
+            if dest in var.dest_ops:
+                var.dest_ops.remove(dest)
+
     def insert_dq_on_parameter(self, var: Variable,
                                cfg: TensorQuantizationConfig):
         """Replace fp32 weight with int initializer + DequantizeLinear.
@@ -244,11 +274,28 @@ class ONNXRuntimeExporter(GraphExporter):
         done: Set[str] = set()
         plan_act: Dict[str, TensorQuantizationConfig] = {}
         plan_w: Dict[str, TensorQuantizationConfig] = {}
+        # joint-quant slave inputs (state PASSIVE, non-parameter): the sim
+        # re-quantizes the value on that specific EDGE with the master's
+        # scale; export a per-edge QDQ pair unless the variable already
+        # carries the same grid — (dest_op, input_idx, var_name, cfg)
+        plan_edge = []
 
         for op in list(g.operations.values()):
             if not isinstance(op, QuantableOperation):
                 continue
+            in_vars = set(id(v) for v in op.inputs)
             for var, cfg in op.config_pairs():
+                is_input = id(var) in in_vars
+                root = cfg.dominated_by
+                state = cfg.state
+                if is_input and not var.is_parameter and \
+                        state == QuantizationStates.PASSIVE:
+                    if cfg.can_export and root.has_scale and \
+                            not cfg.policy.floating:
+                        for i, v in enumerate(op.inputs):
+                            if v is var:
+                                plan_edge.append((op, i, var.name, cfg))
+                    continue
                 if var.name in done:
                     continue
                 if var.name in forced and not var.is_parameter:
@@ -256,8 +303,6 @@ class ONNXRuntimeExporter(GraphExporter):
                     plan_act[var.name] = forced[var.name]
                     done.add(var.name)
                     continue
-                root = cfg.dominated_by
-                state = cfg.state
                 if state == QuantizationStates.OVERLAPPED:
                     continue
                 if not cfg.can_export or not root.has_scale:
@@ -284,6 +329,20 @@ class ONNXRuntimeExporter(GraphExporter):
             helper.insert_dq_on_parameter(g.variables[name], cfg)
         for name, cfg in plan_act.items():
             helper.insert_qdq_on_activation(g.variables[name], cfg)
+        for dest, idx, name, cfg in plan_edge:
+            base = plan_act.get(name, forced.get(name))
+            if base is not None:
+                try:
+                    r1, r2 = base.dominated_by, cfg.dominated_by
+                    same = (np.array_equal(np.asarray(r1.scale),
+                                           np.asarray(r2.scale)) and
+                            np.array_equal(np.asarray(r1.offset),
+                                           np.asarray(r2.offset)))
+                except Exception:
+                    same = False    # can't prove — insert (idempotent if equal)
+                if same:
+                    continue        # same grid — the variable QDQ covers it
+            helper.insert_qdq_on_edge(dest.inputs[idx], cfg, dest)
         dedup_qdq(g)
 
         model = graph_to_model_proto(g, opset_version=13)

@@ -1164,6 +1164,53 @@ class ServingEngine:
             'wall_s': dt,
         }
 
+    def benchmark_serving_mixed(self, n_requests: int = 128,
+                                mean_prompt: int = 64,
+                                max_new_tokens: int = 64,
+                                sync_every: int = 16,
+                                eos_id: int = 2,
+                                seed: int = 0) -> Dict[str, float]:
+        """Realistic mixed-workload throughput: log-normal prompt lengths,
+        eos-terminating requests, and per-request sampling on half the
+        batch. Retirement depends on token VALUES, so run() must take the
+        SYNCHRONOUS per-wave loop — the planned fully-pipelined path is
+        structurally unavailable. Publish this alongside the planned-path
+        number from benchmark_serving(): the two bracket real deployments
+        (the planned number is the no-eos best case)."""
+        rng = np.random.RandomState(seed)
+        bucket_cap = max(self.cfg.prefill_buckets) if \
+            self.cfg.prefill_buckets else self.cfg.max_seq_len // 2
+        lens = np.clip(
+            rng.lognormal(np.log(mean_prompt), 0.6, n_requests).astype(int),
+            4, min(bucket_cap, self.cfg.max_seq_len // 2))
+        reqs = []
+        for i, L in enumerate(lens):
+            samp = SamplingParams(temperature=0.8, top_p=0.95, seed=i) \
+                if i % 2 else None
+            reqs.append(Request(
+                i, rng.randint(3, self.cfg.vocab_size, int(L)).tolist(),
+                max_new_tokens=max_new_tokens, eos_id=eos_id,
+                sampling=samp))
+        # warm the compiled paths on a small eos-bearing wave
+        warm = [Request(-1, reqs[0].prompt, max_new_tokens=2,
+                        eos_id=eos_id)]
+        self.run(warm, sync_every=sync_every)
+        self.cache = self._new_cache()
+        self.slot_len[:] = 0
+        self.slot_req = [None] * self.cfg.max_batch
+
+        t0 = time.perf_counter()
+        self.run(reqs, sync_every=sync_every)
+        dt = time.perf_counter() - t0
+        gen_tokens = sum(len(r.generated) for r in reqs)
+        prompt_tokens = int(np.sum(lens))
+        return {
+            'requests_per_sec': n_requests / dt,
+            'generated_tokens_per_sec': gen_tokens / dt,
+            'total_tokens_per_sec': (gen_tokens + prompt_tokens) / dt,
+            'wall_s': dt,
+        }
+
     def benchmark_decode(self, batch: Optional[int] = None, steps: int = 50,
                          warmup: int = 5, burst: Optional[int] = 32,
                          repeats: int = 3, fill: int = 16) -> Dict[str, float]:

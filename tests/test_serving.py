@@ -146,6 +146,18 @@ class TestEngine:
         res = eng.benchmark_decode(steps=3, warmup=1)
         assert res['tokens_per_sec'] > 0
 
+    def test_benchmark_serving_mixed_smoke(self):
+        """The mixed leg must run the SYNCHRONOUS loop (eos + per-request
+        sampling force per-wave retirement decisions) and finish every
+        request within budget."""
+        cfg = LlamaConfig.tiny()
+        params = init_llama_params(cfg, seed=8)
+        eng = ServingEngine(cfg, params)
+        res = eng.benchmark_serving_mixed(n_requests=6, mean_prompt=4,
+                                          max_new_tokens=6, sync_every=4)
+        assert res['generated_tokens_per_sec'] > 0
+        assert res['requests_per_sec'] > 0
+
 
 class TestBurstDecode:
     def test_sync_every_parity(self):
