@@ -32,12 +32,23 @@ def kl_threshold_search(hist: np.ndarray, levels: int = 128,
     hist — histogram of |x| over uniform bins; levels — number of positive
     quant levels (128 for symmetric int8). Returns the clip bin index whose
     truncated distribution minimizes KL(P || Q_quantized).
+
+    Near-zero suppression: the first 0.2% of bins are zeroed (one sentinel
+    count kept) before the search — the reference marks this step "crucial"
+    (range.py:243-245) and it is: Relu-family activations put half their
+    mass at exactly zero, and without suppression the KL search collapses
+    onto that spike and returns clips ~30x too small (measured on the
+    reference-parity harness: relu scale 0.00116 vs reference 0.0372).
     """
+    hist = hist.astype(np.float64).copy()
+    zcut = int(len(hist) * 0.002)
+    if zcut > 0:
+        hist[:zcut] = 0
+        hist[zcut] = 1.0          # exactly the reference's sentinel
     lib = _native()
     if lib is not None:
-        return int(lib.kl_search(hist.astype(np.float64), levels, search_interval))
+        return int(lib.kl_search(hist, levels, search_interval))
     n = len(hist)
-    hist = hist.astype(np.float64)
     best_bin, best_kl = n - 1, np.inf
     eps = 1e-12
     for i in range(levels, n + 1, search_interval):

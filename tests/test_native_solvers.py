@@ -30,11 +30,16 @@ def _numpy_only(fn, *args, **kwargs):
 
 @pytest.mark.parametrize('seed', [0, 1, 2, 3])
 def test_kl_search_parity(lib, seed):
+    """Compare through the PUBLIC entry with the native flag toggled —
+    kl_threshold_search applies the reference's near-zero suppression
+    (solvers.py) before dispatching to either backend, so comparing the
+    raw lib call against the wrapped one would diff the suppression, not
+    the solver."""
     rng = np.random.RandomState(seed)
     hist = np.abs(rng.randn(2048)) * np.exp(-np.arange(2048) / 300.0)
     hist = (hist * 1000).astype(np.float64)
     want = _numpy_only(solvers.kl_threshold_search, hist, 128, 8)
-    got = lib.kl_search(hist, 128, 8)
+    got = solvers.kl_threshold_search(hist, 128, 8)
     assert got == want
 
 
