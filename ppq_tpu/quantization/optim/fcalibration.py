@@ -122,16 +122,20 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
         algo_of = {name: cfg.observer_algorithm
                    for name, cfg in targets.items()}
         onepass = {n for n, a in algo_of.items() if a == 'minmax'}
-        # percentile runs two-phase via a signed histogram CDF on TPU: exact
-        # jnp.quantile would emit an XLA sort per tensor, which compiles
-        # pathologically slowly there. On the CPU backend the trade flips —
-        # sorts are cheap and the O(N*bins) histogram reduction is brutal —
-        # so percentile collapses into phase 1 as a direct quantile.
+        # percentile is SINGLE-PHASE on both backends: exact jnp.quantile
+        # on CPU (sorts are cheap there), 24-step bisection quantile on
+        # TPU (an XLA sort compiles pathologically slowly; the bisection
+        # is pure compare+reduce fused into the phase-1 program — the old
+        # histogram-CDF design cost a SECOND full-network sweep plus a
+        # second ~30s program compile, the bulk of cold-start wall-clock).
         import jax as _jax
         cpu_backend = _jax.default_backend() == 'cpu'
         pct_all = {n for n, a in algo_of.items() if a == 'percentile'}
-        pct_direct = pct_all if cpu_backend else set()
-        pct_phase = set() if cpu_backend else pct_all
+        pct_kind = 'percentile' if cpu_backend else 'quantile_bisect'
+        # per-channel percentile needs the axis-aware quantile path
+        pct_direct = {n for n in pct_all
+                      if cpu_backend or not targets[n].policy.per_channel}
+        pct_phase = pct_all - pct_direct
         twophase = {n for n, a in algo_of.items() if a in ('kl', 'mse')}
 
         def _pct_of(name):
@@ -143,7 +147,7 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
         for n in onepass | pct_phase:
             spec[n] = {'kind': 'minmax'}
         for n in pct_direct:
-            spec[n] = {'kind': 'percentile', 'percentile': _pct_of(n)}
+            spec[n] = {'kind': pct_kind, 'percentile': _pct_of(n)}
         for n in twophase:
             spec[n] = {'kind': 'absmax'}
 

@@ -67,19 +67,15 @@ QUANTZOO_SCHEMES = {
 
 def quantization_error_metrics(graph, dataloader, steps: int = 4
                                ) -> Dict[str, float]:
-    """AQE / MQE / OQE (QuantZoo Readme.md:210-232):
-    average / max per-op cumulative quantization error, and the final-output
-    error, all as SNR vs the fp32 graph."""
-    report = graphwise_error_analyse(graph, dataloader, steps=steps,
-                                     method='snr', verbose=False)
-    if not report:
-        return {'AQE': 0.0, 'MQE': 0.0, 'OQE': 0.0}
-    values = list(report.values())
-    out_names = [n for n in graph.outputs if n in report]
-    oqe = float(np.mean([report[n] for n in out_names])) if out_names \
-        else values[-1]
-    return {'AQE': float(np.mean(values)), 'MQE': float(np.max(values)),
-            'OQE': oqe}
+    """AQE / MQE / OQE exactly per the QuantZoo/OnnxQuant protocol
+    (Readme.md:210-232): RELATIVE Frobenius error per computing layer —
+    average / max across layers, and max over graph outputs
+    (quantzoo_error_analyse implements the formula; earlier rounds used an
+    SNR proxy here)."""
+    from ..quantization.analyse import quantzoo_error_analyse
+    r = quantzoo_error_analyse(graph, dataloader, steps=steps,
+                               verbose=False)
+    return {'AQE': r['AQE'], 'MQE': r['MQE'], 'OQE': r['OQE']}
 
 
 def quantzoo_benchmark(model_builders: Dict[str, Callable],

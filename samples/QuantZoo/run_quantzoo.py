@@ -34,6 +34,18 @@ SHAPES = {
 }
 
 if __name__ == '__main__':
+    if '--tasks' in _sys.argv:
+        # trained-task scheme sweep: per family, the SAME trained model
+        # quantized under INT8-PC / INT8-PT-PO2 / FP8-E4M3, reporting the
+        # task metric plus AQE/MQE/OQE (reference QuantZoo Readme.md:200-236)
+        import runpy
+        proto = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), 'Imagenet',
+            'accuracy_protocol.py')
+        _sys.argv = [proto, '--schemes', '--cpu'] + \
+            [a for a in _sys.argv[1:] if a not in ('--tasks',)]
+        runpy.run_path(proto, run_name='__main__')
+        _sys.exit(0)
     rng = np.random.RandomState(0)
     loaders = {name: [rng.randn(*shape).astype(np.float32)
                       for _ in range(8)]

@@ -115,3 +115,56 @@ class TestBf16DeployMode:
         assert b.dtype == np.float32
         snr = float(np.sum((a - b) ** 2) / (np.sum(a ** 2) + 1e-12))
         assert snr < 0.01, snr
+
+
+def test_quantile_bisect_matches_numpy_quantile():
+    """The TPU percentile path (24-step bisection, no sort/histogram) must
+    agree with the exact quantile to bisection resolution."""
+    import numpy as np
+
+    from ppq_tpu.core import QuantizationStates
+    from ppq_tpu.ir import QuantableOperation
+
+    graph, loader = _quantized_tiny()
+    names = []
+    for op in graph.operations.values():
+        if isinstance(op, QuantableOperation):
+            for var, cfg in zip(op.outputs,
+                                op.config.output_quantization_config):
+                if cfg.is_root and \
+                        cfg.state == QuantizationStates.ACTIVATED and \
+                        len(names) < 2:
+                    cfg.state = QuantizationStates.INITIAL
+                    names.append(var.name)
+    assert names
+    cg = compile_graph(graph)
+    pct = 0.99
+    spec = {n: {'kind': 'quantile_bisect', 'percentile': pct}
+            for n in names}
+    fn = cg.build_calibration_forward(spec)
+    params = cg.init_params()
+    # reference values: run the plain forward and quantile the outputs
+    fwd = compile_graph(graph, output_names=names).make_runner()
+    refs = [np.asarray(o).reshape(-1) for o in fwd(loader[0])]
+    _, stats = fn(params, {list(graph.inputs)[0]: jnp.asarray(loader[0])})
+    for name, ref in zip(names, refs):
+        lo, hi = stats[name]
+        lo, hi = float(lo), float(hi)
+        srt = np.sort(ref)
+        n_el = len(srt)
+
+        def order_window(q):
+            # the bisected threshold lands on the 'higher' order statistic
+            # of count >= q*n (within 2^-24 of range); allow the couple of
+            # order stats around the interpolated quantile
+            i = int(q * n_el)
+            return (srt[max(i - 2, 0)], srt[min(i + 2, n_el - 1)])
+
+        lo_lo, lo_hi = order_window(1 - pct)
+        hi_lo, hi_hi = order_window(pct)
+        eps = float(srt[-1] - srt[0]) / 4096 + 1e-7
+        assert hi_lo - eps <= hi <= hi_hi + eps, (hi, hi_lo, hi_hi)
+        assert lo_lo - eps <= lo <= lo_hi + eps, (lo, lo_lo, lo_hi)
+        # the bisected threshold must actually bracket the mass
+        assert np.mean(ref <= hi + eps) >= pct - 2.0 / n_el
+        assert np.mean(ref <= lo + eps) >= (1 - pct) - 2.0 / n_el
