@@ -177,7 +177,11 @@ class ServingEngine:
                 # microbatches through the stage ring)
                 from .pipeline import stack_layer_params
                 if any('moe' in l for l in params['layers']):
-                    raise NotImplementedError('pp + MoE not supported')
+                    raise NotImplementedError(
+                        'pp + MoE is out of scope (docs/serving.md mesh '
+                        'matrix): expert all-to-alls would serialize '
+                        'against the stage ring. Use ep / ep x tp / dp '
+                        'meshes for MoE models.')
                 if cfg.max_batch % dict(mesh.shape)['pp'] != 0:
                     raise ValueError('max_batch must divide by pp stages')
                 stacked = stack_layer_params(params['layers'])
@@ -237,7 +241,11 @@ class ServingEngine:
                         if shape.get('dp', 1) > 1 or shape.get('tp', 1) > 1:
                             raise NotImplementedError(
                                 'paged_kv + sp x pp composes only as a '
-                                'pure pp x sp mesh (no dp/tp axes)')
+                                'pure pp x sp mesh (no dp/tp axes) — '
+                                'out of scope, see docs/serving.md '
+                                'supported mesh matrix for the rationale '
+                                'and the covered alternatives (dp x sp, '
+                                'sp x tp, pp x sp).')
                         # sp x pp: pools shard (layer, block) over
                         # ('pp','sp'); the staged paths (pipeline.py)
                         # localize block rows per sp shard and flash-merge
@@ -276,16 +284,19 @@ class ServingEngine:
         # automatic prefix caching: requests sharing a prompt prefix
         # adopt the cached pool blocks and only prefill the tail
         self.prefix_cache = None
-        if self._paged and getattr(cfg, 'prefix_cache_blocks', 0) and \
-                getattr(self, '_paged_dp', 1) > 1:
-            raise NotImplementedError(
-                'prefix cache + dp x sp paged: cached blocks live on one '
-                'dp row and cannot be adopted across rows')
         if self._paged and getattr(cfg, 'prefix_cache_blocks', 0):
-            from .paged import PrefixCache
-            self.prefix_cache = PrefixCache(
-                self._alloc, self._alloc.block_size,
-                cfg.prefix_cache_blocks)
+            from .paged import GroupedPrefixCache, PrefixCache
+            if getattr(self, '_paged_dp', 1) > 1:
+                # dp-grouped pools: one prefix index per dp row — a cached
+                # chain lives on one row's devices, so adoption stays
+                # row-local (GroupedPrefixCache)
+                self.prefix_cache = GroupedPrefixCache(
+                    self._alloc, self._alloc.block_size,
+                    cfg.prefix_cache_blocks)
+            else:
+                self.prefix_cache = PrefixCache(
+                    self._alloc, self._alloc.block_size,
+                    cfg.prefix_cache_blocks)
         B = cfg.max_batch
         self.slot_len = np.zeros(B, np.int64)        # tokens in cache per slot
         self.slot_req: List[Optional[Request]] = [None] * B
@@ -685,7 +696,8 @@ class ServingEngine:
         self.slot_len[slot] = n
         if self.prefix_cache is not None:
             self.prefix_cache.insert(req.prompt,
-                                     self._alloc.slot_block_ids(slot))
+                                     self._alloc.slot_block_ids(slot),
+                                     slot=slot)
         return last[slot, n - 1 - offsets[-1]]
 
     def _admit_prefix_shared(self, req: Request, slot: int,
@@ -730,7 +742,8 @@ class ServingEngine:
         self.slot_len[slot] = n
         if self.prefix_cache is not None:
             self.prefix_cache.insert(req.prompt,
-                                     self._alloc.slot_block_ids(slot))
+                                     self._alloc.slot_block_ids(slot),
+                                     slot=slot)
         return last[slot, n - 1 - offsets[-1]]
 
     def _build_decode_burst_paged(self, n_steps: int):
@@ -834,7 +847,7 @@ class ServingEngine:
             # prefill); misses fall through to the batched admit below
             rest = []
             for slot, req in admits:
-                shared = self.prefix_cache.match(req.prompt)
+                shared = self.prefix_cache.match(req.prompt, slot=slot)
                 if shared:
                     tok = self._admit_prefix_shared(req, slot, shared)
                     req.generated.append(int(np.asarray(tok)))
@@ -876,7 +889,8 @@ class ServingEngine:
                 req.generated.append(int(last[slot]))
                 if self.prefix_cache is not None:
                     self.prefix_cache.insert(
-                        req.prompt, self._alloc.slot_block_ids(slot))
+                        req.prompt, self._alloc.slot_block_ids(slot),
+                        slot=slot)
             return
         if self._bucket_for(longest) == -1:
             # split: chunked path for over-bucket prompts, batched for rest
@@ -1016,7 +1030,7 @@ class ServingEngine:
                 # prefix-cache hits adopt cached blocks; tail-only prefill
                 rest = []
                 for slot, req in admits:
-                    shared = self.prefix_cache.match(req.prompt)
+                    shared = self.prefix_cache.match(req.prompt, slot=slot)
                     if shared:
                         tok = self._admit_prefix_shared(req, slot, shared)
                         cur_tok = cur_tok.at[slot].set(tok)
@@ -1061,7 +1075,8 @@ class ServingEngine:
                             for slot, req in short_admits:
                                 self.prefix_cache.insert(
                                     req.prompt,
-                                    self._alloc.slot_block_ids(slot))
+                                    self._alloc.slot_block_ids(slot),
+                                    slot=slot)
                     else:
                         fn = self._prefill_fn(bucket)
                         last, self.cache = fn(self.params, self.cache,

@@ -611,3 +611,38 @@ def test_ppsp_paged_chunked_prefill_long_prompt():
     reqs = [Request(0, rng.randint(1, 96, 50).tolist(), max_new_tokens=4)]
     eng.run(reqs, sync_every=4)
     assert reqs[0].done and len(reqs[0].generated) == 4
+
+
+def test_dpsp_paged_prefix_cache_row_local():
+    """Prefix cache on a dp-grouped pool (GroupedPrefixCache): cached
+    chains are adopted only by slots on the SAME dp row; another row's
+    identical prompt misses, prefills its own copy, and caches it there.
+    Tokens stay exactly equal to the uncached dp x sp engine."""
+    cfg = _paged_dpsp_cfg(max_seq_len=512)
+    cfg.prefix_cache_blocks = 16
+    params = init_llama_params(cfg, seed=21)
+    rng = np.random.RandomState(22)
+    prompt = rng.randint(1, 96, 200).tolist()
+
+    def gen(with_cache):
+        c = _paged_dpsp_cfg(max_seq_len=512)
+        if with_cache:
+            c.prefix_cache_blocks = 16
+        eng = ServingEngine(c, params, mesh=_mesh([('dp', 2), ('sp', 2)]))
+        outs = []
+        for wave in ([prompt], [prompt], [prompt] * 4):
+            reqs = [Request(i, list(p), max_new_tokens=4)
+                    for i, p in enumerate(wave)]
+            eng.run(reqs, sync_every=2)
+            outs.append([r.generated for r in reqs])
+        return eng, outs
+
+    ref_eng, ref = gen(False)
+    eng, got = gen(True)
+    assert got == ref, (got, ref)
+    from ppq_tpu.serving.paged import GroupedPrefixCache
+    assert isinstance(eng.prefix_cache, GroupedPrefixCache)
+    # wave1: slot0 miss; wave2: slot0 hit; wave3: slots 0-1 (row 0) hit,
+    # slots 2-3 (row 1) miss — adoption never crosses dp rows
+    assert eng.prefix_cache.hits == 3, eng.prefix_cache.hits
+    assert eng.prefix_cache.misses == 3, eng.prefix_cache.misses
