@@ -13,9 +13,9 @@ from .core import (DataType, QuantizationPolicy, QuantizationProperty,
 from .ir import BaseGraph, Operation, QuantableOperation, Variable
 from .executor import TPUExecutor
 from .api import (QuantizationSetting, QuantizationSettingFactory,
-                  dispatch_graph, export_ppq_graph, load_graph,
-                  load_native_graph, load_onnx_graph, manop, quantize_graph,
-                  quantize_native_model, quantize_onnx_model)
+                  dispatch_graph, export, export_ppq_graph, load_graph,
+                  load_native_graph, load_onnx_graph, manop, quantize,
+                  quantize_graph, quantize_native_model, quantize_onnx_model)
 
 __all__ = [
     '__version__',
@@ -25,5 +25,6 @@ __all__ = [
     'BaseGraph', 'Operation', 'QuantableOperation', 'Variable', 'TPUExecutor',
     'QuantizationSetting', 'QuantizationSettingFactory', 'dispatch_graph',
     'export_ppq_graph', 'load_graph', 'load_native_graph', 'load_onnx_graph',
-    'manop', 'quantize_graph', 'quantize_native_model', 'quantize_onnx_model',
+    'manop', 'quantize', 'export', 'quantize_graph',
+    'quantize_native_model', 'quantize_onnx_model',
 ]

@@ -26,7 +26,8 @@ __all__ = [
     'dispatch_graph', 'quantize_onnx_model', 'quantize_graph',
     'quantize_native_model', 'quantize_caffe_model', 'load_caffe_graph',
     'quantize_torch_model', 'load_torch_model',
-    'export_ppq_graph', 'manop', 'ENABLE_PALLAS_KERNEL',
+    'export_ppq_graph', 'quantize', 'export', 'manop',
+    'ENABLE_PALLAS_KERNEL',
     'DISABLE_PALLAS_KERNEL', 'DEQUANTIZE_GRAPH',
     'QuantizationSetting', 'QuantizationSettingFactory',
 ]
@@ -193,6 +194,60 @@ def quantize_caffe_model(caffe_proto_file: str, caffe_model_file: str,
     """(reference api/interface.py:349)"""
     graph = load_caffe_graph(caffe_proto_file, caffe_model_file)
     return quantize_graph(graph, calib_dataloader, **kwargs)
+
+
+def quantize(working_directory: str, setting: QuantizationSetting,
+             input_shape: List[int], target_platform: TargetPlatform,
+             dataloader: Optional[Iterable] = None,
+             calib_steps: int = 32, model_type: str = 'onnx',
+             verbose: bool = True) -> BaseGraph:
+    """Beginner working-directory flow (reference api/interface.py:805):
+    quantize `<working_directory>/model.onnx` (or model.prototxt +
+    model.caffemodel with model_type='caffe'). When no dataloader is
+    given, calibration batches load from `<working_directory>/data/*.npy`
+    via fsys.load_calibration_dataset."""
+    from .fsys import load_calibration_dataset
+    model_type = model_type.lower()
+    if dataloader is None:
+        batch = input_shape[0] if input_shape and input_shape[0] else 32
+        dataloader = load_calibration_dataset(
+            working_directory, input_shape, batchsize=batch)
+        calib_steps = min(calib_steps, len(dataloader))
+    if model_type == 'onnx':
+        path = os.path.join(working_directory, 'model.onnx')
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f'Cannot find your model at {path!r}; for caffe models '
+                f'pass model_type="caffe"')
+        return quantize_onnx_model(
+            onnx_import_file=path, calib_dataloader=dataloader,
+            calib_steps=calib_steps, input_shape=input_shape,
+            setting=setting, platform=target_platform, verbose=verbose)
+    if model_type == 'caffe':
+        path = os.path.join(working_directory, 'model.caffemodel')
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f'Cannot find your model at {path!r}; for onnx models '
+                f'pass model_type="onnx"')
+        return quantize_caffe_model(
+            caffe_proto_file=os.path.join(working_directory,
+                                          'model.prototxt'),
+            caffe_model_file=path, calib_dataloader=dataloader,
+            calib_steps=calib_steps, input_shape=input_shape,
+            setting=setting, platform=target_platform, verbose=verbose)
+    raise ValueError(f'model_type must be "onnx" or "caffe", '
+                     f'got {model_type!r}')
+
+
+def export(working_directory: str, quantized: BaseGraph,
+           platform: TargetPlatform, **kwargs) -> None:
+    """Beginner working-directory export (reference api/interface.py:852):
+    writes `<working_directory>/quantized.<ext>` + `quantized.json`."""
+    export_ppq_graph(
+        graph=quantized, platform=platform,
+        graph_save_to=os.path.join(working_directory, 'quantized'),
+        config_save_to=os.path.join(working_directory, 'quantized.json'),
+        **kwargs)
 
 
 def export_ppq_graph(graph: BaseGraph, platform: TargetPlatform,
