@@ -32,7 +32,18 @@ class LlamaConfig:
 
     # quantization
     weight_bits: int = 8            # 8 | 4 | 16 (16 = bf16, no quant)
+    # lm_head precision; None resolves to 8 when weight_bits == 4 (the
+    # AWQ/GPTQ-style mixed head: the head is <10% of 1B-class params but
+    # the single largest matmul, and the int4 unpack is VPU-serialized
+    # against the MXU at decode batches >= 64 — probes/int4_pipe.py).
+    # Set 4 explicitly to force a uniform-int4 model.
+    lm_head_bits: Optional[int] = None
     weight_quant_method: str = 'minmax'   # 'minmax' | 'mse' scale search
+    # runtime marker set by model.fuse_decode_params when every rms_norm
+    # gamma folded into the following matmul's weights: decode paths then
+    # fuse the norm's rsqrt into the qmm kernel epilogue (static under
+    # jit — must NOT live in the params pytree)
+    norm_folded: bool = False
     kv_cache_bits: int = 8          # 8 | 16
     act_dtype: str = 'bfloat16'
     # W8A8 prefill: per-token int8 activations + int8 weights on the
@@ -89,6 +100,12 @@ class LlamaConfig:
     @property
     def head_dim(self) -> int:
         return self.d_model // self.n_heads
+
+    @property
+    def resolved_lm_head_bits(self) -> int:
+        if self.lm_head_bits is not None:
+            return self.lm_head_bits
+        return 8 if self.weight_bits == 4 else self.weight_bits
 
     @classmethod
     def tiny(cls) -> 'LlamaConfig':
