@@ -85,6 +85,12 @@ def params_from_hf_state_dict(sd: Dict, cfg: LlamaConfig,
         'lm_head': lin(head_key),
     }
     if quantize:
+        # fold norm gammas into the fp weights BEFORE quantization: the
+        # quant grid then covers gamma*W (an AWQ-style scale fold), and
+        # the decode hot loop can fuse each rms_norm into the following
+        # qmm kernel's row-scale epilogue (model.fold_norm_gamma)
+        from .model import fold_norm_gamma
+        fold_norm_gamma(params)
         params = quantize_llama_params(params, cfg, method=method)
     return params
 

@@ -105,7 +105,9 @@ def _a8_quant(x: jnp.ndarray):
 
 
 def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray],
-            pallas: bool = False, a8: bool = False) -> jnp.ndarray:
+            pallas: bool = False, a8: bool = False,
+            row_scale: Optional[jnp.ndarray] = None,
+            residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """x @ dequant(w).
 
     pallas=True routes supported shapes through the fused dequant-matmul
@@ -122,7 +124,23 @@ def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray],
     scale; engine paths enable it via cfg.act_bits == 8 on windows with
     more than one token (the decision is shape-static, so each jitted
     program picks one path).
+
+    row_scale (lead-shaped, or (..., 1)): per-row f32 multiplier fused
+    into the kernel epilogue — the folded-rms_norm rsqrt factor (a row
+    scalar commutes with the dot). residual (same shape as the output):
+    fused post-scale add — decode's per-layer `x + f(x)`.
     """
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    R = int(np.prod(lead)) if lead else 1
+
+    def _epilogue(out):
+        if row_scale is not None:
+            out = out * row_scale.astype(jnp.float32).reshape(R, 1)
+        if residual is not None:
+            out = out + residual.reshape(R, -1).astype(jnp.float32)
+        return out
+
     if a8 and 'w' not in wq and x.shape[-2] > 1:
         q, sx = _a8_quant(x)
         w_int = (wq['w_int'] if 'w_int' in wq
@@ -132,24 +150,30 @@ def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray],
             preferred_element_type=jnp.int32)
         out = acc.astype(jnp.float32) * sx \
             * wq['scale'].astype(jnp.float32)
+        out = _epilogue(out.reshape(R, -1)).reshape(out.shape)
         return out.astype(x.dtype)
-    lead = x.shape[:-1]
-    D = x.shape[-1]
-    R = int(np.prod(lead)) if lead else 1
     if pallas and 'w' not in wq and R * D * 2 <= _PALLAS_QMM_MAX_X_BYTES:
         from ..kernels import qmm
         x2 = x.reshape(R, D)
+        rs = None if row_scale is None \
+            else row_scale.reshape(R, 1).astype(jnp.float32)
         if 'w_int' in wq:
             F = wq['w_int'].shape[1]
             if qmm.supports(D, F, R):
-                out = qmm.qmm_int8(x2, wq['w_int'], wq['scale'],
-                                   out_dtype=jnp.float32)
+                out = qmm.qmm_int8(
+                    x2, wq['w_int'], wq['scale'], out_dtype=jnp.float32,
+                    row_scale=rs,
+                    residual=None if residual is None
+                    else residual.reshape(R, F))
                 return out.reshape(*lead, F).astype(x.dtype)
         else:
             F = wq['w_packed'].shape[1]
             if D % 2 == 0 and qmm.supports_int4(D // 2, F, R):
-                out = qmm.qmm_int4(x2, wq['w_packed'], wq['scale'],
-                                   out_dtype=jnp.float32)
+                out = qmm.qmm_int4(
+                    x2, wq['w_packed'], wq['scale'], out_dtype=jnp.float32,
+                    row_scale=rs,
+                    residual=None if residual is None
+                    else residual.reshape(R, F))
                 return out.reshape(*lead, F).astype(x.dtype)
     if 'w' in wq:
         w = wq['w']
@@ -158,8 +182,10 @@ def qmatmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray],
     else:
         w = (_unpack_int4(wq['w_packed']).astype(jnp.bfloat16)
              * wq['scale'].astype(jnp.bfloat16))
-    return jnp.dot(x.astype(jnp.bfloat16), w,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    out = jnp.dot(x.astype(jnp.bfloat16), w,
+                  preferred_element_type=jnp.float32)
+    out = _epilogue(out.reshape(R, -1)).reshape(out.shape)
+    return out.astype(x.dtype)
 
 
 # =============================================================== init ======
@@ -173,17 +199,23 @@ def init_llama_params(cfg: LlamaConfig, seed: int = 0,
     bits = cfg.weight_bits if quantized else 16
     method = getattr(cfg, 'weight_quant_method', 'minmax')
 
-    def dense(i, o):
+    def dense(i, o, b=None):
         w = rng.standard_normal((i, o), dtype=np.float32) \
             * np.float32(1.0 / np.sqrt(i))
-        return quantize_weight(w, bits, method=method)
+        return quantize_weight(w, b if b is not None else bits,
+                               method=method)
 
     params: Params = {
         'embed': jnp.asarray(
             rng.standard_normal((cfg.vocab_size, D), dtype=np.float32) * 0.02,
             jnp.bfloat16),
         'final_norm': jnp.ones((D,), jnp.float32),
-        'lm_head': dense(D, cfg.vocab_size),
+        # mixed-precision head (cfg.lm_head_bits): int4 models keep an
+        # int8 head by default — the unpack is VPU-serialized against
+        # the MXU at decode batch >= 64 (probes/int4_pipe.py) and the
+        # head is the largest single matmul
+        'lm_head': dense(D, cfg.vocab_size,
+                         cfg.resolved_lm_head_bits if quantized else 16),
         'layers': [],
     }
     for li in range(cfg.n_layers):
@@ -222,6 +254,50 @@ def _concat_qweights(parts):
     return out
 
 
+def fold_norm_gamma(params: Params) -> bool:
+    """Fold each rms_norm's gamma into the row scaling of the matmul it
+    feeds (attn_norm → wq/wk/wv|wqkv, mlp_norm → gate/up|gateup,
+    final_norm → lm_head), setting the stored gamma to ones. After this,
+    rms_norm(x, ones, eps) @ W' is EXACTLY the original math — every
+    path stays correct — and hot paths may instead use the fused
+    row_rsqrt epilogue (one fewer rounding, no (B, D) norm
+    materialization). MUTATES params in place.
+
+    Folding needs fp weights ('w' present, pre-quantization); gammas
+    that are already all-ones (fresh-initialized models) fold trivially.
+    Weight dicts are copied before scaling (no aliasing back into the
+    caller's original tree). Returns True only if EVERY norm folded —
+    callers set params['norm_folded'] on success."""
+    def fold(owner, gkey, wkeys):
+        g = np.asarray(owner[gkey], np.float32)
+        if np.all(g == 1.0):
+            return True
+        wqs = [owner.get(k) for k in wkeys]
+        if not all(wq is not None and 'w' in wq for wq in wqs):
+            return False
+        gj = jnp.asarray(g)[:, None]
+        for k, wq in zip(wkeys, wqs):
+            new = dict(wq)
+            new['w'] = (new['w'].astype(jnp.float32) * gj) \
+                .astype(jnp.asarray(new['w']).dtype)
+            owner[k] = new
+        owner[gkey] = jnp.ones_like(jnp.asarray(owner[gkey]))
+        return True
+
+    ok = True
+    for layer in params['layers']:
+        if 'moe' in layer:
+            ok = False      # router/expert folding not attempted
+            continue
+        ok &= fold(layer, 'attn_norm',
+                   ('wqkv',) if 'wqkv' in layer else ('wq', 'wk', 'wv'))
+        ok &= fold(layer, 'mlp_norm',
+                   ('w_gateup',) if 'w_gateup' in layer
+                   else ('w_gate', 'w_up'))
+    ok &= fold(params, 'final_norm', ('lm_head',))
+    return ok
+
+
 def fuse_decode_params(params: Params, cfg: LlamaConfig) -> Params:
     """Fuse per-layer projections for the decode hot loop: wq|wk|wv →
     'wqkv' and w_gate|w_up → 'w_gateup' (one matmul dispatch instead of
@@ -243,6 +319,12 @@ def fuse_decode_params(params: Params, cfg: LlamaConfig) -> Params:
                 [lay.pop('w_gate'), lay.pop('w_up')])
         layers.append(lay)
     out['layers'] = layers
+    # norm-gamma folding: lets the decode hot loop replace each rms_norm
+    # with a per-row rsqrt fused into the following qmm kernel epilogue.
+    # The marker lives on cfg (static under jit), NOT in the params
+    # pytree (a bool leaf would trace).
+    if fold_norm_gamma(out):
+        cfg.norm_folded = True
     # pad the lm_head output axis to a multiple of 1024: 32000-class
     # vocabs only tile at TF=256 (125 grid steps per call); padded to
     # 32768 the panel reaches TF=2048 (16 steps) — measured 84.3 → 51.6
@@ -265,21 +347,26 @@ def fuse_decode_params(params: Params, cfg: LlamaConfig) -> Params:
     return out
 
 
-def project_qkv(h, layer, cfg: LlamaConfig, pall: bool):
+def project_qkv(h, layer, cfg: LlamaConfig, pall: bool, row_scale=None):
     """(B, T, D) → q (B,T,H,Dh), k/v (B,T,KV,Dh) via the fused 'wqkv'
-    weight when present, else the separate projections."""
+    weight when present, else the separate projections. row_scale: the
+    folded-attn_norm rsqrt factor (pass raw x as h in that case)."""
     B, T, _ = h.shape
     H, KV, Dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     a8 = getattr(cfg, 'act_bits', 16) == 8
     if 'wqkv' in layer:
-        qkv = qmatmul(h, layer['wqkv'], pallas=pall, a8=a8)
+        qkv = qmatmul(h, layer['wqkv'], pallas=pall, a8=a8,
+                      row_scale=row_scale)
         q = qkv[..., :H * Dh].reshape(B, T, H, Dh)
         k = qkv[..., H * Dh:(H + KV) * Dh].reshape(B, T, KV, Dh)
         v = qkv[..., (H + KV) * Dh:].reshape(B, T, KV, Dh)
         return q, k, v
-    q = qmatmul(h, layer['wq'], pallas=pall, a8=a8).reshape(B, T, H, Dh)
-    k = qmatmul(h, layer['wk'], pallas=pall, a8=a8).reshape(B, T, KV, Dh)
-    v = qmatmul(h, layer['wv'], pallas=pall, a8=a8).reshape(B, T, KV, Dh)
+    q = qmatmul(h, layer['wq'], pallas=pall, a8=a8,
+                row_scale=row_scale).reshape(B, T, H, Dh)
+    k = qmatmul(h, layer['wk'], pallas=pall, a8=a8,
+                row_scale=row_scale).reshape(B, T, KV, Dh)
+    v = qmatmul(h, layer['wv'], pallas=pall, a8=a8,
+                row_scale=row_scale).reshape(B, T, KV, Dh)
     return q, k, v
 
 
@@ -290,13 +377,13 @@ def quantize_llama_params(params: Params, cfg: LlamaConfig,
     'minmax' | 'mse' (defaults to cfg.weight_quant_method)."""
     method = method or getattr(cfg, 'weight_quant_method', 'minmax')
 
-    def q(wq):
+    def q(wq, bits=None):
         if 'w' not in wq:
             return wq
         return quantize_weight(np.asarray(wq['w'], np.float32),
-                               cfg.weight_bits, method=method)
+                               bits or cfg.weight_bits, method=method)
     out = dict(params)
-    out['lm_head'] = q(params['lm_head'])
+    out['lm_head'] = q(params['lm_head'], cfg.resolved_lm_head_bits)
     out['layers'] = [{k: (q(v) if isinstance(v, dict) else v)
                       for k, v in layer.items()}
                      for layer in params['layers']]
@@ -309,6 +396,16 @@ def rms_norm(x, gamma, eps):
     var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
     return (x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)
             * gamma).astype(x.dtype)
+
+
+def row_rsqrt(x, eps):
+    """The data-dependent half of rms_norm: rsqrt(mean(x^2) + eps) as a
+    per-row f32 scalar, shape = x.shape[:-1]. With the norm's gamma
+    folded into the following matmul's weights (fold_norm_gamma), the
+    full pre-norm matmul is  row_rsqrt(x) * (x @ W')  — the row scalar
+    commutes with the dot and rides the qmm kernel epilogue."""
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1)
+    return jax.lax.rsqrt(var + eps)
 
 
 def rope_tables(positions, theta, Dh):
@@ -452,23 +549,50 @@ def attention(x, layer, cache_k, cache_v, cache_ks, cache_vs,
     return out, cache_k, cache_v, cache_ks, cache_vs
 
 
-def mlp(x, layer, cfg=None):
+def mlp(x, layer, cfg=None, row_scale=None, residual=None):
+    """SwiGLU FFN. row_scale: folded-norm rsqrt factor (see
+    fold_norm_gamma); residual: fused into the down-projection epilogue.
+    On the Pallas decode path gate/up/silu/mul run inside ONE kernel
+    (kernels/qmm.py qmm_gateup) — the (B, 2*d_ff) projection never
+    round-trips HBM."""
     if 'moe' in layer:
         from .moe import moe_ffn
-        return moe_ffn(x, layer['moe'],
-                       top_k=cfg.top_k if cfg is not None else 2)
+        out = moe_ffn(x, layer['moe'],
+                      top_k=cfg.top_k if cfg is not None else 2)
+        return out if residual is None else residual + out
     pall = bool(getattr(cfg, 'use_pallas_matmul', False)) \
         if cfg is not None else False
     a8 = (getattr(cfg, 'act_bits', 16) == 8) if cfg is not None else False
+    lead = x.shape[:-1]
+    D = x.shape[-1]
+    R = int(np.prod(lead)) if lead else 1
+    if (pall and not a8 and 'w_gateup' in layer
+            and 'w' not in layer['w_gateup']
+            and R * D * 2 <= _PALLAS_QMM_MAX_X_BYTES):
+        from ..kernels import qmm
+        wgu = layer['w_gateup']
+        wkey = 'w_int' if 'w_int' in wgu else 'w_packed'
+        bits = 8 if wkey == 'w_int' else 4
+        if qmm.supports_gateup(D, wgu[wkey].shape[1], R, bits):
+            act = qmm.qmm_gateup(
+                x.reshape(R, D), wgu[wkey], wgu['scale'],
+                row_scale=None if row_scale is None
+                else row_scale.reshape(R, 1))
+            act = act.reshape(*lead, act.shape[-1]).astype(x.dtype)
+            return qmatmul(act, layer['w_down'], pallas=pall, a8=a8,
+                           residual=residual)
     if 'w_gateup' in layer:
-        gu = qmatmul(x, layer['w_gateup'], pallas=pall, a8=a8)
+        gu = qmatmul(x, layer['w_gateup'], pallas=pall, a8=a8,
+                     row_scale=row_scale)
         F = gu.shape[-1] // 2
         g, u = gu[..., :F], gu[..., F:]
     else:
-        g = qmatmul(x, layer['w_gate'], pallas=pall, a8=a8)
-        u = qmatmul(x, layer['w_up'], pallas=pall, a8=a8)
+        g = qmatmul(x, layer['w_gate'], pallas=pall, a8=a8,
+                    row_scale=row_scale)
+        u = qmatmul(x, layer['w_up'], pallas=pall, a8=a8,
+                    row_scale=row_scale)
     return qmatmul(jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u,
-                   layer['w_down'], pallas=pall, a8=a8)
+                   layer['w_down'], pallas=pall, a8=a8, residual=residual)
 
 
 def decoder_layer(layer, ck, cv, cks, cvs, x, positions, write_pos, cfg,
@@ -650,9 +774,18 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
             x = params['embed'][cur_tok][:, None, :]         # (B,1,D)
             # rope tables depend only on pos — ONE build per step
             r_cos, r_sin = rope_tables(pos[:, None], cfg.rope_theta, Dh)
+            folded = bool(getattr(cfg, 'norm_folded', False))
             for li, layer in enumerate(params['layers']):
-                h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
-                q, k, v = project_qkv(h, layer, cfg, pall)
+                if folded:
+                    # fused pre-norm: gamma lives in the weights
+                    # (fold_norm_gamma); the rsqrt factor rides the qmm
+                    # kernel epilogue as a row scale
+                    q, k, v = project_qkv(
+                        x, layer, cfg, pall,
+                        row_scale=row_rsqrt(x, cfg.rms_eps))
+                else:
+                    h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
+                    q, k, v = project_qkv(h, layer, cfg, pall)
                 q = rope_apply(q, r_cos, r_sin)
                 k = rope_apply(k, r_cos, r_sin)
                 # bank this step's K/V at chunk column ic (write before
@@ -759,12 +892,25 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                                      preferred_element_type=jnp.float32)
                     ctx = ctx + buf_readout(pb)
                 ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
-                x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
-                h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
-                x = x + mlp(h, layer, cfg)
-            x = rms_norm(x, params['final_norm'], cfg.rms_eps)
-            logits = qmatmul(x, params['lm_head'],
-                             pallas=pall, a8=a8).astype(jnp.float32)
+                if folded:
+                    # residual adds + norms fused into kernel epilogues
+                    x = qmatmul(ctx, layer['wo'], pallas=pall, a8=a8,
+                                residual=x)
+                    x = mlp(x, layer, cfg,
+                            row_scale=row_rsqrt(x, cfg.rms_eps),
+                            residual=x)
+                else:
+                    x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
+                    h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
+                    x = x + mlp(h, layer, cfg)
+            if folded:
+                logits = qmatmul(x, params['lm_head'], pallas=pall, a8=a8,
+                                 row_scale=row_rsqrt(x, cfg.rms_eps)
+                                 ).astype(jnp.float32)
+            else:
+                x = rms_norm(x, params['final_norm'], cfg.rms_eps)
+                logits = qmatmul(x, params['lm_head'],
+                                 pallas=pall, a8=a8).astype(jnp.float32)
             nxt = select_fn(logits[:, 0, :cfg.vocab_size], key)
             return (nxt, tuple(kbuf), tuple(vbuf), tuple(ksb), tuple(vsb),
                     i + 1), nxt

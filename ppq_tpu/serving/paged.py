@@ -36,7 +36,7 @@ import numpy as np
 
 from .config import LlamaConfig
 from .model import (Params, _kv_quant, mlp, project_qkv, qmatmul,
-                    rms_norm, rope_apply, rope_tables)
+                    rms_norm, rope_apply, rope_tables, row_rsqrt)
 
 # Default pool block size; production paths read cfg.kv_block_size (the
 # engine) or the pool's actual shape — this constant only serves legacy
@@ -830,9 +830,17 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
             # rope tables are layer-independent: ONE build per step
             r_cos, r_sin = rope_tables(pos[:, None], cfg.rope_theta, Dh)
             k_new, v_new, ks_new, vs_new = [], [], [], []
+            folded = bool(getattr(cfg, 'norm_folded', False))
             for li, layer in enumerate(params['layers']):
-                h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
-                q, k, v = project_qkv(h, layer, cfg, pall)
+                if folded:
+                    # gamma folded into weights; rsqrt rides the qmm
+                    # epilogue (model.fold_norm_gamma)
+                    q, k, v = project_qkv(
+                        x, layer, cfg, pall,
+                        row_scale=row_rsqrt(x, cfg.rms_eps))
+                else:
+                    h = rms_norm(x, layer['attn_norm'], cfg.rms_eps)
+                    q, k, v = project_qkv(h, layer, cfg, pall)
                 q = rope_apply(q, r_cos, r_sin)
                 k = rope_apply(k, r_cos, r_sin)
                 if int8_cache:
@@ -909,9 +917,16 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
                 ctx = merge_attention([(acc_f, m_f, l_f), (acc_b, m_b, l_b),
                                        (acc_s, m_s, l_s)])
                 ctx = ctx.reshape(B, 1, H * Dh).astype(x.dtype)
-                x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
-                h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
-                x = x + mlp(h, layer, cfg)
+                if folded:
+                    x = qmatmul(ctx, layer['wo'], pallas=pall, a8=a8,
+                                residual=x)
+                    x = mlp(x, layer, cfg,
+                            row_scale=row_rsqrt(x, cfg.rms_eps),
+                            residual=x)
+                else:
+                    x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
+                    h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
+                    x = x + mlp(h, layer, cfg)
             # ONE buffer update per kind: all layers' new columns land at
             # chunk column ic
             kbuf = jax.lax.dynamic_update_slice(
@@ -925,9 +940,14 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
                 vsb = jax.lax.dynamic_update_slice(
                     vsb, jnp.stack(vs_new).transpose(0, 1, 3, 2),
                     (0, 0, 0, ic))
-            x = rms_norm(x, params['final_norm'], cfg.rms_eps)
-            logits = qmatmul(x, params['lm_head'],
-                             pallas=pall, a8=a8).astype(jnp.float32)
+            if folded:
+                logits = qmatmul(x, params['lm_head'], pallas=pall, a8=a8,
+                                 row_scale=row_rsqrt(x, cfg.rms_eps)
+                                 ).astype(jnp.float32)
+            else:
+                x = rms_norm(x, params['final_norm'], cfg.rms_eps)
+                logits = qmatmul(x, params['lm_head'],
+                                 pallas=pall, a8=a8).astype(jnp.float32)
             nxt = select_fn(logits[:, 0, :cfg.vocab_size], key)
             return (nxt, kbuf, vbuf, ksb, vsb, i + 1), nxt
 

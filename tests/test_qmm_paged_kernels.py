@@ -314,3 +314,129 @@ class TestGroupedDecodeAttention:
         got, want = np.asarray(got), np.asarray(want)
         assert np.allclose(got[0], 0)            # empty slot → zero context
         np.testing.assert_allclose(got[1:], want[1:], rtol=2e-3, atol=2e-4)
+
+
+class TestQmmFusedEpilogue:
+    """Round-4 fused epilogues: row_scale (folded-rms_norm rsqrt),
+    residual add, and the single-kernel SwiGLU gate-up (qmm_gateup)."""
+
+    def _data(self, seed, B=8, D=512, F=640):
+        rng = np.random.default_rng(seed)
+        w8 = rng.integers(-127, 128, (D, F)).astype(np.int8)
+        s = ((rng.random(F) + 0.5) * 1e-2).astype(np.float32)
+        x = rng.standard_normal((B, D)).astype(np.float32)
+        row = (rng.random(B) + 0.5).astype(np.float32)
+        res = rng.standard_normal((B, F)).astype(np.float32)
+        return w8, s, x, row, res
+
+    def test_int8_row_scale_residual(self):
+        w8, s, x, row, res = self._data(3)
+        ref = (x @ (w8.astype(np.float32) * s)) * row[:, None] + res
+        out = np.asarray(qmm_int8(
+            jnp.asarray(x), jnp.asarray(w8), jnp.asarray(s),
+            out_dtype=jnp.float32, interpret=True,
+            row_scale=jnp.asarray(row),
+            residual=jnp.asarray(res)))
+        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 2e-2, err
+
+    def test_int4_row_scale_residual(self):
+        rng = np.random.default_rng(4)
+        B, D, F = 8, 512, 640
+        q4 = rng.integers(-8, 8, (D, F)).astype(np.int8)
+        s = ((rng.random(F) + 0.5) * 1e-2).astype(np.float32)
+        x = rng.standard_normal((B, D)).astype(np.float32)
+        row = (rng.random(B) + 0.5).astype(np.float32)
+        res = rng.standard_normal((B, F)).astype(np.float32)
+        ref = (x @ (q4.astype(np.float32) * s)) * row[:, None] + res
+        out = np.asarray(qmm_int4(
+            jnp.asarray(x), jnp.asarray(pack_int4_splithalf(q4)),
+            jnp.asarray(s), out_dtype=jnp.float32, interpret=True,
+            row_scale=jnp.asarray(row), residual=jnp.asarray(res)))
+        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 2e-2, err
+
+    @pytest.mark.parametrize('bits', [8, 4])
+    def test_gateup_silu_parity(self, bits):
+        from ppq_tpu.kernels.qmm import qmm_gateup, supports_gateup
+        rng = np.random.default_rng(5 + bits)
+        B, D, F = 8, 512, 384
+        wg = rng.standard_normal((D, F)).astype(np.float32) * 0.05
+        wu = rng.standard_normal((D, F)).astype(np.float32) * 0.05
+        x = rng.standard_normal((B, D)).astype(np.float32)
+        row = (rng.random(B) + 0.5).astype(np.float32)
+        qmax = 127 if bits == 8 else 7
+        sg = np.maximum(np.abs(wg).max(0), 1e-8) / qmax
+        su = np.maximum(np.abs(wu).max(0), 1e-8) / qmax
+        qg = np.clip(np.round(wg / sg), -qmax - 1, qmax).astype(np.int8)
+        qu = np.clip(np.round(wu / su), -qmax - 1, qmax).astype(np.int8)
+        gd = qg.astype(np.float32) * sg
+        ud = qu.astype(np.float32) * su
+        g = (x @ gd) * row[:, None]
+        u = (x @ ud) * row[:, None]
+        ref = g / (1 + np.exp(-g)) * u
+        if bits == 8:
+            w_fused = np.concatenate([qg, qu], axis=1)
+        else:
+            w_fused = np.concatenate([pack_int4_splithalf(qg),
+                                      pack_int4_splithalf(qu)], axis=1)
+        s_fused = np.concatenate([sg, su]).astype(np.float32)
+        assert supports_gateup(D, 2 * F, B, bits)
+        out = np.asarray(qmm_gateup(
+            jnp.asarray(x), jnp.asarray(w_fused), jnp.asarray(s_fused),
+            out_dtype=jnp.float32, interpret=True,
+            row_scale=jnp.asarray(row)))
+        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 3e-2, err
+
+
+class TestNormFolding:
+    """fold_norm_gamma: gamma folds into the following matmul weights;
+    rms_norm with the replaced (ones) gamma plus folded weights must
+    reproduce the original model, and the row_rsqrt fused form must
+    match rms_norm + matmul up to bf16 rounding."""
+
+    def test_fold_preserves_model(self):
+        from ppq_tpu.serving import LlamaConfig, init_llama_params
+        from ppq_tpu.serving.model import (fold_norm_gamma, forward,
+                                           init_kv_cache)
+        cfg = LlamaConfig.tiny()
+        rng = np.random.default_rng(9)
+        params = init_llama_params(cfg, seed=0, quantized=False)
+        # non-trivial gammas
+        for layer in params['layers']:
+            layer['attn_norm'] = jnp.asarray(
+                rng.random(cfg.d_model).astype(np.float32) + 0.5)
+            layer['mlp_norm'] = jnp.asarray(
+                rng.random(cfg.d_model).astype(np.float32) + 0.5)
+        params['final_norm'] = jnp.asarray(
+            rng.random(cfg.d_model).astype(np.float32) + 0.5)
+        tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 8)))
+        positions = jnp.broadcast_to(jnp.arange(8)[None], (2, 8))
+        zeros = jnp.zeros((2,), jnp.int32)
+        cache = init_kv_cache(cfg, 2)
+        logits0, _ = forward(params, cache, tokens, positions,
+                             zeros, zeros, cfg)
+        import copy
+        folded = {k: (v if k != 'layers' else [dict(l) for l in v])
+                  for k, v in params.items()}
+        ok = fold_norm_gamma(folded)
+        assert ok
+        assert all(np.all(np.asarray(l['attn_norm']) == 1.0)
+                   for l in folded['layers'])
+        cache = init_kv_cache(cfg, 2)
+        logits1, _ = forward(folded, cache, tokens, positions,
+                             zeros, zeros, cfg)
+        d = np.abs(np.asarray(logits0) - np.asarray(logits1)).max()
+        scale = np.abs(np.asarray(logits0)).max() + 1e-9
+        assert d / scale < 3e-2, (d, scale)
+
+    def test_row_rsqrt_equals_rms_norm_factor(self):
+        from ppq_tpu.serving.model import rms_norm, row_rsqrt
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((4, 3, 64)), jnp.float32)
+        eps = 1e-5
+        r = row_rsqrt(x, eps)
+        ref = rms_norm(x, jnp.ones((64,)), eps)
+        got = x * r[..., None]
+        assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
