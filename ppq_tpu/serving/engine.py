@@ -128,6 +128,12 @@ class Request:
         self.sampling = sampling
         self.generated: List[int] = []
         self.done = False
+        # latency bookkeeping (synchronous loop): host timestamps of
+        # submission, first generated token (end of prefill), and
+        # completion — feeds TTFT/TPOT percentile reporting
+        self.t_submit: Optional[float] = None
+        self.t_first: Optional[float] = None
+        self.t_done: Optional[float] = None
 
 
 class SamplingParams:
@@ -976,6 +982,10 @@ class ServingEngine:
                 sync_every > 1:
             return self._run_planned(requests, sync_every)
         waiting = list(requests)
+        now = time.perf_counter()
+        for r in waiting:
+            if r.t_submit is None:
+                r.t_submit = now          # closed-loop: all queued at t0
         cur_tok = np.zeros(self.cfg.max_batch, np.int32)
         while waiting or any(r is not None for r in self.slot_req):
             # admit a burst into all free slots with ONE batched prefill
@@ -985,8 +995,10 @@ class ServingEngine:
                     admits.append((slot, waiting.pop(0)))
             if admits:
                 self._admit_batch(admits)
+                now = time.perf_counter()
                 for slot, req in admits:
                     cur_tok[slot] = req.generated[-1]
+                    req.t_first = now     # prefill emitted token 0
             active = [i for i, r in enumerate(self.slot_req) if r is not None]
             if not active:
                 break
@@ -1039,6 +1051,7 @@ class ServingEngine:
                 cache_full = self.slot_len[slot] >= self.cfg.max_seq_len - 1
                 if limit_hit or eos_hit or cache_full:
                     req.done = True
+                    req.t_done = time.perf_counter()
                     self.slot_req[slot] = None
                     self.slot_len[slot] = 0
                     if self._paged:
@@ -1265,12 +1278,29 @@ class ServingEngine:
         dt = time.perf_counter() - t0
         gen_tokens = sum(len(r.generated) for r in reqs)
         prompt_tokens = int(np.sum(lens))
-        return {
+        out = {
             'requests_per_sec': n_requests / dt,
             'generated_tokens_per_sec': gen_tokens / dt,
             'total_tokens_per_sec': (gen_tokens + prompt_tokens) / dt,
             'wall_s': dt,
         }
+        # latency SLO percentiles over the closed-loop run: TTFT = queue
+        # + prefill to first token; TPOT = completion span / tokens
+        # after the first (burst-granular — tokens surface at host syncs
+        # every sync_every steps, which IS the deployment's granularity
+        # when it bursts)
+        ttft = np.array([r.t_first - r.t_submit for r in reqs
+                         if r.t_first is not None])
+        tpot = np.array([(r.t_done - r.t_first) /
+                         max(len(r.generated) - 1, 1) for r in reqs
+                         if r.t_done is not None and r.t_first is not None])
+        if len(ttft):
+            out['ttft_p50_ms'] = float(np.percentile(ttft, 50) * 1e3)
+            out['ttft_p99_ms'] = float(np.percentile(ttft, 99) * 1e3)
+        if len(tpot):
+            out['tpot_p50_ms'] = float(np.percentile(tpot, 50) * 1e3)
+            out['tpot_p99_ms'] = float(np.percentile(tpot, 99) * 1e3)
+        return out
 
     def benchmark_decode(self, batch: Optional[int] = None, steps: int = 50,
                          warmup: int = 5, burst: Optional[int] = 32,

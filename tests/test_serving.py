@@ -930,3 +930,16 @@ class TestPerRequestSampling:
                 Request(1, [3, 7, 1], max_new_tokens=6)]
         eng.run(reqs, sync_every=3)
         assert all(r.done and len(r.generated) == 6 for r in reqs)
+
+
+def test_mixed_benchmark_reports_latency_percentiles():
+    """TTFT/TPOT SLO percentiles from the synchronous closed-loop run."""
+    from ppq_tpu.serving import LlamaConfig, ServingEngine, init_llama_params
+    cfg = LlamaConfig.tiny()
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=0))
+    r = eng.benchmark_serving_mixed(n_requests=6, mean_prompt=8,
+                                    max_new_tokens=6, sync_every=4)
+    for k in ('ttft_p50_ms', 'ttft_p99_ms', 'tpot_p50_ms', 'tpot_p99_ms'):
+        assert k in r and r[k] > 0, (k, r)
+    assert r['ttft_p99_ms'] >= r['ttft_p50_ms']
+    assert r['tpot_p99_ms'] >= r['tpot_p50_ms']
