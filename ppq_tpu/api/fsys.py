@@ -73,9 +73,11 @@ def load_calibration_dataset(directory: str, input_shape: List[int],
             if arr.size % per != 0:
                 ppq_warning(f'{name!r} has {arr.size} elements, not a '
                             f'multiple of sample size {per} — skipped')
+                continue
             n = arr.size // per
             arr = arr.reshape([n] + list(sample_shape))
-        elif arr.ndim == len(input_shape or []) - 1:
+        elif arr.ndim >= 1:
+            # no input_shape given: treat each file as one sample
             arr = arr[None]
         if input_format.lower() == 'hwc' and arr.ndim == 4:
             arr = arr.transpose(0, 3, 1, 2)

@@ -69,6 +69,10 @@ INT_CODED_PASSTHRU = {'Relu', 'MaxPool', 'GlobalMaxPool', 'Flatten',
 
 # ops the int-exact mode computes ON code sums (shared input grids):
 # Add/Concat after QuantAlignment share one scale across inputs.
+# INFORMATIONAL inventory only — _int_forward's per-branch handlers
+# (compile.py ~:699-740) own the actual eligibility checks (each branch
+# needs its own grid/arity conditions, so a type-set gate would be
+# misleading); keep the two lists in sync when extending coverage.
 INT_CODED_LINEAR = {'Add', 'Sum', 'Concat', 'GlobalAveragePool',
                     'AveragePool', 'ReduceMean'}
 

@@ -327,6 +327,14 @@ class ServingEngine:
             self._alloc = self._make_alloc(self._alloc.num_blocks,
                                            self.cfg.max_seq_len // BLK,
                                            BLK)
+            # the prefix cache indexes block ids of the allocator we just
+            # replaced — a stale index would hand out blocks that are
+            # zeroed in the new pools AND on the new allocator's free
+            # list (cross-slot KV aliasing); rebuild it empty
+            if getattr(self, 'prefix_cache', None) is not None:
+                self.prefix_cache = type(self.prefix_cache)(
+                    self._alloc, self._alloc.block_size,
+                    self.cfg.prefix_cache_blocks)
             pools = init_paged_pools(self.cfg, self._alloc.num_blocks)
             if self.mesh is not None and \
                     dict(self.mesh.shape).get('pp', 1) > 1:
@@ -411,7 +419,13 @@ class ServingEngine:
         # including exact ties of v_k (the sort path's semantics)
         kth = jnp.max(jnp.where(scaled <= hi, scaled, -jnp.inf), axis=-1,
                       keepdims=True)
-        return jnp.nextafter(kth, jnp.full_like(kth, -jnp.inf))
+        tau = jnp.nextafter(kth, jnp.full_like(kth, -jnp.inf))
+        # guard: when adjacent order statistics are closer than the
+        # bisection resolution, the bracket can hold two distinct values
+        # and `kth` resolves one too high, keeping k-1 tokens; verify
+        # the count and fall back to the (ties-over-inclusive) lo side
+        cnt = jnp.sum(scaled > tau, axis=-1, keepdims=True)
+        return jnp.where(cnt >= k, tau, lo)
 
     @staticmethod
     def _topp_threshold(probs, p, iters=24):

@@ -101,11 +101,7 @@ def gptq_quantize_llama_params(params_fp: Params, cfg: LlamaConfig,
         layers.append(lay)
     out['layers'] = layers
     if 'w' in out['lm_head']:
-        # mixed head: int4 models keep an int8 lm_head unless the config
-        # forces lm_head_bits=4 (see LlamaConfig.resolved_lm_head_bits)
-        head_bits = cfg.lm_head_bits if cfg.lm_head_bits is not None \
-            else (8 if bits == 4 else bits)
         out['lm_head'] = quantize_weight(
-            np.asarray(out['lm_head']['w'], np.float32), head_bits,
-            method='mse')
+            np.asarray(out['lm_head']['w'], np.float32),
+            cfg.resolved_lm_head_bits, method='mse')
     return out
