@@ -341,8 +341,11 @@ def main():
                 sync_every=128)
             _t('  llm serving (planned path) measured')
         if _remaining() > 60:
+            # n_requests > max_batch: later requests queue behind the
+            # first wave, so the TTFT percentiles measure real queueing
+            # (at n == max_batch every request shares one prefill time)
             RESULTS['serve_mixed'] = engp.benchmark_serving_mixed(
-                n_requests=128, mean_prompt=64, max_new_tokens=96,
+                n_requests=192, mean_prompt=64, max_new_tokens=96,
                 sync_every=32)
             _t('  llm serving (mixed synchronous) measured')
         del engp
