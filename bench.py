@@ -43,6 +43,7 @@ RESULTS = {
     'serve': {'generated_tokens_per_sec': 0.0, 'requests_per_sec': 0.0},
     'serve_mixed': {'generated_tokens_per_sec': 0.0,
                     'requests_per_sec': 0.0},
+    'serve_open': {},
     'calibration_ips': None,
     'phases_skipped': [], 'phases_failed': [],
 }
@@ -122,6 +123,8 @@ def _payload():
                 r['serve_mixed'].get('tpot_p50_ms', 0.0), 2),
             'llm_serving_mixed_tpot_p99_ms': round(
                 r['serve_mixed'].get('tpot_p99_ms', 0.0), 2),
+            'llm_serving_open_loop': {
+                k: round(v, 2) for k, v in r['serve_open'].items()},
             'llm_serving_planned_path_note':
                 'llm_serving_* is the no-eos fully-planned fast path; '
                 'llm_serving_mixed_* is the synchronous per-wave loop '
@@ -348,6 +351,14 @@ def main():
                 n_requests=192, mean_prompt=64, max_new_tokens=96,
                 sync_every=32)
             _t('  llm serving (mixed synchronous) measured')
+        if _remaining() > 50:
+            # open-loop latency-under-load at ~80% of the mixed-loop
+            # capacity (same compiled programs — no extra compile cost)
+            cap = RESULTS['serve_mixed'].get('requests_per_sec', 0.0)
+            RESULTS['serve_open'] = engp.benchmark_serving_open(
+                rate_rps=max(20.0, 0.8 * cap), n_requests=128,
+                mean_prompt=64, max_new_tokens=96, sync_every=32)
+            _t('  llm serving (open loop) measured')
         del engp
 
     _phase('llm_paged_and_serving', 160, p_llm_paged)

@@ -978,7 +978,8 @@ class ServingEngine:
             req.generated.append(int(last[slot]))
 
     def run(self, requests: List[Request], sync_every: int = 1,
-            progress: bool = False) -> List[Request]:
+            progress: bool = False,
+            arrivals: Optional[List[float]] = None) -> List[Request]:
         """Continuous-batching generation loop until all requests finish.
 
         sync_every > 1 decodes that many greedy steps per host round-trip
@@ -991,21 +992,47 @@ class ServingEngine:
         (devices pipeline the chain through the donated cache) and the host
         syncs exactly once, at the end. On a tunneled/remote accelerator
         this removes every per-wave round-trip from the critical path.
+
+        arrivals (open-loop mode): per-request arrival offsets in seconds
+        from loop start, sorted ascending with `requests`. A request is
+        only admissible once the wall clock passes its offset — the loop
+        keeps decoding active slots while future requests are pending and
+        sleeps only when it would otherwise spin empty. This is the
+        offered-load regime real serving benchmarks measure (latency
+        under an arrival process, not a pre-loaded batch).
         """
-        if requests and all(r.eos_id is None for r in requests) and \
-                sync_every > 1:
+        if arrivals is None and requests and \
+                all(r.eos_id is None for r in requests) and sync_every > 1:
             return self._run_planned(requests, sync_every)
         waiting = list(requests)
-        now = time.perf_counter()
-        for r in waiting:
-            if r.t_submit is None:
-                r.t_submit = now          # closed-loop: all queued at t0
+        t_start = now = time.perf_counter()
+        arr = None
+        if arrivals is not None:
+            assert len(arrivals) == len(requests)
+            arr = list(arrivals)
+            for r, a in zip(waiting, arr):
+                r.t_submit = t_start + a
+        else:
+            for r in waiting:
+                if r.t_submit is None:
+                    r.t_submit = now      # closed-loop: all queued at t0
         cur_tok = np.zeros(self.cfg.max_batch, np.int32)
         while waiting or any(r is not None for r in self.slot_req):
+            if arr is not None and waiting:
+                due = time.perf_counter() - t_start
+                if not any(r is not None for r in self.slot_req) and \
+                        arr[0] > due:
+                    time.sleep(arr[0] - due)      # idle: wait for arrival
+                    due = arr[0]
             # admit a burst into all free slots with ONE batched prefill
             admits = []
             for slot in range(self.cfg.max_batch):
                 if self.slot_req[slot] is None and waiting:
+                    if arr is not None and arr[0] > \
+                            time.perf_counter() - t_start:
+                        break             # next request hasn't arrived
+                    if arr is not None:
+                        arr.pop(0)
                     admits.append((slot, waiting.pop(0)))
             if admits:
                 self._admit_batch(admits)
@@ -1303,6 +1330,70 @@ class ServingEngine:
         # after the first (burst-granular — tokens surface at host syncs
         # every sync_every steps, which IS the deployment's granularity
         # when it bursts)
+        ttft = np.array([r.t_first - r.t_submit for r in reqs
+                         if r.t_first is not None])
+        tpot = np.array([(r.t_done - r.t_first) /
+                         max(len(r.generated) - 1, 1) for r in reqs
+                         if r.t_done is not None and r.t_first is not None])
+        if len(ttft):
+            out['ttft_p50_ms'] = float(np.percentile(ttft, 50) * 1e3)
+            out['ttft_p99_ms'] = float(np.percentile(ttft, 99) * 1e3)
+        if len(tpot):
+            out['tpot_p50_ms'] = float(np.percentile(tpot, 50) * 1e3)
+            out['tpot_p99_ms'] = float(np.percentile(tpot, 99) * 1e3)
+        return out
+
+    def benchmark_serving_open(self, rate_rps: float,
+                               n_requests: int = 128,
+                               mean_prompt: int = 64,
+                               max_new_tokens: int = 64,
+                               sync_every: int = 8,
+                               eos_id: int = 2,
+                               seed: int = 0) -> Dict[str, float]:
+        """Open-loop latency-under-load: requests arrive by a Poisson
+        process at `rate_rps` and the engine serves whatever is due —
+        the regime production serving benchmarks measure (vLLM-style
+        `benchmark_serving`). TTFT includes queueing from the scheduled
+        ARRIVAL, so percentiles degrade as offered load approaches
+        capacity; throughput alone saturates at min(rate, capacity)."""
+        rng = np.random.RandomState(seed)
+        bucket_cap = max(self.cfg.prefill_buckets) if \
+            self.cfg.prefill_buckets else self.cfg.max_seq_len // 2
+        lens = np.clip(
+            rng.lognormal(np.log(mean_prompt), 0.6, n_requests).astype(int),
+            4, min(bucket_cap, self.cfg.max_seq_len // 2))
+        arrivals = np.cumsum(
+            rng.exponential(1.0 / rate_rps, n_requests)).tolist()
+        reqs = []
+        for i, L in enumerate(lens):
+            samp = SamplingParams(temperature=0.8, top_p=0.95, seed=i) \
+                if i % 2 else None
+            reqs.append(Request(
+                i, rng.randint(3, self.cfg.vocab_size, int(L)).tolist(),
+                max_new_tokens=max_new_tokens, eos_id=eos_id,
+                sampling=samp))
+        # warm the compiled paths (incl. the samp-array program)
+        warm = [Request(-1, reqs[0].prompt, max_new_tokens=2,
+                        eos_id=eos_id),
+                Request(-2, reqs[1].prompt, max_new_tokens=2,
+                        eos_id=eos_id,
+                        sampling=SamplingParams(temperature=0.8,
+                                                top_p=0.95, seed=0))]
+        self.run(warm, sync_every=sync_every)
+        self.cache = self._new_cache()
+        self.slot_len[:] = 0
+        self.slot_req = [None] * self.cfg.max_batch
+
+        t0 = time.perf_counter()
+        self.run(reqs, sync_every=sync_every, arrivals=arrivals)
+        dt = time.perf_counter() - t0
+        gen_tokens = sum(len(r.generated) for r in reqs)
+        out = {
+            'offered_rate_rps': rate_rps,
+            'completed_rps': n_requests / dt,
+            'generated_tokens_per_sec': gen_tokens / dt,
+            'wall_s': dt,
+        }
         ttft = np.array([r.t_first - r.t_submit for r in reqs
                          if r.t_first is not None])
         tpot = np.array([(r.t_done - r.t_first) /

@@ -943,3 +943,18 @@ def test_mixed_benchmark_reports_latency_percentiles():
         assert k in r and r[k] > 0, (k, r)
     assert r['ttft_p99_ms'] >= r['ttft_p50_ms']
     assert r['tpot_p99_ms'] >= r['tpot_p50_ms']
+
+
+def test_open_loop_benchmark_reports_queueing_latency():
+    """Open-loop (Poisson arrival) serving: TTFT measured from scheduled
+    arrival, throughput bounded by offered rate."""
+    from ppq_tpu.serving import LlamaConfig, ServingEngine, init_llama_params
+    cfg = LlamaConfig.tiny()
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=0))
+    r = eng.benchmark_serving_open(rate_rps=500.0, n_requests=8,
+                                   mean_prompt=8, max_new_tokens=4,
+                                   sync_every=4)
+    assert r['offered_rate_rps'] == 500.0
+    assert r['completed_rps'] > 0
+    for k in ('ttft_p50_ms', 'ttft_p99_ms', 'tpot_p50_ms', 'tpot_p99_ms'):
+        assert k in r and r[k] > 0, (k, r)
