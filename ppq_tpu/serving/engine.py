@@ -1271,6 +1271,26 @@ class ServingEngine:
             'wall_s': dt,
         }
 
+    def _warm_serving(self, reqs, sync_every, eos_id):
+        """Compile every program variant a measured serving run can hit,
+        then reset the cache/slots. TWO separate warm waves: the per-slot
+        samp arrays change the decode program's treedef, and a wave whose
+        active slots are ALL greedy selects the samp=None variant — both
+        happen mid-run (greedy stragglers after sampled requests retire,
+        and vice versa). Compiling either inside the timed window
+        dominates it (r4: a 17.7s compile inside an 18.7s open-loop run;
+        460 tok/s published vs 8.1k steady-state on the mixed path)."""
+        self.run([Request(-1, reqs[0].prompt, max_new_tokens=2,
+                          eos_id=eos_id)], sync_every=sync_every)
+        self.run([Request(-2, reqs[1].prompt, max_new_tokens=2,
+                          eos_id=eos_id,
+                          sampling=SamplingParams(temperature=0.8,
+                                                  top_p=0.95, seed=0))],
+                 sync_every=sync_every)
+        self.cache = self._new_cache()
+        self.slot_len[:] = 0
+        self.slot_req = [None] * self.cfg.max_batch
+
     def benchmark_serving_mixed(self, n_requests: int = 128,
                                 mean_prompt: int = 64,
                                 max_new_tokens: int = 64,
@@ -1298,21 +1318,7 @@ class ServingEngine:
                 i, rng.randint(3, self.cfg.vocab_size, int(L)).tolist(),
                 max_new_tokens=max_new_tokens, eos_id=eos_id,
                 sampling=samp))
-        # warm the compiled paths on a small eos-bearing wave. The warm
-        # requests must include a SamplingParams carrier: the per-slot
-        # samp arrays change the decode program's treedef, and compiling
-        # that variant inside the measured window once cost ~95% of the
-        # measured wall (r4: 460 tok/s published vs 8.1k steady-state)
-        warm = [Request(-1, reqs[0].prompt, max_new_tokens=2,
-                        eos_id=eos_id),
-                Request(-2, reqs[1].prompt, max_new_tokens=2,
-                        eos_id=eos_id,
-                        sampling=SamplingParams(temperature=0.8,
-                                                top_p=0.95, seed=0))]
-        self.run(warm, sync_every=sync_every)
-        self.cache = self._new_cache()
-        self.slot_len[:] = 0
-        self.slot_req = [None] * self.cfg.max_batch
+        self._warm_serving(reqs, sync_every, eos_id)
 
         t0 = time.perf_counter()
         self.run(reqs, sync_every=sync_every)
@@ -1372,17 +1378,7 @@ class ServingEngine:
                 i, rng.randint(3, self.cfg.vocab_size, int(L)).tolist(),
                 max_new_tokens=max_new_tokens, eos_id=eos_id,
                 sampling=samp))
-        # warm the compiled paths (incl. the samp-array program)
-        warm = [Request(-1, reqs[0].prompt, max_new_tokens=2,
-                        eos_id=eos_id),
-                Request(-2, reqs[1].prompt, max_new_tokens=2,
-                        eos_id=eos_id,
-                        sampling=SamplingParams(temperature=0.8,
-                                                top_p=0.95, seed=0))]
-        self.run(warm, sync_every=sync_every)
-        self.cache = self._new_cache()
-        self.slot_len[:] = 0
-        self.slot_req = [None] * self.cfg.max_batch
+        self._warm_serving(reqs, sync_every, eos_id)
 
         t0 = time.perf_counter()
         self.run(reqs, sync_every=sync_every, arrivals=arrivals)
