@@ -46,6 +46,8 @@ def _run_leg(model, observer, tmp_path):
     ('convnet', 'kl'),
     ('convnet', 'mse'),
     ('resblock', 'kl'),
+    ('convnet', 'percentile'),
+    ('resblock', 'percentile'),
 ])
 def test_reference_parity(model, observer, tmp_path):
     r = _run_leg(model, observer, tmp_path)
@@ -63,9 +65,20 @@ def test_reference_parity(model, observer, tmp_path):
     assert a['n_matched'] == a['n_ref'] > 0
     if observer == 'minmax':
         assert a['mean_rel_diff'] < 0.15
+    if observer == 'percentile':
+        # same 99.99th-percentile target; estimators differ (our exact
+        # bisected quantile over pooled batches vs the reference's
+        # per-batch torch.quantile average), and alignment master choices
+        # amplify the difference at residual joins (one resblock site
+        # measured 46% apart while the simulators agreed to 4e-5)
+        assert a['mean_rel_diff'] < 0.15
 
     # the two INT8 simulators agree with each other at the quantization-
-    # noise level, and our Δ-vs-fp32 stays within 3x of the reference's
+    # noise level, and our Δ-vs-fp32 stays within 3x of the reference's.
+    # percentile deliberately clips the 0.01% tail, so both frameworks'
+    # absolute quant error rides higher (ref measured 1.4e-3 here) — the
+    # CROSS-simulator and relative bounds are the parity claims
+    abs_bound = 3e-3 if observer == 'percentile' else 1e-3
     assert r['sim_cross_snr'] < 1e-3
-    assert r['ours_vs_fp32_snr'] < 1e-3
+    assert r['ours_vs_fp32_snr'] < abs_bound
     assert r['ours_vs_fp32_snr'] < 3.0 * max(r['ref_vs_fp32_snr'], 1e-6)
