@@ -330,7 +330,20 @@ def main():
         RESULTS['dec'] = eng.benchmark_decode(steps=64, burst=32, repeats=2)
         del eng
 
+    def _reclaim():
+        # engines hold multi-GB pools + jit executables whose buffers can
+        # outlive `del` through jax's global caches; reclaim between
+        # engine phases (measured: the int4 engine build OOMed after the
+        # paged phase without this)
+        import gc
+        gc.collect()
+        try:
+            jax.clear_caches()
+        except Exception:
+            pass
+
     _phase('llm_int8_decode', 100, p_llm_decode)
+    _reclaim()
 
     def p_llm_paged():
         from ppq_tpu.serving import ServingEngine, init_llama_params
@@ -362,6 +375,7 @@ def main():
         del engp
 
     _phase('llm_paged_and_serving', 160, p_llm_paged)
+    _reclaim()
 
     def p_llm_int4():
         from ppq_tpu.serving import ServingEngine, init_llama_params
@@ -371,6 +385,7 @@ def main():
         del eng4
 
     _phase('llm_int4_decode', 80, p_llm_int4)
+    _reclaim()
 
     # --- deployment mode: bf16 math AND bf16 tensor storage ---------------
     def p_deploy():

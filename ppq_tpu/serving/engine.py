@@ -1255,6 +1255,7 @@ class ServingEngine:
         warm = [Request(-1, reqs[0].prompt,
                         max_new_tokens=max(2, sync_every))]
         self.run(warm, sync_every=sync_every)
+        self.cache = None
         self.cache = self._new_cache()
         self.slot_len[:] = 0
         self.slot_req = [None] * self.cfg.max_batch
@@ -1287,6 +1288,11 @@ class ServingEngine:
                           sampling=SamplingParams(temperature=0.8,
                                                   top_p=0.95, seed=0))],
                  sync_every=sync_every)
+        # drop the warm cache BEFORE allocating the fresh one: the pools
+        # are multi-GB and holding both across the reassignment doubles
+        # peak HBM (measured: a later engine build OOMed after two
+        # warm/reset cycles)
+        self.cache = None
         self.cache = self._new_cache()
         self.slot_len[:] = 0
         self.slot_req = [None] * self.cfg.max_batch
