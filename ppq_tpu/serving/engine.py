@@ -1008,8 +1008,13 @@ class ServingEngine:
         t_start = now = time.perf_counter()
         arr = None
         if arrivals is not None:
-            assert len(arrivals) == len(requests)
+            if len(arrivals) != len(requests):
+                raise ValueError(f'{len(arrivals)} arrivals for '
+                                 f'{len(requests)} requests')
             arr = list(arrivals)
+            if any(b < a for a, b in zip(arr, arr[1:])):
+                raise ValueError('arrivals must be sorted ascending '
+                                 '(requests admit in list order)')
             for r, a in zip(waiting, arr):
                 r.t_submit = t_start + a
         else:
@@ -1023,7 +1028,6 @@ class ServingEngine:
                 if not any(r is not None for r in self.slot_req) and \
                         arr[0] > due:
                     time.sleep(arr[0] - due)      # idle: wait for arrival
-                    due = arr[0]
             # admit a burst into all free slots with ONE batched prefill
             admits = []
             for slot in range(self.cfg.max_batch):
@@ -1272,6 +1276,26 @@ class ServingEngine:
             'wall_s': dt,
         }
 
+    def _mixed_requests(self, n_requests, mean_prompt, max_new_tokens,
+                        eos_id, seed):
+        # log-normal prompt lengths, eos termination, sampling on every
+        # other request -- the shared mixed/open-loop workload shape
+        rng = np.random.RandomState(seed)
+        bucket_cap = max(self.cfg.prefill_buckets) if \
+            self.cfg.prefill_buckets else self.cfg.max_seq_len // 2
+        lens = np.clip(
+            rng.lognormal(np.log(mean_prompt), 0.6, n_requests).astype(int),
+            4, min(bucket_cap, self.cfg.max_seq_len // 2))
+        reqs = []
+        for i, L in enumerate(lens):
+            samp = SamplingParams(temperature=0.8, top_p=0.95, seed=i) \
+                if i % 2 else None
+            reqs.append(Request(
+                i, rng.randint(3, self.cfg.vocab_size, int(L)).tolist(),
+                max_new_tokens=max_new_tokens, eos_id=eos_id,
+                sampling=samp))
+        return reqs, lens
+
     def _warm_serving(self, reqs, sync_every, eos_id):
         """Compile every program variant a measured serving run can hit,
         then reset the cache/slots. TWO separate warm waves: the per-slot
@@ -1281,9 +1305,11 @@ class ServingEngine:
         and vice versa). Compiling either inside the timed window
         dominates it (r4: a 17.7s compile inside an 18.7s open-loop run;
         460 tok/s published vs 8.1k steady-state on the mixed path)."""
-        self.run([Request(-1, reqs[0].prompt, max_new_tokens=2,
+        p0 = reqs[0].prompt
+        p1 = reqs[1].prompt if len(reqs) > 1 else p0
+        self.run([Request(-1, p0, max_new_tokens=2,
                           eos_id=eos_id)], sync_every=sync_every)
-        self.run([Request(-2, reqs[1].prompt, max_new_tokens=2,
+        self.run([Request(-2, p1, max_new_tokens=2,
                           eos_id=eos_id,
                           sampling=SamplingParams(temperature=0.8,
                                                   top_p=0.95, seed=0))],
@@ -1310,20 +1336,8 @@ class ServingEngine:
         structurally unavailable. Publish this alongside the planned-path
         number from benchmark_serving(): the two bracket real deployments
         (the planned number is the no-eos best case)."""
-        rng = np.random.RandomState(seed)
-        bucket_cap = max(self.cfg.prefill_buckets) if \
-            self.cfg.prefill_buckets else self.cfg.max_seq_len // 2
-        lens = np.clip(
-            rng.lognormal(np.log(mean_prompt), 0.6, n_requests).astype(int),
-            4, min(bucket_cap, self.cfg.max_seq_len // 2))
-        reqs = []
-        for i, L in enumerate(lens):
-            samp = SamplingParams(temperature=0.8, top_p=0.95, seed=i) \
-                if i % 2 else None
-            reqs.append(Request(
-                i, rng.randint(3, self.cfg.vocab_size, int(L)).tolist(),
-                max_new_tokens=max_new_tokens, eos_id=eos_id,
-                sampling=samp))
+        reqs, lens = self._mixed_requests(n_requests, mean_prompt,
+                                          max_new_tokens, eos_id, seed)
         self._warm_serving(reqs, sync_every, eos_id)
 
         t0 = time.perf_counter()
@@ -1368,22 +1382,10 @@ class ServingEngine:
         `benchmark_serving`). TTFT includes queueing from the scheduled
         ARRIVAL, so percentiles degrade as offered load approaches
         capacity; throughput alone saturates at min(rate, capacity)."""
-        rng = np.random.RandomState(seed)
-        bucket_cap = max(self.cfg.prefill_buckets) if \
-            self.cfg.prefill_buckets else self.cfg.max_seq_len // 2
-        lens = np.clip(
-            rng.lognormal(np.log(mean_prompt), 0.6, n_requests).astype(int),
-            4, min(bucket_cap, self.cfg.max_seq_len // 2))
-        arrivals = np.cumsum(
-            rng.exponential(1.0 / rate_rps, n_requests)).tolist()
-        reqs = []
-        for i, L in enumerate(lens):
-            samp = SamplingParams(temperature=0.8, top_p=0.95, seed=i) \
-                if i % 2 else None
-            reqs.append(Request(
-                i, rng.randint(3, self.cfg.vocab_size, int(L)).tolist(),
-                max_new_tokens=max_new_tokens, eos_id=eos_id,
-                sampling=samp))
+        reqs, lens = self._mixed_requests(n_requests, mean_prompt,
+                                          max_new_tokens, eos_id, seed)
+        arrivals = np.cumsum(np.random.RandomState(seed + 1).exponential(
+            1.0 / rate_rps, n_requests)).tolist()
         self._warm_serving(reqs, sync_every, eos_id)
 
         t0 = time.perf_counter()
