@@ -958,3 +958,60 @@ def test_open_loop_benchmark_reports_queueing_latency():
     assert r['completed_rps'] > 0
     for k in ('ttft_p50_ms', 'ttft_p99_ms', 'tpot_p50_ms', 'tpot_p99_ms'):
         assert k in r and r[k] > 0, (k, r)
+
+
+class TestBisectionSamplerProperty:
+    """The sort-free thresholds must reproduce the sort-based top-k /
+    nucleus SETS exactly on generic (tie-free) inputs."""
+
+    def _engine(self):
+        from ppq_tpu.serving import (LlamaConfig, ServingEngine,
+                                     init_llama_params)
+        cfg = LlamaConfig.tiny()
+        return ServingEngine(cfg, init_llama_params(cfg, seed=0))
+
+    def test_topk_threshold_matches_sort(self):
+        import jax.numpy as jnp
+        eng = self._engine()
+        rng = np.random.default_rng(0)
+        for trial in range(20):
+            B, V = 8, 1 + int(rng.integers(100, 2000))
+            x = rng.standard_normal((B, V)).astype(np.float32) \
+                * rng.uniform(0.1, 30)
+            k = rng.integers(1, V + 1, B).astype(np.int32)
+            tau = np.asarray(eng._topk_threshold(jnp.asarray(x),
+                                                 jnp.asarray(k)))
+            kept = x > tau
+            srt = np.sort(x, axis=1)[:, ::-1]
+            for b in range(B):
+                ref_kth = srt[b, k[b] - 1]
+                ref_kept = x[b] >= ref_kth
+                np.testing.assert_array_equal(
+                    kept[b], ref_kept,
+                    err_msg=f'trial {trial} row {b} k={k[b]}')
+
+    def test_topp_threshold_matches_sort(self):
+        import jax.numpy as jnp
+        eng = self._engine()
+        rng = np.random.default_rng(1)
+        for trial in range(20):
+            B, V = 8, 1 + int(rng.integers(100, 2000))
+            logits = rng.standard_normal((B, V)).astype(np.float32) \
+                * rng.uniform(0.5, 5)
+            p = rng.uniform(0.05, 0.999, B).astype(np.float32)
+            e = np.exp(logits - logits.max(axis=1, keepdims=True))
+            probs = (e / e.sum(axis=1, keepdims=True)).astype(np.float32)
+            tau = np.asarray(eng._topp_threshold(jnp.asarray(probs),
+                                                 jnp.asarray(p)))
+            kept = probs > tau
+            for b in range(B):
+                order = np.argsort(-probs[b])
+                cum = np.cumsum(probs[b][order])
+                ncut = int(np.searchsorted(cum.astype(np.float32), p[b])) + 1
+                ref_kept = np.zeros(V, bool)
+                ref_kept[order[:ncut]] = True
+                # exact-set match up to f32 cumsum-order freedom at the
+                # boundary token (bisection sums in a different order)
+                diff = int(np.sum(kept[b] != ref_kept))
+                assert diff <= 1, (trial, b, diff)
+                assert kept[b].sum() >= 1
