@@ -34,6 +34,17 @@ def load_calibration_dataset():
 
 
 if __name__ == '__main__':
+    model_path = os.path.join(WORKING_DIRECTORY, MODEL)
+    if not os.path.exists(model_path):
+        # first-run bootstrap: drop a demo ResNet-18 into the working
+        # directory so the entrance runs end-to-end out of the box
+        # (replace with your own model.onnx + data/*.npy)
+        print(f'{model_path} not found — bootstrapping a demo ResNet-18.')
+        os.makedirs(WORKING_DIRECTORY, exist_ok=True)
+        from ppq_tpu.frontends.onnx import OnnxExporter
+        from ppq_tpu.zoo.vision import resnet18
+        OnnxExporter().export(model_path,
+                              resnet18(input_shape=INPUT_SHAPE))
     loader = load_calibration_dataset()
     setting = QuantizationSettingFactory.tpu_setting()
 
