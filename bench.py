@@ -29,7 +29,7 @@ import time
 import numpy as np
 
 _T0 = time.monotonic()
-DEADLINE_S = float(os.environ.get('PPQ_BENCH_DEADLINE_S', '660'))
+DEADLINE_S = float(os.environ.get('PPQ_BENCH_DEADLINE_S', '620'))
 # headroom the watchdog needs to flush JSON before an external `timeout`
 _EMIT_MARGIN_S = 8.0
 
