@@ -546,7 +546,11 @@ class ServingEngine:
         fills (every slot near the read bucket) its G*RBLK VMEM slab
         measured ~19% slower than per-slot blocks (probes/grouped_skew.py)
         — prefer the fused kernel when even the SHALLOWEST active slot
-        is past 3/4 of the bucket."""
+        is past 3/4 of the bucket. (An extent-based variant that chose
+        fused for fill-512 bursts landing in bucket 1024 measured WORSE —
+        11.7k vs 12.7k tok/s: the grouped kernel wins that regime; the
+        bucket-based test empirically picks the better kernel on both
+        sides.)"""
         if s_limit is None or not len(active_fills):
             return True
         return (min(active_fills) + n) < 0.75 * s_limit

@@ -719,8 +719,28 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         cap = Sf if s_limit is None else min(-(-s_limit // 128) * 128, Sf)
         # adaptive fused-block size: DMA transactions dominate the kernel
         # cost, so bigger windows use bigger blocks (same bytes, fewer
-        # transactions); per-slot read granularity stays <= cap/2
-        RBLK = max(128, min(512, cap // 2))
+        # transactions); per-slot read granularity stays <= cap/2 so
+        # shallow slots skip unfilled blocks.
+        # prefer_grouped=False is the engine's DEEP-fill signal (every
+        # active slot past 3/4 of the bucket): over-read is then bounded
+        # by 4/3 and the grid's per-step fixed cost dominates — one
+        # cap-sized block per slot halves the grid (fill-512 profile:
+        # 309 us/call at RBLK=cap/2 vs a 164 us byte floor).
+        if prefer_grouped:
+            RBLK = max(128, min(512, cap // 2))
+        else:
+            # one read-block covers a deep slot's whole fill up to 512;
+            # NOT cap when cap > 512 — a 1024-block would read the empty
+            # half of a fill-512 slot (the gate guarantees fills >= 3/4
+            # of their block-granular extent at THIS block size). Engine
+            # buckets are powers of two so 512 tiles them; arbitrary
+            # s_limit callers fall back to the half-cap tiling.
+            if cap <= 512:
+                RBLK = cap
+            elif cap % 512 == 0:
+                RBLK = 512
+            else:
+                RBLK = max(128, min(512, cap // 2))
         NBp = cap // RBLK
         # grouped kernel: one grid step DMAs G slots' blocks from a
         # BLOCK-MAJOR window — the per-grid-step fixed cost (the kernel's
