@@ -427,7 +427,7 @@ def main():
     # budget (r4 dry run: eager skipped at est 120 vs remaining 123)
     if state['cgraph'] is not None:
         _phase('deploy_bf16', 70, p_deploy)
-        _phase('eager_baseline', 90, p_eager)
+        _phase('eager_baseline', 70, p_eager)
 
     # --- fp32-faithful simulation ('highest') — reference fidelity mode ---
     def p_sim_fp32():
