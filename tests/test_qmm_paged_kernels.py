@@ -440,3 +440,65 @@ class TestNormFolding:
         ref = rms_norm(x, jnp.ones((64,)), eps)
         got = x * r[..., None]
         assert np.abs(np.asarray(ref) - np.asarray(got)).max() < 1e-5
+
+
+class TestNormFoldingEdges:
+    """fold_norm_gamma partial/declined folds must stay self-consistent:
+    each fold is locally complete (gamma -> ones exactly when its
+    weights were scaled), so every path that still calls rms_norm with
+    the stored gamma computes the original model."""
+
+    def test_quantized_weights_decline_fold(self):
+        import jax.numpy as jnp
+        from ppq_tpu.serving import LlamaConfig, init_llama_params
+        from ppq_tpu.serving.model import fold_norm_gamma
+        cfg = LlamaConfig.tiny()
+        params = init_llama_params(cfg, seed=0)          # already int8
+        g0 = np.random.RandomState(0).rand(cfg.d_model).astype(
+            np.float32) + 0.5
+        params['layers'][0]['attn_norm'] = jnp.asarray(g0)
+        ok = fold_norm_gamma(params)
+        assert not ok                                    # cannot fold int8
+        # the non-unit gamma must be untouched (rms_norm path uses it)
+        np.testing.assert_array_equal(
+            np.asarray(params['layers'][0]['attn_norm']), g0)
+
+    def test_engine_correct_when_fold_declines(self):
+        import jax
+        import jax.numpy as jnp
+        from ppq_tpu.serving import (LlamaConfig, ServingEngine,
+                                     init_llama_params)
+        from ppq_tpu.serving.engine import Request
+        cfg = LlamaConfig.tiny()
+        params = init_llama_params(cfg, seed=0)
+        params['layers'][0]['attn_norm'] = jnp.asarray(
+            np.random.RandomState(1).rand(cfg.d_model).astype(np.float32)
+            + 0.5)
+        eng = ServingEngine(cfg, params)
+        assert not cfg.norm_folded
+        reqs = [Request(0, [3, 4, 5], max_new_tokens=4, eos_id=None)]
+        eng.run(reqs, sync_every=2)
+        assert len(reqs[0].generated) == 4
+
+    def test_moe_layers_block_fold_but_dense_parts_stay_exact(self):
+        import jax.numpy as jnp
+        from ppq_tpu.serving import LlamaConfig, init_llama_params
+        from ppq_tpu.serving.model import fold_norm_gamma
+        cfg = LlamaConfig.tiny()
+        cfg.n_experts = 2
+        params = init_llama_params(cfg, seed=0, quantized=False)
+        rng = np.random.RandomState(2)
+        params['final_norm'] = jnp.asarray(
+            rng.rand(cfg.d_model).astype(np.float32) + 0.5)
+        head_before = np.asarray(params['lm_head']['w'], np.float32).copy()
+        gamma = np.asarray(params['final_norm'], np.float32).copy()
+        ok = fold_norm_gamma(params)
+        assert not ok                    # moe layers block the full fold
+        # final_norm itself folded (local completeness): gamma -> ones,
+        # head scaled by the old gamma rows
+        np.testing.assert_array_equal(
+            np.asarray(params['final_norm']), np.ones(cfg.d_model))
+        np.testing.assert_allclose(
+            np.asarray(params['lm_head']['w'], np.float32),
+            (head_before * gamma[:, None]).astype(np.float32),
+            rtol=1e-2, atol=1e-2)
