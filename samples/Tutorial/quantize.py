@@ -34,5 +34,9 @@ executor = TPUExecutor(graph)
 out = executor.forward(loader[0])[0]
 print('int8-simulated output:', np.asarray(out).shape)
 
+import tempfile
+outdir = tempfile.mkdtemp(prefix='ppq_tpu_tutorial_')
 export_ppq_graph(graph, TargetPlatform.TPU_INT8,
-                 'quantized.onnx', 'quantized_cfg.json')
+                 _os.path.join(outdir, 'quantized.onnx'),
+                 _os.path.join(outdir, 'quantized_cfg.json'))
+print('exported to', outdir)
