@@ -181,12 +181,19 @@ def quantzoo_error_analyse(graph: BaseGraph, dataloader: Iterable,
 def layerwise_error_analyse(graph: BaseGraph, dataloader: Iterable,
                             collate_fn=None, steps: int = 8,
                             method: str = 'snr',
+                            interested_ops=None,
                             verbose: bool = True) -> Dict[str, float]:
     """Isolated per-op error: only one op quantized at a time
-    (reference layerwise.py:15). Returns {op name: metric}."""
+    (reference layerwise.py:15, incl. its interested_outputs scoping).
+    Returns {op name: metric}. interested_ops: optional iterable of op
+    names to analyse — each isolated configuration is a separate
+    compiled program, so scoping matters on big graphs."""
     metric_fn = METRICS[method]
     qops = [op for op in graph.topological_sort()
             if isinstance(op, QuantableOperation)]
+    if interested_ops is not None:
+        keep = set(interested_ops)
+        qops = [op for op in qops if op.name in keep]
     if not qops:
         return {}
     from ..ir import dequantize_graph, restore_graph_quantization
