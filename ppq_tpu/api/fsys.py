@@ -55,7 +55,9 @@ def load_calibration_dataset(directory: str, input_shape: List[int],
         raise FileNotFoundError(
             f'Calibration directory {data_dir!r} does not exist; the '
             f'working-directory layout is <dir>/model.onnx + <dir>/data/*.npy')
-    sample_shape = [d for d in input_shape if d is not None][1:] \
+    # Drop the leading batch entry first (it may be None/dynamic), THEN
+    # filter remaining dynamic dims — [None,3,H,W] must keep the channel.
+    sample_shape = [d for d in input_shape[1:] if d is not None] \
         if input_shape else None
     samples = []
     for name in sorted(os.listdir(data_dir)):

@@ -225,13 +225,17 @@ def quantize(working_directory: str, setting: QuantizationSetting,
             setting=setting, platform=target_platform, verbose=verbose)
     if model_type == 'caffe':
         path = os.path.join(working_directory, 'model.caffemodel')
+        proto = os.path.join(working_directory, 'model.prototxt')
         if not os.path.exists(path):
             raise FileNotFoundError(
                 f'Cannot find your model at {path!r}; for onnx models '
                 f'pass model_type="onnx"')
+        if not os.path.exists(proto):
+            raise FileNotFoundError(
+                f'Cannot find your model at {proto!r}; caffe models need '
+                f'both model.prototxt and model.caffemodel')
         return quantize_caffe_model(
-            caffe_proto_file=os.path.join(working_directory,
-                                          'model.prototxt'),
+            caffe_proto_file=proto,
             caffe_model_file=path, calib_dataloader=dataloader,
             calib_steps=calib_steps, input_shape=input_shape,
             setting=setting, platform=target_platform, verbose=verbose)

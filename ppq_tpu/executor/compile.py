@@ -818,6 +818,7 @@ class CompiledGraph:
                 return
             kind = entry['kind'] if isinstance(entry, dict) else entry
         else:
+            entry = None      # bare-string spec: branches below fall back
             kind = stat_spec
         v = jnp.asarray(value, jnp.float32)
         if cfg.policy.per_channel and cfg.channel_axis is not None:

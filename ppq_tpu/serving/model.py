@@ -556,6 +556,11 @@ def mlp(x, layer, cfg=None, row_scale=None, residual=None):
     (kernels/qmm.py qmm_gateup) — the (B, 2*d_ff) projection never
     round-trips HBM."""
     if 'moe' in layer:
+        # fold_norm_gamma refuses MoE models, so no caller should reach
+        # here with a folded-norm row_scale; enforce the invariant rather
+        # than silently dropping the factor.
+        assert row_scale is None, \
+            'row_scale (folded norm) is not supported on the MoE branch'
         from .moe import moe_ffn
         out = moe_ffn(x, layer['moe'],
                       top_k=cfg.top_k if cfg is not None else 2)
