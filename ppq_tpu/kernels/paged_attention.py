@@ -344,11 +344,18 @@ def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
 # online-softmax updates in an unrolled loop. Compute and bytes are
 # unchanged; grid steps (and their fixed cost) drop by G.
 
-def _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache):
+def _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache, layered):
     R = KV * rep
 
-    def kernel(lens_ref, _glens_ref, qb_ref, kv_ref, sc_ref,
-               acc_o, ml_o, accw_s, ms, ls):
+    def kernel(*refs):
+        if layered:
+            (lens_ref, _glens_ref, _lay_ref, qb_ref, kv_ref, sc_ref,
+             acc_o, ml_o, accw_s, ms, ls) = refs
+            kv_ref = kv_ref.at[0]
+            sc_ref = sc_ref.at[0]
+        else:
+            (lens_ref, _glens_ref, qb_ref, kv_ref, sc_ref,
+             acc_o, ml_o, accw_s, ms, ls) = refs
         bg = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -415,10 +422,35 @@ def _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache):
 
 
 def blockmajor_window(cache_k, cache_v, cache_ks, cache_vs, cap, blk):
-    """Repack one layer's contiguous cache window [0, cap) into the grouped
-    kernel's BLOCK-MAJOR fused layout: kv (NBp*B, 2, BLK, KV*Dh) with pool
-    row j*B + b holding slot b's block j, scales (NBp*B, 2, KV, BLK) | None.
-    O(window) copy — burst callers do it once per burst."""
+    """Repack a contiguous cache window [0, cap) into the grouped kernel's
+    BLOCK-MAJOR fused layout: kv (NBp*B, 2, BLK, KV*Dh) with pool row
+    j*B + b holding slot b's block j, scales (NBp*B, 2, KV, BLK) | None.
+    O(window) copy — burst callers do it once per burst.
+
+    Accepts either one layer's (B, S, KV, Dh) slabs or the full stacked
+    (L, B, S, KV, Dh) cache; with an L axis the outputs gain an L-leading
+    axis and feed the kernels' `layer=` index. ALWAYS prefer the stacked
+    form for multi-layer loops: slicing `cache['k'][li]` per layer makes
+    XLA materialize every full (B, S, KV, Dh) slab — measured 12.8 ms of
+    pure slab copies per decode burst at the 1B/B=128 config — while the
+    batched repack touches only the O(L*window) bytes."""
+    if cache_k.ndim == 5:
+        L, B, _, KV, Dh = cache_k.shape
+        nbp = cap // blk
+        k2 = cache_k[:, :, :cap].reshape(L, B, nbp, blk, KV * Dh)
+        v2 = cache_v[:, :, :cap].reshape(L, B, nbp, blk, KV * Dh)
+        kv = jnp.stack([k2, v2], axis=3).transpose(0, 2, 1, 3, 4, 5) \
+            .reshape(L, nbp * B, 2, blk, KV * Dh)
+        sc = None
+        if cache_ks is not None:
+            ks2 = cache_ks[:, :, :cap].reshape(L, B, nbp, blk, KV) \
+                .transpose(0, 1, 2, 4, 3)                # (L,B,NBp,KV,BLK)
+            vs2 = cache_vs[:, :, :cap].reshape(L, B, nbp, blk, KV) \
+                .transpose(0, 1, 2, 4, 3)
+            sc = jnp.stack([ks2, vs2], axis=3) \
+                .transpose(0, 2, 1, 3, 4, 5) \
+                .reshape(L, nbp * B, 2, KV, blk)
+        return kv, sc
     B, _, KV, Dh = cache_k.shape
     nbp = cap // blk
     k2 = cache_k[:, :cap].reshape(B, nbp, blk, KV * Dh)
@@ -456,74 +488,117 @@ def grouped_group_size(batch: int, block_size: int, kv_dh: int = 1024,
 
 @functools.partial(jax.jit, static_argnames=('block_size', 'group',
                                               'interpret'))
-def paged_attention_decode_grouped(q, kv_bm, sc_bm, seq_lens, *,
+def paged_attention_decode_grouped(q, kv_bm, sc_bm, seq_lens, layer=None, *,
                                    block_size: int, group: int,
                                    interpret: bool = False):
     """Grouped-slot decode attention over a BLOCK-MAJOR contiguous window
     (see blockmajor_window). Same (acc, m, l) contract and identical math
     to paged_attention_decode_fused with identity tables; one grid step
     serves `group` slots. Trailing blocks past every slot in a group clamp
-    their DMA row (no refetch); per-slot masks keep the math exact."""
+    their DMA row (no refetch); per-slot masks keep the math exact.
+
+    kv_bm may carry an L-leading axis ((L, NBp*B, 2, BLK, KV*Dh)) with
+    `layer` (device int32 OK) selecting the slab — multi-layer loops MUST
+    use this form: the kernel DMAs from the layer's rows directly, so
+    callers never slice the stacked pool (a per-layer python slice makes
+    XLA materialize each full slab — 12.8 ms/burst measured)."""
     B, KV, rep, Dh = q.shape
     G = group
-    NBtot, two, BLK, KVDh = kv_bm.shape
+    layered = kv_bm.ndim == 5
+    if layered:
+        assert layer is not None, 'layered pool needs a layer index'
+        L, NBtot, two, BLK, KVDh = kv_bm.shape
+    else:
+        NBtot, two, BLK, KVDh = kv_bm.shape
     assert two == 2 and BLK == block_size and KVDh == KV * Dh
     assert B % G == 0 and NBtot % B == 0, (B, G, NBtot)
     MB = NBtot // B
     int8_cache = sc_bm is not None
     if not int8_cache:
-        sc_bm = jnp.ones((G, 2, KV, BLK), jnp.float32)
+        sc_bm = jnp.ones(((1,) if layered else ()) + (G, 2, KV, BLK),
+                         jnp.float32)
     BG = B // G
     # group consensus fill: the DMA fetches through the group's deepest
     # slot; shallower slots mask the surplus
     glens = jnp.max(seq_lens.reshape(BG, G), axis=1)
 
-    def kv_idx(bg, j, lens, glens):
+    def pool_row(bg, j, glens):
         nb = jax.lax.div(glens[bg] + (BLK - 1), BLK)
         jj = jnp.clip(j, 0, jnp.maximum(nb - 1, 0))
-        return (jj * BG + bg, 0, 0, 0)
+        return jj * BG + bg
 
-    def sc_idx(bg, j, lens, glens):
-        if not int8_cache:
-            return (0, 0, 0, 0)
-        return kv_idx(bg, j, lens, glens)
+    if layered:
+        kv_spec = pl.BlockSpec(
+            (1, G, 2, BLK, KVDh),
+            lambda bg, j, lens, glens, lay:
+            (lay[0], pool_row(bg, j, glens), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec(
+            (1, G, 2, KV, BLK),
+            lambda bg, j, lens, glens, lay:
+            ((lay[0] if int8_cache else 0),
+             (pool_row(bg, j, glens) if int8_cache else 0), 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        q_spec = pl.BlockSpec((G, KV * rep, KVDh),
+                              lambda bg, j, lens, glens, lay: (bg, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_specs = [
+            pl.BlockSpec((G, KV, rep, Dh),
+                         lambda bg, j, lens, glens, lay: (bg, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, KV, rep, 2),
+                         lambda bg, j, lens, glens, lay: (bg, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        n_scalar = 3
+    else:
+        def kv_idx(bg, j, lens, glens):
+            return (pool_row(bg, j, glens), 0, 0, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(BG, MB),
-        in_specs=[
-            pl.BlockSpec((G, KV * rep, KVDh),
-                         lambda bg, j, lens, glens: (bg, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 2, BLK, KVDh), kv_idx,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 2, KV, BLK), sc_idx,
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
+        def sc_idx(bg, j, lens, glens):
+            if not int8_cache:
+                return (0, 0, 0, 0)
+            return kv_idx(bg, j, lens, glens)
+        kv_spec = pl.BlockSpec((G, 2, BLK, KVDh), kv_idx,
+                               memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec((G, 2, KV, BLK), sc_idx,
+                               memory_space=pltpu.VMEM)
+        q_spec = pl.BlockSpec((G, KV * rep, KVDh),
+                              lambda bg, j, lens, glens: (bg, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_specs = [
             pl.BlockSpec((G, KV, rep, Dh),
                          lambda bg, j, lens, glens: (bg, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, KV, rep, 2),
                          lambda bg, j, lens, glens: (bg, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        n_scalar = 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_scalar,
+        grid=(BG, MB),
+        in_specs=[q_spec, kv_spec, sc_spec],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((G * KV * rep, KVDh), jnp.float32),
             pltpu.VMEM((G * KV * rep, 1), jnp.float32),
             pltpu.VMEM((G * KV * rep, 1), jnp.float32),
         ],
     )
+    scalars = [seq_lens.astype(jnp.int32), glens.astype(jnp.int32)]
+    if layered:
+        scalars.append(jnp.asarray(layer, jnp.int32).reshape(1))
     acc, ml = pl.pallas_call(
-        _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache),
+        _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache, layered),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, KV, rep, Dh), jnp.float32),
             jax.ShapeDtypeStruct((B, KV, rep, 2), jnp.float32),
         ],
         interpret=interpret,
-    )(seq_lens.astype(jnp.int32), glens.astype(jnp.int32),
-      build_qblock(q), kv_bm, sc_bm)
+    )(*scalars, build_qblock(q), kv_bm, sc_bm)
     return acc, ml[..., 0], ml[..., 1]
 
 

@@ -759,31 +759,33 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         G = grouped_group_size(B, RBLK, kv_dh=KV * Dh,
                                itemsize=1 if int8_cache else 2) \
             if prefer_grouped else 1
+        # Build ONE stacked (L, ...) pool and let the kernels index the
+        # layer via their `layer=` scalar: a per-layer python loop over
+        # `cache['k'][li]` makes XLA materialize every full (B, S, KV, Dh)
+        # slab as a separate buffer — measured 12.8 ms/burst (0.40 ms/
+        # step) of pure slab copies at the 1B/B=128 config — while the
+        # stacked repack touches only the O(L*window) bytes.
         if G > 1:
-            kv_pools, sc_pools = [], []
-            for li in range(L):
-                kv_bm, sc_bm = blockmajor_window(
-                    cache['k'][li], cache['v'][li],
-                    cache['k_scale'][li] if int8_cache else None,
-                    cache['v_scale'][li] if int8_cache else None,
-                    cap, RBLK)
-                kv_pools.append(kv_bm)
-                sc_pools.append(sc_bm)
+            kv_pool_l, sc_pool_l = blockmajor_window(
+                cache['k'], cache['v'],
+                cache['k_scale'] if int8_cache else None,
+                cache['v_scale'] if int8_cache else None,
+                cap, RBLK)
         else:
             tbl = identity_block_tables(B, cap, RBLK)
-            kv_pools, sc_pools = [], []
-            for li in range(L):
-                k2 = cache['k'][li, :, :cap].reshape(B * NBp, RBLK, KV * Dh)
-                v2 = cache['v'][li, :, :cap].reshape(B * NBp, RBLK, KV * Dh)
-                kv_pools.append(jnp.stack([k2, v2], axis=1))
-                if int8_cache:
-                    ks2 = cache['k_scale'][li][:, :cap] \
-                        .reshape(B * NBp, RBLK, KV).transpose(0, 2, 1)
-                    vs2 = cache['v_scale'][li][:, :cap] \
-                        .reshape(B * NBp, RBLK, KV).transpose(0, 2, 1)
-                    sc_pools.append(jnp.stack([ks2, vs2], axis=1))
-                else:
-                    sc_pools.append(None)
+            k2 = cache['k'][:, :, :cap] \
+                .reshape(L, B * NBp, RBLK, KV * Dh)
+            v2 = cache['v'][:, :, :cap] \
+                .reshape(L, B * NBp, RBLK, KV * Dh)
+            kv_pool_l = jnp.stack([k2, v2], axis=2)
+            if int8_cache:
+                ks2 = cache['k_scale'][:, :, :cap] \
+                    .reshape(L, B * NBp, RBLK, KV).transpose(0, 1, 3, 2)
+                vs2 = cache['v_scale'][:, :, :cap] \
+                    .reshape(L, B * NBp, RBLK, KV).transpose(0, 1, 3, 2)
+                sc_pool_l = jnp.stack([ks2, vs2], axis=2)
+            else:
+                sc_pool_l = None
 
     def make_step(fin_k, fin_v, fin_ks, fin_vs, c0):
         """Scan body for the chunk starting at burst column c0. fin_*:
@@ -877,13 +879,13 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                     # composition.
                     if G > 1:
                         acc_f, m_f, l_f = paged_attention_decode_grouped(
-                            q_g[:, 0], kv_pools[li], sc_pools[li], seq_lens,
-                            block_size=RBLK, group=G,
+                            q_g[:, 0], kv_pool_l, sc_pool_l, seq_lens,
+                            layer=li, block_size=RBLK, group=G,
                             interpret=ragged_interpret)
                     else:
                         acc_f, m_f, l_f = paged_attention_decode_fused(
-                            q_g[:, 0], kv_pools[li], sc_pools[li], tbl,
-                            seq_lens, block_size=RBLK,
+                            q_g[:, 0], kv_pool_l, sc_pool_l, tbl,
+                            seq_lens, layer=li, block_size=RBLK,
                             interpret=ragged_interpret)
                     m_b = jnp.max(lb, axis=-1)               # (B,KV,rep)
                     p_b = jnp.exp(lb - m_b[..., None])
@@ -977,19 +979,29 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
     vsb = tuple(jnp.concatenate(fin_vs[li], axis=2) if NCH > 1
                 else fin_vs[li][0] for li in range(L))
 
-    # merge the burst buffer into the cache: ONE double-vmapped window
-    # write over (L, B) per array. A per-layer loop of slice-out →
-    # window-write → dynamic_update_index_in_dim copies the whole layer
-    # slab twice per array (measured 0.5 ms/step amortized at B=64/n=32);
-    # the batched scatter writes only the O(L*B*n) window on the donated
-    # buffers.
+    # merge the burst buffer into the cache. The k/v code slabs go through
+    # the Pallas in-place window writer (kernels/window_write.py): the XLA
+    # lowering of the vmapped per-slot window write materializes every
+    # (B, S, KV, Dh) layer slab in full — two 16-slab fusions, 12.8 ms per
+    # burst = 0.40 ms/step measured at the 1B/B=128 config — while the
+    # kernel DMAs exactly the O(L*B*n) window (0.5 ms/burst measured,
+    # probes/merge_kernel_ab.py). The small f32 scale slabs stay on the
+    # XLA path: Mosaic rejects lane-width-8 DMA slices, and their XLA
+    # merge is ~1.7 ms/burst (0.05 ms/step) — acceptable.
     def _merge(slabs, new):
         return jax.vmap(
             lambda s, nn: _window_write(s, nn, seq_lens, None))(slabs, new)
 
     new_cache = dict(cache)
-    new_cache['k'] = _merge(cache['k'], jnp.stack(kbuf))
-    new_cache['v'] = _merge(cache['v'], jnp.stack(vbuf))
+    from ..kernels.window_write import window_write_inplace, supports_dense
+    if supports_dense(cache['k'].shape):
+        new_cache['k'], new_cache['v'] = window_write_inplace(
+            (cache['k'], cache['v']),
+            (jnp.stack(kbuf), jnp.stack(vbuf)), seq_lens,
+            interpret=jax.default_backend() == 'cpu')
+    else:
+        new_cache['k'] = _merge(cache['k'], jnp.stack(kbuf))
+        new_cache['v'] = _merge(cache['v'], jnp.stack(vbuf))
     if int8_cache:
         new_cache['k_scale'] = _merge(
             cache['k_scale'], jnp.stack(ksb).transpose(0, 1, 3, 2))

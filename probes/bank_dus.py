@@ -162,5 +162,7 @@ def _pallas_bank(buf, new, i):
     )(jnp.asarray(i, jnp.int32).reshape(1), new, buf)
 
 
-for v in ('lead_read', 'pallas_bank'):
+import sys
+VARIANTS = sys.argv[1:] or ('dus_read', 'dus_only', 'dus_first', 'dus_barrier', 'flat_read', 'two_buf', 'lead_read')
+for v in VARIANTS:
     run(v)
