@@ -346,6 +346,10 @@ def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
 
 def _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache, layered):
     R = KV * rep
+    # scale pool is lane-padded to >= 128 columns (Mosaic rejects sub-128
+    # memref slices on the lane dim); the kernel loads the padded row and
+    # VALUE-slices the first BLK columns
+    SCP = max(BLK, 128)
 
     def kernel(*refs):
         if layered:
@@ -384,8 +388,9 @@ def _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache, layered):
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)          # (R, BLK)
                 if int8_cache:
-                    ks = jnp.broadcast_to(sc_ref[g, 0][:, None, :],
-                                          (KV, rep, BLK)).reshape(R, BLK)
+                    ks = jnp.broadcast_to(
+                        sc_ref[g, 0][:, None, :SCP][:, :, :BLK],
+                        (KV, rep, BLK)).reshape(R, BLK)
                     s = s * ks
                 s = jnp.where(mask, s * inv_sqrt, NEG_INF)
                 m_new = jnp.maximum(ms[rows],
@@ -395,8 +400,9 @@ def _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache, layered):
                 ls[rows] = ls[rows] * corr + jnp.sum(p, axis=1,
                                                      keepdims=True)
                 if int8_cache:
-                    vs = jnp.broadcast_to(sc_ref[g, 1][:, None, :],
-                                          (KV, rep, BLK)).reshape(R, BLK)
+                    vs = jnp.broadcast_to(
+                        sc_ref[g, 1][:, None, :SCP][:, :, :BLK],
+                        (KV, rep, BLK)).reshape(R, BLK)
                     p = p * vs
                 pv = jnp.dot(p.astype(jnp.bfloat16),
                              kv_ref[g, 1].astype(jnp.bfloat16),
@@ -450,6 +456,11 @@ def blockmajor_window(cache_k, cache_v, cache_ks, cache_vs, cap, blk):
             sc = jnp.stack([ks2, vs2], axis=3) \
                 .transpose(0, 2, 1, 3, 4, 5) \
                 .reshape(L, nbp * B, 2, KV, blk)
+            if blk < 128:
+                # lane-pad to 128: Mosaic rejects sub-128 slices on the
+                # lane dim at the memref level, so the scale pool always
+                # carries 128 columns and the kernel VALUE-slices [:blk]
+                sc = jnp.pad(sc, ((0, 0),) * 4 + ((0, 128 - blk),))
         return kv, sc
     B, _, KV, Dh = cache_k.shape
     nbp = cap // blk
@@ -465,6 +476,8 @@ def blockmajor_window(cache_k, cache_v, cache_ks, cache_vs, cap, blk):
             .transpose(0, 1, 3, 2)
         sc = jnp.stack([ks2, vs2], axis=2).transpose(1, 0, 2, 3, 4) \
             .reshape(nbp * B, 2, KV, blk)
+        if blk < 128:
+            sc = jnp.pad(sc, ((0, 0),) * 3 + ((0, 128 - blk),))
     return kv, sc
 
 
@@ -514,8 +527,9 @@ def paged_attention_decode_grouped(q, kv_bm, sc_bm, seq_lens, layer=None, *,
     assert B % G == 0 and NBtot % B == 0, (B, G, NBtot)
     MB = NBtot // B
     int8_cache = sc_bm is not None
+    SCP = max(BLK, 128)       # scale pool lane-padded (see blockmajor)
     if not int8_cache:
-        sc_bm = jnp.ones(((1,) if layered else ()) + (G, 2, KV, BLK),
+        sc_bm = jnp.ones(((1,) if layered else ()) + (G, 2, KV, SCP),
                          jnp.float32)
     BG = B // G
     # group consensus fill: the DMA fetches through the group's deepest
@@ -534,7 +548,7 @@ def paged_attention_decode_grouped(q, kv_bm, sc_bm, seq_lens, layer=None, *,
             (lay[0], pool_row(bg, j, glens), 0, 0, 0),
             memory_space=pltpu.VMEM)
         sc_spec = pl.BlockSpec(
-            (1, G, 2, KV, BLK),
+            (1, G, 2, KV, SCP),
             lambda bg, j, lens, glens, lay:
             ((lay[0] if int8_cache else 0),
              (pool_row(bg, j, glens) if int8_cache else 0), 0, 0, 0),
@@ -561,7 +575,7 @@ def paged_attention_decode_grouped(q, kv_bm, sc_bm, seq_lens, layer=None, *,
             return kv_idx(bg, j, lens, glens)
         kv_spec = pl.BlockSpec((G, 2, BLK, KVDh), kv_idx,
                                memory_space=pltpu.VMEM)
-        sc_spec = pl.BlockSpec((G, 2, KV, BLK), sc_idx,
+        sc_spec = pl.BlockSpec((G, 2, KV, SCP), sc_idx,
                                memory_space=pltpu.VMEM)
         q_spec = pl.BlockSpec((G, KV * rep, KVDh),
                               lambda bg, j, lens, glens: (bg, 0, 0),

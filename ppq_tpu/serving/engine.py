@@ -526,14 +526,20 @@ class ServingEngine:
         return decode_step
 
     def _decode_bucket(self, s_need: int) -> Optional[int]:
-        """Smallest frozen-read bucket covering s_need cache slots (decode is
-        HBM-bound; reading all max_seq_len slots at short fills is pure
-        waste). None = no bucketing (full read) — e.g. on a 'sp' mesh where
-        the cache's sequence axis is sharded and must not be sliced."""
+        """Smallest frozen-read bucket covering s_need cache slots (decode
+        is HBM-bound; reading all max_seq_len slots at short fills is pure
+        waste). s_need is the deepest FILL only — the burst's own tokens
+        live in the in-burst buffers, never in the frozen read window, so
+        bucketing fill+n over-read the window up to 8x at shallow fills
+        (r4 shipped bucket(16+32)=128 where bucket(16)=32 suffices; the
+        attention kernel's DMA is proportional to the bucket). Floor 32 =
+        the s8 sublane tile. None = no bucketing (full read) — e.g. on an
+        'sp' mesh where the cache's sequence axis is sharded and must not
+        be sliced."""
         if self.mesh is not None and \
                 dict(self.mesh.shape).get('sp', 1) > 1:
             return None
-        b = 128
+        b = 32
         while b < min(s_need, self.cfg.max_seq_len):
             b *= 2
         return min(b, self.cfg.max_seq_len)
@@ -553,7 +559,9 @@ class ServingEngine:
         sides.)"""
         if s_limit is None or not len(active_fills):
             return True
-        return (min(active_fills) + n) < 0.75 * s_limit
+        # fill-vs-bucket (NOT fill+n: the bucket covers fills only —
+        # burst tokens never enter the frozen read window)
+        return min(active_fills) < 0.75 * s_limit
 
     def _build_decode_burst(self, n_steps: int, s_limit: Optional[int] = None,
                             grouped: bool = True):
@@ -1074,7 +1082,7 @@ class ServingEngine:
                     step_key, samp)
                 toks_np = np.asarray(next_tok)[None, :]       # (1, B)
             else:
-                s_need = int(max(self.slot_len[s] for s in active)) + n
+                s_need = int(max(self.slot_len[s] for s in active))
                 bucket = self._decode_bucket(s_need)
                 fills = [int(self.slot_len[s]) for s in active]
                 fn = self._build_decode_burst(
@@ -1205,7 +1213,7 @@ class ServingEngine:
                                                samp)
                 toks = nxt[None, :]
             else:
-                s_need = int(max(self.slot_len[s] for s in active)) + n
+                s_need = int(max(self.slot_len[s] for s in active))
                 bucket = self._decode_bucket(s_need)
                 fills = [int(self.slot_len[s]) for s in active]
                 fn = self._build_decode_burst(
@@ -1471,7 +1479,7 @@ class ServingEngine:
                     'ms_per_step': best / (n_bursts * n) * 1e3,
                     'batch': B}
         if burst and burst > 1:
-            bucket = self._decode_bucket(fill + burst)
+            bucket = self._decode_bucket(fill)
             fn = self._build_decode_burst(
                 burst, bucket,
                 grouped=self._grouped_gate([fill] * B, burst, bucket))

@@ -694,6 +694,12 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
     else:
         CH = n
     NCH = n // CH
+    # banked-code column writes go through the aliased Pallas kernel
+    # whenever the buffer shape is DMA-legal (see bank_write.py); the
+    # XLA-DUS fallback keeps odd head dims working
+    from ..kernels.bank_write import bank_write_inplace, supports_bank
+    bank_kernel = supports_bank((B, CH, KV, Dh))
+    bank_interpret = jax.default_backend() == 'cpu'
     # per-layer buffer LEAVES (not one stacked array): inside the scan only
     # the touched leaf is rewritten per layer — a stacked (L, ...) buffer
     # makes XLA copy the whole thing on every layer's update
@@ -721,7 +727,7 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         # only the window [0, cap) can hold tokens this burst — repack just
         # it; at fill 16 of 2048 the repack (and the kernel grid) touches
         # 1/16 of the cache
-        cap = Sf if s_limit is None else min(-(-s_limit // 128) * 128, Sf)
+        cap = Sf if s_limit is None else min(-(-s_limit // 32) * 32, Sf)
         # adaptive fused-block size: DMA transactions dominate the kernel
         # cost, so bigger windows use bigger blocks (same bytes, fewer
         # transactions); per-slot read granularity stays <= cap/2 so
@@ -731,8 +737,13 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
         # by 4/3 and the grid's per-step fixed cost dominates — one
         # cap-sized block per slot halves the grid (fill-512 profile:
         # 309 us/call at RBLK=cap/2 vs a 164 us byte floor).
+        if cap <= 64:
+            # sub-128 caps (fill-bucketed windows): the whole window is
+            # shallow — always the grouped kernel (the fused per-slot
+            # kernel's scale specs assume BLK >= 128), one block per slot
+            prefer_grouped = True
         if prefer_grouped:
-            RBLK = max(128, min(512, cap // 2))
+            RBLK = cap if cap <= 64 else max(32, min(512, cap // 2))
         else:
             # one read-block covers a deep slot's whole fill up to 512;
             # NOT cap when cap > 512 — a 1024-block would read the empty
@@ -802,6 +813,7 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
             # rope tables depend only on pos — ONE build per step
             r_cos, r_sin = rope_tables(pos[:, None], cfg.rope_theta, Dh)
             folded = bool(getattr(cfg, 'norm_folded', False))
+            newk, newv = [], []       # per-layer (B,1,KV,Dh) banked codes
             for li, layer in enumerate(params['layers']):
                 if folded:
                     # fused pre-norm: gamma lives in the weights
@@ -815,22 +827,34 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                     q, k, v = project_qkv(h, layer, cfg, pall)
                 q = rope_apply(q, r_cos, r_sin)
                 k = rope_apply(k, r_cos, r_sin)
-                # bank this step's K/V at chunk column ic (write before
-                # read), quantized exactly like the cache so burst ==
-                # step-by-step
+                # quantize this step's K/V exactly like the cache so
+                # burst == step-by-step. The CODES bank into the buffers
+                # ONCE per step (all layers, one aliased Pallas column
+                # write at end of step — an XLA DUS on a scan carry
+                # rewrites each whole leaf every step: 32 x 16.3 us =
+                # 0.52 ms/step profiled; kernels/bank_write.py holds it
+                # to the column bytes). The current token attends via an
+                # inline 1-wide chunk built from the same codes.
                 if int8_cache:
                     k_q, k_s = _kv_quant(k)
                     v_q, v_s = _kv_quant(v)
+                    ks_cur = k_s.transpose(0, 2, 1)          # (B,KV,1)
+                    vs_cur = v_s.transpose(0, 2, 1)
                     ksb[li] = jax.lax.dynamic_update_slice(
-                        ksb[li], k_s.transpose(0, 2, 1), (0, 0, ic))
+                        ksb[li], ks_cur, (0, 0, ic))
                     vsb[li] = jax.lax.dynamic_update_slice(
-                        vsb[li], v_s.transpose(0, 2, 1), (0, 0, ic))
+                        vsb[li], vs_cur, (0, 0, ic))
                 else:
                     k_q, v_q = k.astype(buf_dtype), v.astype(buf_dtype)
-                kbuf[li] = jax.lax.dynamic_update_slice(
-                    kbuf[li], k_q, (0, ic, 0, 0))
-                vbuf[li] = jax.lax.dynamic_update_slice(
-                    vbuf[li], v_q, (0, ic, 0, 0))
+                    ks_cur = vs_cur = None
+                if bank_kernel:
+                    newk.append(k_q)
+                    newv.append(v_q)
+                else:
+                    kbuf[li] = jax.lax.dynamic_update_slice(
+                        kbuf[li], k_q, (0, ic, 0, 0))
+                    vbuf[li] = jax.lax.dynamic_update_slice(
+                        vbuf[li], v_q, (0, ic, 0, 0))
 
                 q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
 
@@ -838,28 +862,42 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                     t = jnp.einsum('btkrd,bjkd->bkrtj', q_g,
                                    buf.astype(jnp.bfloat16),
                                    preferred_element_type=jnp.float32)
-                    t = t[:, :, :, 0, :]                     # (B,KV,rep,CH)
+                    t = t[:, :, :, 0, :]                # (B,KV,rep,cols)
                     if int8_cache:
                         t = t * scales[:, :, None, :]
-                    if masked:    # current chunk: causal over columns ≤ ic
-                        return jnp.where(buf_ids <= ic,
+                    if masked:
+                        # current chunk: causal over banked columns. With
+                        # the bank kernel the write is deferred to end of
+                        # step, so column ic is stale — mask it strictly
+                        # and let the current token ride its own chunk.
+                        lim = ic if bank_kernel else ic + 1
+                        return jnp.where(buf_ids < lim,
                                          t / np.sqrt(Dh), -1e30)
                     return t / np.sqrt(Dh)                   # fully written
                 # in-burst logits: finished chunks (fully valid) + the
-                # masked current chunk — only the written prefix is read
+                # masked current chunk (+ the current token as a 1-wide
+                # chunk from this step's codes — identical einsum
+                # formulation, so the math matches the banked read)
                 lb_parts = [buf_logits(fk, fks, False)
                             for fk, fks in zip(fin_k[li], fin_ks[li])]
                 lb_parts.append(buf_logits(kbuf[li], ksb[li], True))
-                lb = jnp.concatenate(lb_parts, axis=-1) \
-                    if len(lb_parts) > 1 else lb_parts[0]
                 v_chunks = list(fin_v[li]) + [vbuf[li]]
                 vs_chunks = list(fin_vs[li]) + [vsb[li]]
+                if bank_kernel:
+                    lb_parts.append(buf_logits(k_q, ks_cur, False))
+                    v_chunks.append(v_q)
+                    vs_chunks.append(vs_cur)
+                lb = jnp.concatenate(lb_parts, axis=-1) \
+                    if len(lb_parts) > 1 else lb_parts[0]
 
                 def buf_readout(pb):
                     """Σ_chunks einsum(probs_chunk · v_scale, v_chunk)."""
                     acc = None
-                    for ci, (vc, vs) in enumerate(zip(v_chunks, vs_chunks)):
-                        p = pb[..., ci * CH:(ci + 1) * CH]
+                    off = 0
+                    for vc, vs in zip(v_chunks, vs_chunks):
+                        w = vc.shape[1]
+                        p = pb[..., off:off + w]
+                        off += w
                         if int8_cache:
                             p = p * vs[:, :, None, :]
                         t = jnp.einsum('bkrj,bjkd->bkrd',
@@ -930,6 +968,14 @@ def burst_forward(params: Params, cache: Dict[str, jnp.ndarray],
                     x = x + qmatmul(ctx, layer['wo'], pallas=pall, a8=a8)
                     h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
                     x = x + mlp(h, layer, cfg)
+            if bank_kernel:
+                # one aliased column write banks every layer's codes in
+                # place (kernels/bank_write.py) — the buffers never pay
+                # the scan-carry DUS rewrite
+                upd = bank_write_inplace(
+                    tuple(kbuf) + tuple(vbuf), tuple(newk) + tuple(newv),
+                    ic, interpret=bank_interpret)
+                kbuf, vbuf = list(upd[:L]), list(upd[L:])
             if folded:
                 logits = qmatmul(x, params['lm_head'], pallas=pall, a8=a8,
                                  row_scale=row_rsqrt(x, cfg.rms_eps)
