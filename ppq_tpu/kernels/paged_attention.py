@@ -345,6 +345,16 @@ def paged_attention_decode_fused(q, kv_pool, kv_scale, block_tables,
 # unchanged; grid steps (and their fixed cost) drop by G.
 
 def _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache, layered):
+    """Batched-over-G grouped kernel (v3). The v2 kernel unrolled a
+    python loop over the G slots in a group — ~20 small (R, BLK) VPU ops
+    per slot per grid step; at shallow fills (tiny DMAs) that instruction
+    stream WAS the kernel cost (62.7 us/call measured at cap=32 vs ~10 us
+    of DMA). v3 runs one batched (G, R, BLK) op chain per grid step and
+    builds the block-diagonal q IN-KERNEL from a compact (G, R, Dh)
+    operand (the host-built (B, R, KV*Dh) qblock operand cost a 105
+    us/step layout copy per call — r5 trace). Fully-masked groups are
+    handled by an explicit p-mask (exp underflow can't be relied on when
+    m stays at NEG_INF), so no per-slot pl.when guards remain."""
     R = KV * rep
     # scale pool is lane-padded to >= 128 columns (Mosaic rejects sub-128
     # memref slices on the lane dim); the kernel loads the padded row and
@@ -353,77 +363,75 @@ def _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache, layered):
 
     def kernel(*refs):
         if layered:
-            (lens_ref, _glens_ref, _lay_ref, qb_ref, kv_ref, sc_ref,
-             acc_o, ml_o, accw_s, ms, ls) = refs
+            (lens_ref, _glens_ref, _lay_ref, q_ref, lensv_ref, kv_ref,
+             sc_ref, acc_o, ml_o, qb_s, accw_s, ms, ls) = refs
             kv_ref = kv_ref.at[0]
             sc_ref = sc_ref.at[0]
         else:
-            (lens_ref, _glens_ref, qb_ref, kv_ref, sc_ref,
-             acc_o, ml_o, accw_s, ms, ls) = refs
-        bg = pl.program_id(0)
+            (lens_ref, _glens_ref, q_ref, lensv_ref, kv_ref, sc_ref,
+             acc_o, ml_o, qb_s, accw_s, ms, ls) = refs
         j = pl.program_id(1)
-
-        @pl.when(jnp.logical_and(bg == 0, j == 0))
-        def _():
-            # one-time: uninitialized VMEM may hold NaN bit patterns that
-            # would survive the corr=0 first-block rescale as NaN*0
-            accw_s[:] = jnp.zeros_like(accw_s)
 
         @pl.when(j == 0)
         def _():
             ms[:] = jnp.full_like(ms, NEG_INF)
             ls[:] = jnp.zeros_like(ls)
+            accw_s[:] = jnp.zeros_like(accw_s)
+            # block-diagonal q built once per group: row kv*rep+r carries
+            # q[g, kv, r] in columns [kv*Dh, (kv+1)*Dh), zeros elsewhere
+            q = q_ref[...]                                   # (G, R, Dh)
+            qw = jnp.concatenate([q] * KV, axis=2)           # (G, R, KVDh)
+            row_kv = jax.lax.broadcasted_iota(
+                jnp.int32, (G, R, KV * Dh), 1) // rep
+            col_kv = jax.lax.broadcasted_iota(
+                jnp.int32, (G, R, KV * Dh), 2) // Dh
+            qb_s[:] = jnp.where(row_kv == col_kv, qw, 0)
 
         inv_sqrt = np.float32(1.0 / np.sqrt(Dh))
-        for g in range(G):
-            n_valid = lens_ref[bg * G + g] - j * BLK
-            rows = slice(g * R, (g + 1) * R)
-
-            @pl.when(n_valid > 0)
-            def _(g=g, n_valid=n_valid, rows=rows):
-                lane = jax.lax.broadcasted_iota(jnp.int32, (R, BLK), 1)
-                mask = lane < n_valid
-                s = jax.lax.dot_general(
-                    qb_ref[g], kv_ref[g, 0].astype(jnp.bfloat16),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)          # (R, BLK)
-                if int8_cache:
-                    ks = jnp.broadcast_to(
-                        sc_ref[g, 0][:, None, :SCP][:, :, :BLK],
-                        (KV, rep, BLK)).reshape(R, BLK)
-                    s = s * ks
-                s = jnp.where(mask, s * inv_sqrt, NEG_INF)
-                m_new = jnp.maximum(ms[rows],
-                                    jnp.max(s, axis=1, keepdims=True))
-                corr = jnp.exp(ms[rows] - m_new)                 # (R, 1)
-                p = jnp.exp(s - m_new)                           # (R, BLK)
-                ls[rows] = ls[rows] * corr + jnp.sum(p, axis=1,
-                                                     keepdims=True)
-                if int8_cache:
-                    vs = jnp.broadcast_to(
-                        sc_ref[g, 1][:, None, :SCP][:, :, :BLK],
-                        (KV, rep, BLK)).reshape(R, BLK)
-                    p = p * vs
-                pv = jnp.dot(p.astype(jnp.bfloat16),
-                             kv_ref[g, 1].astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
-                accw_s[rows] = accw_s[rows] * corr + pv
-                ms[rows] = m_new
+        # per-slot valid counts ride a LANE-BROADCAST VMEM operand
+        # ((B, 128) i32, row b = seq_lens[b] in every lane): SMEM scalars
+        # can't vectorize into a (G, 1, BLK) mask without a relayout
+        nv = lensv_ref[...][:, :BLK] - j * BLK               # (G, BLK)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (G, R, BLK), 2)
+        mask = lane < nv[:, None, :]                         # (G, R, BLK)
+        s = jax.lax.dot_general(
+            qb_s[...], kv_ref[:, 0].astype(jnp.bfloat16),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (G, R, BLK)
+        if int8_cache:
+            ks = sc_ref[:, 0][:, :, None, :SCP][..., :BLK]   # (G,KV,1,BLK)
+            s = s * jnp.broadcast_to(ks, (G, KV, rep, BLK)) \
+                .reshape(G, R, BLK)
+        s = jnp.where(mask, s * inv_sqrt, NEG_INF)
+        m_new = jnp.maximum(ms[...],
+                            jnp.max(s, axis=2, keepdims=True))
+        corr = jnp.exp(ms[...] - m_new)                      # (G, R, 1)
+        # explicit mask: a fully-invalid group keeps m == NEG_INF and
+        # exp(s - m) would be exp(0) = 1 on every masked column
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)         # (G, R, BLK)
+        ls[...] = ls[...] * corr + jnp.sum(p, axis=2, keepdims=True)
+        if int8_cache:
+            vs = sc_ref[:, 1][:, :, None, :SCP][..., :BLK]
+            p = p * jnp.broadcast_to(vs, (G, KV, rep, BLK)) \
+                .reshape(G, R, BLK)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), kv_ref[:, 1].astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (G, R, KVDh)
+        accw_s[:] = accw_s[...] * corr + pv
+        ms[:] = m_new
 
         @pl.when(j == MB - 1)
         def _():
             row_kv = jax.lax.broadcasted_iota(
-                jnp.int32, (R, KV * Dh), 0) // rep
+                jnp.int32, (G, R, KV * Dh), 1) // rep
             col_kv = jax.lax.broadcasted_iota(
-                jnp.int32, (R, KV * Dh), 1) // Dh
-            diag = row_kv == col_kv
-            for g in range(G):
-                rows = slice(g * R, (g + 1) * R)
-                accd = jnp.where(diag, accw_s[rows], 0) \
-                    .reshape(R, KV, Dh).sum(axis=1)              # (R, Dh)
-                acc_o[g] = accd.reshape(KV, rep, Dh)
-                ml_o[g] = jnp.concatenate([ms[rows], ls[rows]],
-                                          axis=1).reshape(KV, rep, 2)
+                jnp.int32, (G, R, KV * Dh), 2) // Dh
+            accd = jnp.where(row_kv == col_kv, accw_s[...], 0) \
+                .reshape(G, R, KV, Dh).sum(axis=2)           # (G, R, Dh)
+            acc_o[...] = accd.reshape(G, KV, rep, Dh)
+            ml_o[...] = jnp.concatenate([ms[...], ls[...]], axis=2) \
+                .reshape(G, KV, rep, 2)
     return kernel
 
 
@@ -482,19 +490,21 @@ def blockmajor_window(cache_k, cache_v, cache_ks, cache_vs, cap, blk):
 
 
 def grouped_group_size(batch: int, block_size: int, kv_dh: int = 1024,
-                       itemsize: int = 1) -> int:
-    """Largest G in {16,8,4,2,1} dividing batch whose double-buffered
-    (G, 2, BLK, KV*Dh) cache slab stays within an 11 MiB VMEM allowance
-    (the q block, scale slab and accumulators need ~1.5 MiB more of the
-    16 MiB). Budgeted in BYTES — pass kv_dh = n_kv_heads * head_dim and
-    the cache itemsize so models with wider KV rows (KV=16, Dh=256, bf16
-    caches) shrink G instead of blowing VMEM. Bigger G = fewer grid
-    steps: the per-step fixed cost dominates at small fills (G=16 vs 8
-    measured 72 vs 140 us/call at fill 16, B=128 — probes/grouped_g16.py)."""
+                       itemsize: int = 1, n_heads: int = 16) -> int:
+    """Largest G in {64,...,1} dividing batch whose per-group VMEM
+    working set stays within an 11 MiB allowance (of the 16 MiB scoped
+    VMEM): the double-buffered (G, 2, BLK, KV*Dh) cache slab PLUS the
+    per-slot wide accumulator (G, R, KV*Dh) f32 and the in-kernel
+    block-diagonal q scratch (G, R, KV*Dh) bf16. Budgeted in BYTES —
+    pass kv_dh = n_kv_heads * head_dim and the cache itemsize so models
+    with wider KV rows shrink G instead of blowing VMEM. Bigger G =
+    fewer grid steps; with the batched v3 kernel the per-step VPU chain
+    is shared by the whole group, so G is capped only by VMEM."""
     budget = 11 * 1024 * 1024
-    slab_per_slot = 2 * 2 * block_size * kv_dh * itemsize  # k+v, 2 buffers
-    g = 16
-    while g > 1 and (batch % g or g * slab_per_slot > budget):
+    per_slot = (2 * 2 * block_size * kv_dh * itemsize   # k+v, 2 buffers
+                + n_heads * kv_dh * (4 + 2))            # accw f32 + qb bf16
+    g = 64
+    while g > 1 and (batch % g or g * per_slot > budget):
         g //= 2
     return g
 
@@ -553,9 +563,12 @@ def paged_attention_decode_grouped(q, kv_bm, sc_bm, seq_lens, layer=None, *,
             ((lay[0] if int8_cache else 0),
              (pool_row(bg, j, glens) if int8_cache else 0), 0, 0, 0),
             memory_space=pltpu.VMEM)
-        q_spec = pl.BlockSpec((G, KV * rep, KVDh),
+        q_spec = pl.BlockSpec((G, KV * rep, Dh),
                               lambda bg, j, lens, glens, lay: (bg, 0, 0),
                               memory_space=pltpu.VMEM)
+        lv_spec = pl.BlockSpec((G, 128),
+                               lambda bg, j, lens, glens, lay: (bg, 0),
+                               memory_space=pltpu.VMEM)
         out_specs = [
             pl.BlockSpec((G, KV, rep, Dh),
                          lambda bg, j, lens, glens, lay: (bg, 0, 0, 0),
@@ -577,9 +590,12 @@ def paged_attention_decode_grouped(q, kv_bm, sc_bm, seq_lens, layer=None, *,
                                memory_space=pltpu.VMEM)
         sc_spec = pl.BlockSpec((G, 2, KV, SCP), sc_idx,
                                memory_space=pltpu.VMEM)
-        q_spec = pl.BlockSpec((G, KV * rep, KVDh),
+        q_spec = pl.BlockSpec((G, KV * rep, Dh),
                               lambda bg, j, lens, glens: (bg, 0, 0),
                               memory_space=pltpu.VMEM)
+        lv_spec = pl.BlockSpec((G, 128),
+                               lambda bg, j, lens, glens: (bg, 0),
+                               memory_space=pltpu.VMEM)
         out_specs = [
             pl.BlockSpec((G, KV, rep, Dh),
                          lambda bg, j, lens, glens: (bg, 0, 0, 0),
@@ -593,17 +609,22 @@ def paged_attention_decode_grouped(q, kv_bm, sc_bm, seq_lens, layer=None, *,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalar,
         grid=(BG, MB),
-        in_specs=[q_spec, kv_spec, sc_spec],
+        in_specs=[q_spec, lv_spec, kv_spec, sc_spec],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((G * KV * rep, KVDh), jnp.float32),
-            pltpu.VMEM((G * KV * rep, 1), jnp.float32),
-            pltpu.VMEM((G * KV * rep, 1), jnp.float32),
+            pltpu.VMEM((G, KV * rep, KVDh), jnp.bfloat16),   # qb
+            pltpu.VMEM((G, KV * rep, KVDh), jnp.float32),    # accw
+            pltpu.VMEM((G, KV * rep, 1), jnp.float32),       # m
+            pltpu.VMEM((G, KV * rep, 1), jnp.float32),       # l
         ],
     )
     scalars = [seq_lens.astype(jnp.int32), glens.astype(jnp.int32)]
     if layered:
         scalars.append(jnp.asarray(layer, jnp.int32).reshape(1))
+    # lane-broadcast lens: the kernel's (G, R, BLK) mask needs per-slot
+    # valid counts on the lane dim (SMEM scalars can't vectorize there)
+    lensv = jnp.broadcast_to(
+        seq_lens.astype(jnp.int32)[:, None], (B, 128))
     acc, ml = pl.pallas_call(
         _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache, layered),
         grid_spec=grid_spec,
@@ -612,7 +633,8 @@ def paged_attention_decode_grouped(q, kv_bm, sc_bm, seq_lens, layer=None, *,
             jax.ShapeDtypeStruct((B, KV, rep, 2), jnp.float32),
         ],
         interpret=interpret,
-    )(*scalars, build_qblock(q), kv_bm, sc_bm)
+    )(*scalars, q.reshape(B, KV * rep, Dh).astype(jnp.bfloat16),
+      lensv, kv_bm, sc_bm)
     return acc, ml[..., 0], ml[..., 1]
 
 

@@ -366,7 +366,10 @@ class TestBucketedFrozenRead:
                           n_kv_heads=2, d_ff=256, max_seq_len=2048,
                           max_batch=2, prefill_buckets=(16,))
         eng = ServingEngine(cfg, init_llama_params(cfg, seed=3))
-        assert eng._decode_bucket(17) == 128
+        # r5: the floor dropped 128 -> 32 (the bucket covers FILLS only;
+        # burst tokens never enter the frozen read window)
+        assert eng._decode_bucket(17) == 32
+        assert eng._decode_bucket(33) == 64
         assert eng._decode_bucket(128) == 128
         assert eng._decode_bucket(129) == 256
         assert eng._decode_bucket(257) == 512
