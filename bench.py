@@ -41,6 +41,7 @@ RESULTS = {
     'dec': {'tokens_per_sec': 0.0, 'ms_per_step': 0.0},
     'dec_fill512': {'tokens_per_sec': 0.0},
     'dec4': {'tokens_per_sec': 0.0, 'ms_per_step': 0.0},
+    'dec4_b32': {'tokens_per_sec': 0.0}, 'dec8_b32': {'tokens_per_sec': 0.0},
     'decp': {'tokens_per_sec': 0.0},
     'serve': {'generated_tokens_per_sec': 0.0, 'requests_per_sec': 0.0},
     'serve_mixed': {'generated_tokens_per_sec': 0.0,
@@ -70,6 +71,16 @@ def _t(msg, t0=[None]):
         print(f'[bench] {msg} (t={_elapsed():.0f}s)', file=sys.stderr)
     t0[0] = now
     sys.stderr.flush()
+
+
+def _round_tree(v):
+    if isinstance(v, dict):
+        return {k: _round_tree(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_round_tree(x) for x in v]
+    if isinstance(v, float):
+        return round(v, 2)
+    return v
 
 
 def _payload():
@@ -112,6 +123,10 @@ def _payload():
                 round(r['dec4']['tokens_per_sec'], 1),
             'llm_1b_paged_kv_decode_tokens_per_sec_chip':
                 round(r['decp']['tokens_per_sec'], 1),
+            'llm_1b_int4_decode_b32_tokens_per_sec_chip':
+                round(r['dec4_b32']['tokens_per_sec'], 1),
+            'llm_1b_int8_decode_b32_tokens_per_sec_chip':
+                round(r['dec8_b32']['tokens_per_sec'], 1),
             'llm_serving_generated_tokens_per_sec': round(
                 r['serve']['generated_tokens_per_sec'], 1),
             'llm_serving_requests_per_sec': round(
@@ -128,8 +143,7 @@ def _payload():
                 r['serve_mixed'].get('tpot_p50_ms', 0.0), 2),
             'llm_serving_mixed_tpot_p99_ms': round(
                 r['serve_mixed'].get('tpot_p99_ms', 0.0), 2),
-            'llm_serving_open_loop': {
-                k: round(v, 2) for k, v in r['serve_open'].items()},
+            'llm_serving_open_loop': _round_tree(r['serve_open']),
             'llm_serving_planned_path_note':
                 'llm_serving_* is the no-eos fully-planned fast path; '
                 'llm_serving_mixed_* is the synchronous per-wave loop '
@@ -428,18 +442,19 @@ def main():
                 sync_every=32)
             _t('  llm serving (mixed synchronous) measured')
         cap = RESULTS['serve_mixed'].get('requests_per_sec', 0.0)
-        if _remaining() > 50 and cap > 0:
-            # open-loop latency-under-load at ~80% of the mixed-loop
-            # capacity (same compiled programs — no extra compile cost;
-            # cap == 0 means mixed never ran, so the programs are cold
-            # and the rate target is meaningless: skip)
-            RESULTS['serve_open'] = engp.benchmark_serving_open(
-                rate_rps=0.8 * cap, n_requests=128,
-                mean_prompt=64, max_new_tokens=96, sync_every=32)
-            _t('  llm serving (open loop) measured')
+        if _remaining() > 110 and cap > 0:
+            # steady-state open-loop sweep: >= 3 offered-rate points at
+            # >= 20 s measured windows each, warm-up and drain excluded
+            # (same compiled programs as mixed — no extra compile cost;
+            # cap == 0 means mixed never ran: programs cold, skip)
+            RESULTS['serve_open'] = engp.benchmark_serving_open_sweep(
+                rates=[0.6 * cap, 0.8 * cap, 0.95 * cap],
+                duration_s=22.0, mean_prompt=64, max_new_tokens=96,
+                sync_every=32)
+            _t('  llm serving (open-loop sweep) measured')
         del engp
 
-    _phase('llm_paged_and_serving', 160, p_llm_paged)
+    _phase('llm_paged_and_serving', 220, p_llm_paged)
     _reclaim()
 
     def p_llm_int4():
@@ -451,6 +466,23 @@ def main():
 
     _phase('llm_int4_decode', 80, p_llm_int4)
     _reclaim()
+
+    def p_llm_b32():
+        # small-batch point: B=32 decode is HBM-bound, the regime where
+        # weight-only int4's halved bytes actually pay (at B=128 both
+        # int4 and int8 are MXU-bound and the unpack serializes on top —
+        # the crossover is probe-established at B<=32, STATUS r4 §8)
+        from ppq_tpu.serving import ServingEngine, init_llama_params
+        for bits, slot in ((4, 'dec4_b32'), (8, 'dec8_b32')):
+            cfg = _llm_cfg(bits, batch=32)
+            eng = ServingEngine(cfg, init_llama_params(cfg, seed=0))
+            RESULTS[slot] = eng.benchmark_decode(steps=64, burst=32,
+                                                 repeats=2)
+            _t(f'  b32 int{bits} decode measured')
+            del eng
+            _reclaim()
+
+    _phase('llm_decode_b32', 80, p_llm_b32)
 
     # --- deployment mode: bf16 math AND bf16 tensor storage ---------------
     def p_deploy():

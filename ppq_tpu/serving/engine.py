@@ -1423,6 +1423,79 @@ class ServingEngine:
             out['tpot_p99_ms'] = float(np.percentile(tpot, 99) * 1e3)
         return out
 
+    def benchmark_serving_open_sweep(self, rates, duration_s: float = 20.0,
+                                     mean_prompt: int = 64,
+                                     max_new_tokens: int = 96,
+                                     sync_every: int = 32,
+                                     eos_id: int = 2,
+                                     seed: int = 0,
+                                     warmup_frac: float = 0.15):
+        """Steady-state open-loop latency-under-load across offered rates.
+
+        The single-rate benchmark_serving_open measured a 2.5 s transient
+        (ramp-up + drain) and read as overload at 55% of capacity. This
+        sweep is the real measurement: each rate point runs a Poisson
+        arrival stream spanning >= duration_s, and the reported window
+        EXCLUDES warm-up (the first warmup_frac of the stream) and drain
+        (everything after the last scheduled arrival). A rate is
+        *sustained* when completions inside the window keep pace with
+        arrivals (>= 95%); `sustainable_rps` is the highest sustained
+        offered rate. TTFT percentiles are taken over requests that
+        ARRIVE inside the window (queueing included), TPOT over those
+        that also complete in-run.
+        """
+        out = {'rate_points': [], 'sustainable_rps': 0.0,
+               'duration_s': duration_s}
+        for ri, rate in enumerate(rates):
+            n = max(8, int(round(rate * duration_s)))
+            reqs, _lens = self._mixed_requests(n, mean_prompt,
+                                               max_new_tokens, eos_id,
+                                               seed + ri)
+            arrivals = np.cumsum(np.random.RandomState(
+                seed + 17 + ri).exponential(1.0 / rate, n))
+            self._warm_serving(reqs, sync_every, eos_id)
+            t0 = time.perf_counter()
+            self.run(reqs, sync_every=sync_every,
+                     arrivals=arrivals.tolist())
+            wall = time.perf_counter() - t0
+            w0 = t0 + warmup_frac * float(arrivals[-1])
+            w1 = t0 + float(arrivals[-1])      # last scheduled arrival
+            win = max(w1 - w0, 1e-9)
+            arrived = [r for r in reqs if w0 <= r.t_submit <= w1]
+            done_in = [r for r in reqs
+                       if r.t_done is not None and w0 <= r.t_done <= w1]
+            gen_tok = sum(len(r.generated) for r in done_in)
+            ttft = np.array([r.t_first - r.t_submit for r in arrived
+                             if r.t_first is not None])
+            tpot = np.array([(r.t_done - r.t_first) /
+                             max(len(r.generated) - 1, 1) for r in arrived
+                             if r.t_done is not None
+                             and r.t_first is not None])
+            offered_w = len(arrived) / win
+            completed_w = len(done_in) / win
+            sustained = completed_w >= 0.95 * offered_w
+            point = {
+                'offered_rps': float(rate),
+                'offered_in_window_rps': offered_w,
+                'completed_in_window_rps': completed_w,
+                'generated_tokens_per_sec': gen_tok / win,
+                'wall_s': wall,
+                'window_s': win,
+                'n_requests': n,
+                'sustained': bool(sustained),
+            }
+            if len(ttft):
+                point['ttft_p50_ms'] = float(np.percentile(ttft, 50) * 1e3)
+                point['ttft_p99_ms'] = float(np.percentile(ttft, 99) * 1e3)
+            if len(tpot):
+                point['tpot_p50_ms'] = float(np.percentile(tpot, 50) * 1e3)
+                point['tpot_p99_ms'] = float(np.percentile(tpot, 99) * 1e3)
+            out['rate_points'].append(point)
+            if sustained:
+                out['sustainable_rps'] = max(out['sustainable_rps'],
+                                             float(rate))
+        return out
+
     def benchmark_decode(self, batch: Optional[int] = None, steps: int = 50,
                          warmup: int = 5, burst: Optional[int] = 32,
                          repeats: int = 3, fill: int = 16) -> Dict[str, float]:

@@ -963,6 +963,28 @@ def test_open_loop_benchmark_reports_queueing_latency():
         assert k in r and r[k] > 0, (k, r)
 
 
+def test_open_loop_sweep_steady_state_window():
+    """The rate sweep reports per-point windows that exclude warm-up and
+    drain, marks sustained points, and aggregates sustainable_rps."""
+    from ppq_tpu.serving import LlamaConfig, ServingEngine, init_llama_params
+    cfg = LlamaConfig.tiny()
+    eng = ServingEngine(cfg, init_llama_params(cfg, seed=0))
+    r = eng.benchmark_serving_open_sweep(
+        rates=[4.0, 8.0], duration_s=2.0, mean_prompt=8,
+        max_new_tokens=4, sync_every=4)
+    assert len(r['rate_points']) == 2
+    for p in r['rate_points']:
+        assert p['window_s'] > 0
+        # the measured window excludes the drain: it is bounded by the
+        # arrival span, which the wall clock strictly contains
+        assert p['window_s'] <= p['wall_s'] + 1e-6
+        assert 'sustained' in p
+        assert p['offered_in_window_rps'] > 0
+    # a CPU engine at these tiny rates keeps up: sustained -> aggregated
+    if all(p['sustained'] for p in r['rate_points']):
+        assert r['sustainable_rps'] == 8.0
+
+
 class TestBisectionSamplerProperty:
     """The sort-free thresholds must reproduce the sort-based top-k /
     nucleus SETS exactly on generic (tie-free) inputs."""
