@@ -390,8 +390,9 @@ def _make_grouped_kernel(G, KV, rep, Dh, BLK, MB, int8_cache, layered):
         inv_sqrt = np.float32(1.0 / np.sqrt(Dh))
         # per-slot valid counts ride a LANE-BROADCAST VMEM operand
         # ((B, 128) i32, row b = seq_lens[b] in every lane): SMEM scalars
-        # can't vectorize into a (G, 1, BLK) mask without a relayout
-        nv = lensv_ref[...][:, :BLK] - j * BLK               # (G, BLK)
+        # can't vectorize into a (G, 1, BLK) mask without a relayout.
+        # A width-1 value slice broadcasts against any BLK.
+        nv = lensv_ref[...][:, :1] - j * BLK                 # (G, 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (G, R, BLK), 2)
         mask = lane < nv[:, None, :]                         # (G, R, BLK)
         s = jax.lax.dot_general(

@@ -816,8 +816,9 @@ class ServingEngine:
                                      slot=slot)
         return last[slot, n - 1 - offsets[-1]]
 
-    def _build_decode_burst_paged(self, n_steps: int):
-        key = ('paged', n_steps)
+    def _build_decode_burst_paged(self, n_steps: int,
+                                  read_limit: Optional[int] = None):
+        key = ('paged', n_steps, read_limit)
         if key in self._decode_burst:
             return self._decode_burst[key]
         from .paged import burst_forward_paged
@@ -845,7 +846,8 @@ class ServingEngine:
                     sel, ragged_interpret=cfg.ragged_interpret,
                     use_kernel=self._paged_kernel,
                     sp_mesh=self._paged_sp_mesh,
-                    chunk=cfg.burst_chunk)
+                    chunk=cfg.burst_chunk,
+                    read_limit=read_limit)
         self._decode_burst[key] = decode_burst
         return decode_burst
 
@@ -865,7 +867,12 @@ class ServingEngine:
         while mb < mb_need:
             mb *= 2
         mb = min(mb, tables.shape[1])
-        fn = self._build_decode_burst_paged(n)
+        # frozen-READ bucket: fills only (burst tokens live in the
+        # in-burst buffers; the repacked grouped-kernel window never
+        # needs to cover them)
+        max_fill = int(max(self.slot_len[s] for s in active))
+        fn = self._build_decode_burst_paged(
+            n, read_limit=self._decode_bucket(max(max_fill, 1)))
         return fn(self.params, self.cache, cur_tok, seq_lens,
                   jnp.asarray(tables[:, :mb]), step_key, samp)
 
@@ -1535,7 +1542,8 @@ class ServingEngine:
                 mb *= 2
             mb = min(mb, self._alloc.max_blocks_per_seq)
             tables = jnp.asarray(self._alloc.tables()[:, :mb])
-            fn = self._build_decode_burst_paged(n)
+            fn = self._build_decode_burst_paged(
+                n, read_limit=self._decode_bucket(max(fill, 1)))
             n_bursts = max(1, steps // n)
             toks, cache = fn(self.params, cache, tokens, seq_lens, tables,
                              key)

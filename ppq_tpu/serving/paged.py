@@ -756,17 +756,29 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
                         tables, keys, cfg: LlamaConfig, select_fn,
                         ragged_interpret: bool = False,
                         use_kernel: bool = True, sp_mesh=None,
-                        chunk: Optional[int] = None):
-    """n decode steps over the paged pools: pool frozen during the scan
-    (paged-attention kernel reads only allocated blocks), in-burst K/V in
-    small per-layer buffers, ONE scatter per layer at burst end. Mirrors
-    model.burst_forward's ragged path with real block tables.
+                        chunk: Optional[int] = None,
+                        read_limit: Optional[int] = None):
+    """n decode steps over the paged pools: pool frozen during the scan,
+    in-burst K/V in small per-layer buffers, ONE scatter per layer at
+    burst end. Mirrors model.burst_forward's ragged path with real block
+    tables.
+
+    use_kernel path (r5): the frozen window is GATHER-REPACKED once per
+    burst into the grouped kernel's block-major layout (tokens ordered by
+    the block tables, any allocation pattern) and every step runs the
+    batched grouped kernel — the per-slot fused kernel paid ~2.9 us of
+    grid-step fixed cost per (slot, block), which WAS the paged decode
+    wall at B=128 (5.5 ms/step, ~23k tok/s vs the dense path's 40k). The
+    repack is an O(window) copy amortized over the burst, exactly like
+    the dense path's blockmajor_window. read_limit (static) bounds the
+    repacked window to the engine's fill bucket.
 
     sp_mesh: 'sp'-sharded pools — frozen-pool reads take the shard_map
     flash-triple merge (paged_decode_sp) and the burst-end write the
     per-shard scatter (write_kv_window_sp)."""
-    from ..kernels.paged_attention import (merge_attention,
-                                           paged_attention_decode_fused)
+    from ..kernels.paged_attention import (grouped_group_size,
+                                           merge_attention,
+                                           paged_attention_decode_grouped)
     L = len(params['layers'])
     B = tokens.shape[0]
     n = keys.shape[0]
@@ -801,6 +813,9 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
     NCH = n // CH
     kbuf0 = jnp.zeros((L, B, CH, KV, Dh), buf_dtype)
     vbuf0 = jnp.zeros((L, B, CH, KV, Dh), buf_dtype)
+    from ..kernels.bank_write import bank_write_inplace, supports_bank
+    bank_kernel = supports_bank((L * B, CH, KV, Dh))
+    bank_interpret = jax.default_backend() == 'cpu'
     # buffer scales transposed (L, B, KV, CH) — fused-kernel layout
     ksb0 = jnp.zeros((L, B, KV, CH), jnp.float32)
     vsb0 = jnp.zeros((L, B, KV, CH), jnp.float32)
@@ -819,6 +834,36 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
         kv_flat = kv_full.reshape((L * NBp,) + kv_full.shape[2:])
         sc_flat = (sc_full.reshape((L * NBp,) + sc_full.shape[2:])
                    if int8_cache else None)
+    if use_kernel:
+        # gather-repack the frozen window into the grouped kernel's
+        # block-major layout (pool row j*B + b = slot b's read-block j).
+        # The gather follows the block tables, so any allocation pattern
+        # (prefix sharing, dp-grouped pools) repacks correctly.
+        mb_tbl = tables.shape[1]
+        S_all = mb_tbl * blk_sz
+        rl = min(read_limit or S_all, S_all)
+        RBLK = rl if rl <= 64 else max(32, min(512, rl // 2))
+        NBr = rl // RBLK
+        mb_read = max(1, -(-rl // blk_sz))
+        gk = kv_full[:, tables[:, :mb_read]]  # (L,B,mb,2,BLK,KVDh)
+        gk = gk.transpose(0, 1, 3, 2, 4, 5) \
+            .reshape(L, B, 2, mb_read * blk_sz, KV * Dh)[:, :, :, :rl]
+        kv_bm = gk.reshape(L, B, 2, NBr, RBLK, KV * Dh) \
+            .transpose(0, 3, 1, 2, 4, 5) \
+            .reshape(L, NBr * B, 2, RBLK, KV * Dh)
+        if int8_cache:
+            gs = sc_full[:, tables[:, :mb_read]]  # (L,B,mb,2,KV,BLK)
+            gs = gs.transpose(0, 1, 3, 4, 2, 5) \
+                .reshape(L, B, 2, KV, mb_read * blk_sz)[..., :rl]
+            sc_bm = gs.reshape(L, B, 2, KV, NBr, RBLK) \
+                .transpose(0, 4, 1, 2, 3, 5) \
+                .reshape(L, NBr * B, 2, KV, RBLK)
+            if RBLK < 128:
+                sc_bm = jnp.pad(sc_bm, ((0, 0),) * 4 + ((0, 128 - RBLK),))
+        else:
+            sc_bm = None
+        Gq = grouped_group_size(B, RBLK, KV * Dh,
+                                1 if int8_cache else 2, H)
 
     def make_step(fin_k, fin_v, fin_ks, fin_vs, c0):
 
@@ -855,9 +900,9 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
 
                 q_g = q.reshape(B, 1, KV, rep, Dh).astype(jnp.bfloat16)
                 if use_kernel:
-                    acc_f, m_f, l_f = paged_attention_decode_fused(
-                        q_g[:, 0], kv_full, sc_full,
-                        tables, seq_lens, jnp.int32(li), block_size=blk_sz,
+                    acc_f, m_f, l_f = paged_attention_decode_grouped(
+                        q_g[:, 0], kv_bm, sc_bm, seq_lens, layer=li,
+                        block_size=RBLK, group=Gq,
                         interpret=ragged_interpret)
                 elif sp_mesh is not None:
                     acc_f, m_f, l_f = paged_decode_sp(
@@ -928,11 +973,25 @@ def burst_forward_paged(params: Params, pools: Dict, tokens, seq_lens,
                     h = rms_norm(x, layer['mlp_norm'], cfg.rms_eps)
                     x = x + mlp(h, layer, cfg)
             # ONE buffer update per kind: all layers' new columns land at
-            # chunk column ic
-            kbuf = jax.lax.dynamic_update_slice(
-                kbuf, jnp.stack(k_new), (0, 0, ic, 0, 0))
-            vbuf = jax.lax.dynamic_update_slice(
-                vbuf, jnp.stack(v_new), (0, 0, ic, 0, 0))
+            # chunk column ic. Code slabs go through the aliased Pallas
+            # column write when DMA-legal (a DUS on the scan carry
+            # rewrites the whole (L, B, CH, KV, Dh) leaf every step —
+            # kernels/bank_write.py); the kernel's column axis is axis 1,
+            # so the leading (L, B) pair rides flattened.
+            if bank_kernel:
+                kb2, vb2 = bank_write_inplace(
+                    (kbuf.reshape(L * B, CH, KV, Dh),
+                     vbuf.reshape(L * B, CH, KV, Dh)),
+                    (jnp.stack(k_new).reshape(L * B, 1, KV, Dh),
+                     jnp.stack(v_new).reshape(L * B, 1, KV, Dh)),
+                    ic, interpret=bank_interpret)
+                kbuf = kb2.reshape(L, B, CH, KV, Dh)
+                vbuf = vb2.reshape(L, B, CH, KV, Dh)
+            else:
+                kbuf = jax.lax.dynamic_update_slice(
+                    kbuf, jnp.stack(k_new), (0, 0, ic, 0, 0))
+                vbuf = jax.lax.dynamic_update_slice(
+                    vbuf, jnp.stack(v_new), (0, 0, ic, 0, 0))
             if int8_cache:
                 ksb = jax.lax.dynamic_update_slice(
                     ksb, jnp.stack(ks_new).transpose(0, 1, 3, 2),
