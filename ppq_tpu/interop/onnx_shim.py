@@ -278,6 +278,11 @@ def install_onnx_shim(force: bool = False) -> types.ModuleType:
 
     onnx = types.ModuleType('onnx')
     onnx.__version__ = '1.13.0+ppq_tpu_shim'
+    # torch._dynamo.trace_rules probes importlib.util.find_spec('onnx'),
+    # which raises on a registered module whose __spec__ is None — give
+    # the shim a synthetic spec so the probe sees an ordinary module
+    import importlib.machinery
+    onnx.__spec__ = importlib.machinery.ModuleSpec('onnx', loader=None)
     # proto classes (same descriptors as ppq_tpu's own frontend)
     for cls in ('ModelProto', 'GraphProto', 'NodeProto', 'TensorProto',
                 'AttributeProto', 'ValueInfoProto', 'TypeProto',

@@ -250,70 +250,159 @@ class LearnedStepSizePass(TrainingBasedPass):
 
 
 class BiasCorrectionPass(TrainingBasedPass):
-    """Shift each computing op's bias by E[fp_out − quant_out] per channel
-    (reference optim/training.py:338)."""
+    """Blockwise bias correction (reference optim/training.py:338):
+    per block, shift each computing op's bias by the channel mean of
+    [dequantized-block output − quantized-block output], BOTH evaluated
+    on the QUANTIZED net's block inputs — the correction targets the
+    error the block itself introduces, not the accumulated upstream
+    error (a whole-net fp32-vs-quant comparison double-counts: every
+    downstream op's correction re-absorbs upstream error that upstream
+    corrections already fixed; the r5 reference-parity harness measured
+    that variant WORSENING Δ 1.75e-4 → 2.9e-4 on a 3-conv net while the
+    reference improved to 9.9e-5). Corrections are kept only if the
+    block's MSE against the fp32 reference improves (reference
+    check/rollback, training.py:521-526)."""
 
     def __init__(self, block_size: int = 4, steps: int = 32,
                  calib_steps: Optional[int] = None):
         super().__init__('Bias Correction Pass', block_size, steps,
-                         0.0, calib_steps or steps)
-
-    @staticmethod
-    def _channel_axis_of_output(op) -> int:
-        return 1  # NCHW conv/gemm(N,C): channel axis 1
+                         0.0, calib_steps or min(steps, 16))
 
     def optimize(self, graph: BaseGraph, dataloader=None, executor=None,
                  collate_fn=None, **kwargs):
         assert dataloader is not None
-        targets = []
-        for op in graph.operations.values():
-            if isinstance(op, QuantableOperation) and \
-                    op.type in COMPUTING_OP and len(op.inputs) >= 3 and \
-                    op.inputs[2].is_parameter:
-                targets.append(op)
+        blocks = BlockBuilder(graph).build(self.block_size)
+        if not blocks:
+            return
+        from ...ir import dequantize_graph, restore_graph_quantization
+        with _unbaked_parameters(graph):
+            # compile the two sweep programs ONCE; params are call
+            # arguments, so per-block cache refreshes (which must see the
+            # biases corrected so far — the reference re-collects per
+            # block, training.py:556) only re-read graph values
+            in_names = sorted({n for b in blocks for n in b.input_names})
+            out_names = sorted({n for b in blocks for n in b.output_names})
+            batches = [_feed(graph, b) for b in
+                       _batches(dataloader, collate_fn, self.calib_steps)]
+            cg_q = CompiledGraph(graph, output_names=in_names)
+            fwd_q = cg_q.build_forward()
+            dequantize_graph(graph)
+            try:
+                cg_f = CompiledGraph(graph, output_names=out_names)
+                fwd_f = cg_f.build_forward()
+            finally:
+                restore_graph_quantization(graph)
+
+            def sweep_q():
+                p = cg_q.init_params()
+                return [dict(zip(in_names,
+                                 [np.asarray(v) for v in fwd_q(p, b)]))
+                        for b in batches]
+
+            def sweep_f():
+                dequantize_graph(graph)
+                try:
+                    p = cg_f.init_params()
+                    return [dict(zip(out_names,
+                                     [np.asarray(v) for v in fwd_f(p, b)]))
+                            for b in batches]
+                finally:
+                    restore_graph_quantization(graph)
+
+            for block in blocks:
+                self._correct_block(graph, block, sweep_q(), sweep_f())
+
+    @staticmethod
+    def _channel_mean(v: np.ndarray, op_type: str) -> np.ndarray:
+        # Conv/ConvTranspose add bias on axis 1; Gemm on the last axis
+        # (reference collect_bias, training.py:438-448)
+        axis = 1 if op_type in ('Conv', 'ConvTranspose') else v.ndim - 1
+        red = tuple(i for i in range(v.ndim) if i != axis)
+        return np.asarray(v, np.float64).mean(axis=red)
+
+    def _correct_block(self, graph, block, qt_cache, fp_cache):
+        targets = [op for op in block.rps
+                   if isinstance(op, QuantableOperation)
+                   and op.type in ('Conv', 'ConvTranspose', 'Gemm')
+                   and len(op.inputs) == 3
+                   and op.inputs[-1].is_parameter]
         if not targets:
             return
-        out_names = sorted({op.outputs[0].name for op in targets})
+        t_outs = [op.outputs[0].name for op in targets]
+        cg_out = list(dict.fromkeys(list(block.output_names) + t_outs))
+        cg = CompiledGraph(graph, op_span=block.rps,
+                           input_names=block.input_names,
+                           output_names=cg_out)
+        fwd = cg.build_trainable_forward()
+        params0 = cg.init_params()
+        qparams0 = cg.init_qparams()
 
-        cg_q = CompiledGraph(graph, output_names=out_names)
-        fwd_q = cg_q.build_forward()
-        params_q = cg_q.init_params()
+        def run(params, dequant):
+            """Block outputs over the cache; dequant=True disables the
+            block's quantization (the fp term of the correction)."""
+            if dequant:
+                for op in block.rps:
+                    if isinstance(op, QuantableOperation):
+                        op.dequantize(parameter_only=False)
+                cg_f = CompiledGraph(graph, op_span=block.rps,
+                                     input_names=block.input_names,
+                                     output_names=cg_out)
+                fwd_f = cg_f.build_forward()
+                pf = cg_f.init_params()
+                try:
+                    return [fwd_f(pf, {n: jnp.asarray(qt[n])
+                                       for n in block.input_names})
+                            for qt in qt_cache]
+                finally:
+                    for op in block.rps:
+                        if isinstance(op, QuantableOperation):
+                            op.restore_quantize_state()
+            return [fwd(params, qparams0,
+                        {n: jnp.asarray(qt[n])
+                         for n in block.input_names})
+                    for qt in qt_cache]
 
-        from ...ir import dequantize_graph, restore_graph_quantization
-        sums: Dict[str, np.ndarray] = {}
-        count = 0
-        q_vals_all = []
-        for batch in _batches(dataloader, collate_fn, self.calib_steps):
-            vals = fwd_q(params_q, _feed(graph, batch))
-            q_vals_all.append({n: np.asarray(v)
-                               for n, v in zip(out_names, vals)})
-        dequantize_graph(graph)
-        try:
-            cg_f = CompiledGraph(graph, output_names=out_names)
-            fwd_f = cg_f.build_forward()
-            params_f = cg_f.init_params()
-            for i, batch in enumerate(
-                    _batches(dataloader, collate_fn, self.calib_steps)):
-                vals = fwd_f(params_f, _feed(graph, batch))
-                for n, v in zip(out_names, vals):
-                    v = np.asarray(v)
-                    qv = q_vals_all[i][n]
-                    diff = v - qv
-                    ax = tuple(j for j in range(diff.ndim) if j != 1)
-                    sums[n] = sums.get(n, 0) + diff.mean(axis=ax)
-                count += 1
-        finally:
-            restore_graph_quantization(graph)
+        fp_vals = run(params0, dequant=True)
+        qt_vals = run(params0, dequant=False)
 
+        def loss_of(vals):
+            total = 0.0
+            for outs, fp in zip(vals, fp_cache):
+                for name, out in zip(cg_out, outs):
+                    if name in block.output_names:
+                        total += float(jnp.mean(
+                            (out - jnp.asarray(fp[name])) ** 2))
+            return total / max(len(vals), 1)
+
+        pre_loss = loss_of(qt_vals)
+        corrections = {}
         for op in targets:
             name = op.outputs[0].name
-            if name not in sums:
-                continue
-            correction = sums[name] / max(count, 1)
-            b_var = op.inputs[2]
-            _sync_fp32_shadow(graph, b_var.name,
-                              (np.asarray(b_var.value, np.float64)
-                               + correction).astype(np.float32))
+            idx = cg_out.index(name)
+            err = np.mean(
+                [self._channel_mean(np.asarray(f[idx]), op.type)
+                 - self._channel_mean(np.asarray(q[idx]), op.type)
+                 for f, q in zip(fp_vals, qt_vals)], axis=0)
+            corrections[op.inputs[-1].name] = err
+
+        params_new = dict(params0)
+        for bname, err in corrections.items():
+            if bname in params_new:
+                params_new[bname] = params_new[bname] + \
+                    jnp.asarray(err, params_new[bname].dtype)
+        post_vals = run(params_new, dequant=False)
+        post_loss = loss_of(post_vals)
+        if post_loss < pre_loss:   # accept (reference training.py:521)
+            for bname, err in corrections.items():
+                var = graph.variables[bname]
+                _sync_fp32_shadow(graph, bname,
+                                  (np.asarray(var.value, np.float64)
+                                   + err).astype(np.float32))
+            ppq_info(f'BiasCorrection {block}: loss {pre_loss:.3e} → '
+                     f'{post_loss:.3e} (accepted)')
+        else:
+            ppq_info(f'BiasCorrection {block}: loss {pre_loss:.3e} → '
+                     f'{post_loss:.3e} (rolled back)')
 
 
 class AdaroundPass(TrainingBasedPass):

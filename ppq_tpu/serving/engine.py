@@ -1315,6 +1315,62 @@ class ServingEngine:
                 sampling=samp))
         return reqs, lens
 
+    def prewarm_decode(self, max_fill: int, sync_every: int,
+                       with_sampling: bool = True):
+        """Ahead-of-time compile of the decode-burst variants a serving
+        run will traverse. Fills grow monotonically through generation,
+        so each new read bucket (and, on the dense engine, grouped/fused
+        kernel choice; on the paged engine, table width) selects a NEW
+        jitted program — compiled lazily, that lands INSIDE the measured
+        window (observed: a 17 s compile inside a 22 s open-loop window
+        after the r5 fill-bucketing change). TPU serving systems warm
+        all shape buckets at startup; the XLA persistent cache makes
+        this a one-time cost per machine.
+        """
+        cfg = self.cfg
+        B = cfg.max_batch
+        n = max(1, min(sync_every, cfg.max_decode_burst))
+        if n <= 1:
+            return
+        cap = max(1, min(max_fill, cfg.max_seq_len - n - 2))
+        fills = sorted({min(f, cap)
+                        for f in (16, 48, 96, 192, 384, 768, cap)})
+        tokens = jnp.zeros((B,), jnp.int32)
+        key = jax.random.PRNGKey(0)
+        samps = [None]
+        if with_sampling:
+            # per-slot sampling arrays change the program treedef — a
+            # mixed workload runs BOTH variants (all-greedy straggler
+            # waves select samp=None)
+            save = [self.slot_req[0]]
+            self.slot_req[0] = Request(-3, [1], max_new_tokens=1,
+                                       sampling=SamplingParams(
+                                           temperature=0.8, top_p=0.95,
+                                           seed=0))
+            samps.append(self._samp_arrays())
+            self.slot_req[0] = save[0]
+        for fill in fills:
+            seq = jnp.full((B,), fill, jnp.int32)
+            self.slot_len[:] = fill
+            for samp in samps:
+                if self._paged:
+                    toks, self.cache = self._paged_decode(
+                        n, tokens, seq, key, list(range(B)), samp=samp)
+                else:
+                    bucket = self._decode_bucket(fill)
+                    fn = self._build_decode_burst(
+                        n, bucket,
+                        grouped=self._grouped_gate([fill] * B, n, bucket))
+                    toks, self.cache = fn(self.params, self.cache, tokens,
+                                          seq, key, samp)
+        # drop the garbage the warm bursts wrote
+        self.slot_len[:] = 0
+        if self._paged:
+            for slot in range(B):
+                self._alloc.release(slot)
+        self.cache = None
+        self.cache = self._new_cache()
+
     def _warm_serving(self, reqs, sync_every, eos_id):
         """Compile every program variant a measured serving run can hit,
         then reset the cache/slots. TWO separate warm waves: the per-slot
@@ -1333,6 +1389,13 @@ class ServingEngine:
                           sampling=SamplingParams(temperature=0.8,
                                                   top_p=0.95, seed=0))],
                  sync_every=sync_every)
+        # decode-burst bucket ladder: every read bucket the measured run
+        # can reach compiles HERE, not inside the timed window
+        max_fill = max((len(r.prompt) + r.max_new_tokens for r in reqs),
+                       default=64)
+        self.prewarm_decode(max_fill, sync_every,
+                            with_sampling=any(r.sampling is not None
+                                              for r in reqs))
         # drop the warm cache BEFORE allocating the fresh one: the pools
         # are multi-GB and holding both across the reassignment doubles
         # peak HBM (measured: a later engine build OOMed after two
