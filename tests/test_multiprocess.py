@@ -24,7 +24,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_over_dcn():
+def _run_two_process(worker_name: str, ok_tag: str, extra_args=()):
     # no pytest-timeout in the image: the communicate(timeout=240) below
     # is the hang guard
     port = _free_port()
@@ -32,11 +32,11 @@ def test_two_process_dp_over_dcn():
     env['JAX_COORDINATOR_ADDRESS'] = f'localhost:{port}'
     env['JAX_NUM_PROCESSES'] = '2'
     env.pop('JAX_PROCESS_ID', None)
-    worker = os.path.join(_DIR, '_mp_worker.py')
-    procs = [subprocess.Popen([sys.executable, worker, str(r)], env=env,
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True)
-             for r in range(2)]
+    worker = os.path.join(_DIR, worker_name)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(r), *extra_args], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for r in range(2)]
     outs = []
     for r, p in enumerate(procs):
         try:
@@ -48,4 +48,25 @@ def test_two_process_dp_over_dcn():
         outs.append(out)
         assert p.returncode == 0, f'rank {r} failed:\n{out}'
     for r in range(2):
-        assert f'MPOK {r}' in outs[r], outs[r]
+        assert f'{ok_tag} {r}' in outs[r], outs[r]
+
+
+def test_two_process_dp_over_dcn():
+    _run_two_process('_mp_worker.py', 'MPOK')
+
+
+def test_two_process_serving_engine():
+    """The serving stack's collectives across a REAL process boundary
+    (round-4 verdict #8): single-process generation is the gold; the two
+    workers must reproduce it bit-exactly on a dp x tp mesh whose dp
+    axis crosses jax.distributed."""
+    from ppq_tpu.serving.engine import Request, ServingEngine
+    from ppq_tpu.serving.model import LlamaConfig, init_llama_params
+    cfg = LlamaConfig.tiny()
+    params = init_llama_params(cfg, seed=7)
+    eng = ServingEngine(cfg, params)
+    reqs = [Request(0, [2, 4, 6], max_new_tokens=5),
+            Request(1, [9, 1], max_new_tokens=4)]
+    eng.run(reqs, sync_every=2)
+    expect = ','.join(str(t) for r in reqs for t in r.generated)
+    _run_two_process('_mp_serve_worker.py', 'SERVEOK', (expect,))
