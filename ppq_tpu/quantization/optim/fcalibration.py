@@ -12,7 +12,9 @@ calibration" capability of BASELINE.json.
 Semantics match the eager observers exactly:
   minmax     — global min/max fold            (observers.MinMaxObserver)
   percentile — per-batch quantile, averaged   (observers.PercentileObserver)
-  kl / mse   — phase-1 absmax, phase-2 histogram fold, host clip search
+  kl / mse   — ONE fused program ('absmax_hist') run twice: sweep 1
+               learns absmax, sweep 2 fills histograms at the final
+               scale, then the host clip search
                (observers.KLObserver/MSEObserver + solvers)
 Isotone/other algorithms fall back to the eager pass automatically.
 """
@@ -38,6 +40,34 @@ COMPILED_ALGOS = {'minmax', 'percentile', 'kl', 'mse'}
 # profile of the most recent compiled calibration run (read by bench.py):
 # {'batches', 'images', 'compile_s', 'run_s'}
 LAST_CALIBRATION_PROFILE = {}
+
+
+def _make_fold(kinds: Dict[str, str]):
+    """Jitted ON-DEVICE stat combiner. Folding on host cost ~40 small
+    device→host reads per batch — ~2 s/batch once the remote-TPU tunnel
+    path degrades (see the upload note in optimize); folding on device
+    keeps the sweep at dispatch speed with ONE readback at the end."""
+    import jax
+    import jax.numpy as jnp
+
+    def comb(kind, a, s):
+        if kind == 'minmax':
+            return (jnp.minimum(a[0], s[0]), jnp.maximum(a[1], s[1]))
+        if kind in ('percentile', 'quantile_bisect'):
+            # per-batch quantiles are AVERAGED (eager-observer
+            # semantics): running sum here, divided by n_batches at
+            # readback
+            return (a[0] + s[0], a[1] + s[1])
+        if kind == 'absmax_hist':
+            return (jnp.maximum(a[0], s[0]), a[1] + s[1])
+        if kind == 'absmax':
+            return jnp.maximum(a, s)
+        return a + s                       # hist / hist_signed
+
+    @jax.jit
+    def fold(acc, stats):
+        return {n: comb(kinds[n], acc[n], stats[n]) for n in stats}
+    return fold
 
 
 def _activation_targets(graph: BaseGraph) -> Dict[str, TensorQuantizationConfig]:
@@ -143,13 +173,25 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                 OBSERVER_PERCENTILE_MANUL_OVERRIDE, OBSERVER_PERCENTILE))
 
         # ---------------- phase 1: minmax (+range probes for histograms) --
+        # kl/mse targets use the FUSED 'absmax_hist' kind: the one
+        # phase-1 program emits both the range probe and the histogram
+        # (scale as a traced arg), so the histogram sweep below reuses
+        # this same compiled program instead of compiling a second
+        # full-network program — on the remote-compile TPU backend the
+        # two ~20-30s compiles serialized and dominated cold-start wall
+        # (measured 90s → ~35s for the resnet18/512-image protocol).
         spec = {}
         for n in onepass | pct_phase:
             spec[n] = {'kind': 'minmax'}
         for n in pct_direct:
             spec[n] = {'kind': pct_kind, 'percentile': _pct_of(n)}
         for n in twophase:
-            spec[n] = {'kind': 'absmax'}
+            bins = (OBSERVER_KL_HIST_BINS if algo_of[n] == 'kl'
+                    else OBSERVER_MSE_HIST_BINS)
+            spec[n] = {'kind': 'absmax_hist', 'bins': bins}
+        # sweep-1 dummy scales — MUST share the treedef with the sweep-2
+        # ranges so the jit dispatch cache hits (same dict keys)
+        ranges1 = {n: np.float32(1.0) for n in sorted(twophase)} or None
 
         import time as _time
         _t0 = _time.perf_counter()
@@ -209,47 +251,73 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                                   daemon=True)
             t.start()
             pre_threads.append(('pct', spec_pre, t))
-        if twophase:
-            spec2_pre = {}
-            for n in sorted(twophase):
-                bins = (OBSERVER_KL_HIST_BINS if algo_of[n] == 'kl'
-                        else OBSERVER_MSE_HIST_BINS)
-                spec2_pre[n] = {'kind': 'hist', 'bins': bins}
-            r2_dummy = {n: np.float32(1.0) for n in spec2_pre}
-            t = _threading.Thread(target=_precompile,
-                                  args=('hist', spec2_pre, r2_dummy),
-                                  daemon=True)
-            t.start()
-            pre_threads.append(('hist', spec2_pre, t))
+        # (kl/mse need NO precompile thread anymore: the fused
+        # 'absmax_hist' phase-1 program IS the histogram program)
 
         fn = cg.build_calibration_forward(spec)
         _dbg('phase1 traced')
-        folds: Dict[str, list] = {}
-        n_batches = 0
+
+        # ---- one-shot device upload of the calibration window ------------
+        # Transfers MUST land before the first big program executes: the
+        # remote-TPU (axon tunnel) host→device path degrades ~25x once a
+        # large executable has run in the process (19MB batch: 16ms fresh
+        # vs ~400-1500ms after — measured, probes/calib_kl_cold.py), and
+        # the histogram sweep re-reads every batch. Uploading the whole
+        # window now (319MB for the resnet18/512-image protocol) keeps
+        # every sweep at device speed. Falls back to streaming when the
+        # window would not comfortably fit beside the model (>4GB).
+        import jax as _jaxm
+        feeds: List[dict] = []
         n_images = 0
-        compile_s = run_s = 0.0
+        total_bytes = 0
         for batch in self._batches(dataloader, collate_fn):
+            feed = self._feed(cg, batch)
+            try:
+                first = next(iter(feed.values()))
+                n_images += int(first.shape[0])
+            except Exception:
+                pass
+            total_bytes += sum(int(np.asarray(v).nbytes)
+                               for v in feed.values())
+            feeds.append(feed)
+        if not feeds:
+            raise ValueError('Calibration dataloader yielded no batches.')
+        if self.mesh is None and total_bytes <= (4 << 30):
+            feeds = [{k: _jaxm.device_put(v) for k, v in f.items()}
+                     for f in feeds]
+            _jaxm.block_until_ready(feeds)
+        _dbg(f'calibration window resident ({total_bytes >> 20} MB)')
+
+        kinds = {n: e['kind'] for n, e in spec.items()}
+        fold = _make_fold(kinds)
+        acc = None
+        n_batches = 0
+        compile_s = run_s = 0.0
+        for feed in feeds:
             t0 = _time.perf_counter()
-            _, stats = fn(params, self._feed(cg, batch))
+            if ranges1 is not None:
+                _, stats = fn(params, feed, ranges1)
+            else:
+                _, stats = fn(params, feed)
+            acc = stats if acc is None else fold(acc, stats)
             dt = _time.perf_counter() - t0
             if n_batches == 0:
                 compile_s = dt
             else:
                 run_s += dt
-            for name, s in stats.items():
-                folds.setdefault(name, []).append(
-                    tuple(np.asarray(x, np.float64) for x in s)
-                    if isinstance(s, tuple) else np.asarray(s, np.float64))
             n_batches += 1
-            try:
-                first = (batch[0] if isinstance(batch, (list, tuple))
-                         else next(iter(batch.values()))
-                         if isinstance(batch, dict) else batch)
-                n_images += int(np.asarray(first).shape[0])
-            except Exception:
-                pass
-        if n_batches == 0:
-            raise ValueError('Calibration dataloader yielded no batches.')
+        t0 = _time.perf_counter()
+        # skip the sweep-1 histograms at readback (dummy-scale garbage;
+        # each small device→host read costs ~50ms on a degraded tunnel)
+        small = {n: (v[0] if kinds.get(n) == 'absmax_hist' else v)
+                 for n, v in (acc or {}).items()}
+        small = _jaxm.device_get(small)
+        acc = {n: ((np.asarray(v, np.float64),)
+                   if kinds.get(n) == 'absmax_hist'
+                   else tuple(np.asarray(x, np.float64) for x in v)
+                   if isinstance(v, tuple) else np.asarray(v, np.float64))
+               for n, v in small.items()}
+        run_s += _time.perf_counter() - t0
         _dbg('phase1 folded')
         LAST_CALIBRATION_PROFILE.clear()
         LAST_CALIBRATION_PROFILE.update({
@@ -258,10 +326,9 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
 
         ranges = {}
         for name in onepass | pct_phase:
-            if name not in folds:
+            if name not in acc:
                 continue
-            lo = np.minimum.reduce([s[0] for s in folds[name]])
-            hi = np.maximum.reduce([s[1] for s in folds[name]])
+            lo, hi = acc[name]
             if name in onepass:
                 cfg = targets[name]
                 scale, offset = minmax_to_scale_offset(lo, hi, cfg)
@@ -269,11 +336,11 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
             else:
                 ranges[name] = (float(np.min(lo)), float(np.max(hi)))
         for name in pct_direct:
-            if name not in folds:
+            if name not in acc:
                 continue
             # eager-observer semantics: per-batch quantiles, averaged
-            lo = np.mean([s[0] for s in folds[name]], axis=0)
-            hi = np.mean([s[1] for s in folds[name]], axis=0)
+            lo = acc[name][0] / n_batches
+            hi = acc[name][1] / n_batches
             cfg = targets[name]
             scale, offset = minmax_to_scale_offset(
                 np.asarray(lo), np.asarray(hi), cfg)
@@ -303,14 +370,14 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                     else cg.build_calibration_forward(spec_p))
             _dbg('phase2a program ready'
                  + (' (precompiled concurrently)' if 'pct' in pre else ''))
-            hists_p: Dict[str, np.ndarray] = {}
-            for bi, batch in enumerate(self._batches(dataloader, collate_fn)):
-                _, stats = fn_p(params, self._feed(cg, batch), ranges_arg)
-                _dbg(f'phase2a batch {bi} dispatched')
-                for name, h in stats.items():
-                    hists_p[name] = hists_p.get(name, 0) + \
-                        np.asarray(h, np.float64)
-                _dbg(f'phase2a batch {bi} folded')
+            fold_p = _make_fold({n: 'hist_signed' for n in spec_p})
+            acc_p = None
+            for bi, feed in enumerate(feeds):
+                _, stats = fn_p(params, feed, ranges_arg)
+                acc_p = stats if acc_p is None else fold_p(acc_p, stats)
+                _dbg(f'phase2a batch {bi} folded on device')
+            hists_p = {n: np.asarray(v, np.float64) for n, v in
+                       _jaxm.device_get(acc_p or {}).items()}
             for name, h in hists_p.items():
                 cfg = targets[name]
                 pct = float(cfg.detail.get(OBSERVER_PERCENTILE_MANUL_OVERRIDE,
@@ -327,32 +394,38 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                 self._activate(cfg, scale, offset)
             _dbg('phase2a rendered')
 
-        # ---------------- phase 2: histograms for kl/mse -------------------
+        # -------- phase 2: histogram sweep for kl/mse (SAME program) -------
+        # the fused phase-1 program is re-run with the real histogram
+        # scales (same ranges treedef → jit dispatch-cache hit, zero new
+        # compilation); only the hist half of each stat is folded.
         if twophase:
-            absmax = {n: float(np.max(folds[n])) for n in twophase
-                      if n in folds}
-            hist_scales, spec2, ranges2 = {}, {}, {}
+            absmax = {n: float(np.max(acc[n][0]))
+                      for n in twophase if n in acc}
+            hist_scales, ranges2 = {}, dict(ranges1)
             for n in twophase:
                 bins = (OBSERVER_KL_HIST_BINS if algo_of[n] == 'kl'
                         else OBSERVER_MSE_HIST_BINS)
                 hist_scales[n] = max(absmax.get(n, 0.0),
                                      OBSERVER_MIN_SCALE) / bins
-                spec2[n] = {'kind': 'hist', 'bins': bins}
                 ranges2[n] = np.float32(hist_scales[n])
-            for key, spec_pre, t in pre_threads:
-                if key == 'hist':
-                    t.join()
-            fn2 = (pre['hist'] if pre.get('hist') is not None
-                   and any(k == 'hist' and sp == spec2
-                           for k, sp, _ in pre_threads)
-                   else cg.build_calibration_forward(spec2))
-            hists: Dict[str, np.ndarray] = {}
-            for batch in self._batches(dataloader, collate_fn):
-                _, stats = fn2(params, self._feed(cg, batch), ranges2)
-                for name, h in stats.items():
-                    h = np.asarray(h, np.float64)
-                    hists[name] = hists.get(name, 0) + h
+            run2 = 0.0
+            acc2 = None
+            for feed in feeds:
+                t0 = _time.perf_counter()
+                _, stats = fn(params, feed, ranges2)
+                # the phase-1 fold is reused verbatim (same treedef →
+                # same compiled combiner); only the hist halves are read
+                acc2 = stats if acc2 is None else fold(acc2, stats)
+                run2 += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            hists = {n: np.asarray(v, np.float64) for n, v in
+                     _jaxm.device_get(
+                         {n: acc2[n][1] for n in twophase
+                          if n in (acc2 or {})}).items()}
+            run2 += _time.perf_counter() - t0
+            _dbg('phase2 hists folded')
 
+            t0 = _time.perf_counter()
             for name in twophase:
                 if name not in hists:
                     continue
@@ -367,6 +440,10 @@ class CompiledCalibrationPass(QuantizationOptimizationPass):
                 scale, offset = minmax_to_scale_offset(
                     np.asarray(-clip), np.asarray(clip), cfg)
                 self._activate(cfg, scale, offset)
+            LAST_CALIBRATION_PROFILE['run2_s'] = run2
+            LAST_CALIBRATION_PROFILE['search_s'] = \
+                _time.perf_counter() - t0
+            _dbg('phase2 clip search done')
 
     @staticmethod
     def _activate(cfg: TensorQuantizationConfig, scale, offset):
